@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Registers each test parquet as a DuckDB view, runs every oracle SQL from
+<verifyOutDir>/oracle_sql.json, and compares against the Spark result
+parquet written by graft.Verify. Compare is: column names (sorted),
+row count, and exact values (rows sorted by all columns, order-insensitive)
+plus an order-sensitive pass for information.
+"""
+import json
+import sys
+import math
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return repr(v)
+
+
+def rows_key(rows):
+    return sorted(tuple(canon(v) for v in r) for r in rows)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        try:
+            oracle = con.sql(sql)
+            ocols = [c.lower() for c in oracle.columns]
+            orows = oracle.fetchall()
+            spark = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            scols = [c.lower() for c in spark.columns]
+            srows = spark.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(ocols) != sorted(scols):
+            problems.append(f"columns differ: oracle={sorted(ocols)} spark={sorted(scols)}")
+        else:
+            # reorder both to sorted column order
+            operm = [ocols.index(c) for c in sorted(ocols)]
+            sperm = [scols.index(c) for c in sorted(scols)]
+            orows2 = [tuple(r[i] for i in operm) for r in orows]
+            srows2 = [tuple(r[i] for i in sperm) for r in srows]
+            if len(orows2) != len(srows2):
+                problems.append(f"row count: oracle={len(orows2)} spark={len(srows2)}")
+            elif rows_key(orows2) != rows_key(srows2):
+                ok, sk = rows_key(orows2), rows_key(srows2)
+                diffs = [(a, b) for a, b in zip(ok, sk) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diffs}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(orows)} rows)")
+            n_pass += 1
+    # queries without oracle (rows-only)
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracles:
+            n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
+            print(f"ROWS {name}: {n} rows (no oracle)")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch re-expression of the reference's sink upsert semantics.
+  *
+  * The reference applies a change stream to a PK-addressed store: INSERT/
+  * UPDATE become Put-all-columns, DELETE removes the row (reference:
+  * src/main/java/io/cdap/plugin/cdc/sink/CDCTableUtil.java:72-96). Because
+  * the store is keyed, the *final state* after applying an ordered change
+  * log is exactly "latest change per key, minus keys whose latest change is
+  * a DELETE". That is a window computation — shuffle once by key, no
+  * driver-side loop — and it makes replay order irrelevant (strictly
+  * stronger than the reference's at-least-once idempotence argument,
+  * SURVEY.md §7.3).
+  *
+  * At scale: one hash-partition shuffle on the PK; AQE handles skewed keys.
+  * For streaming, the same expression runs per micro-batch in foreachBatch
+  * against the sink (see [[graft.sinks.UpsertSink]]).
+  */
+object CdcApply {
+
+  /** Latest row per key by `version` (ties broken by `tieBreak`). */
+  def latestByKey(changes: DataFrame, keys: Seq[String],
+                  version: Column, tieBreak: Column*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((version.desc +: tieBreak.map(_.desc)): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Final table state after applying a change log: latest change per key,
+    * dropping keys whose latest op is DELETE. `opCol` holds
+    * INSERT/UPDATE/DELETE. */
+  def applyChanges(changes: DataFrame, keys: Seq[String], opCol: Column,
+                   version: Column, tieBreak: Column*): DataFrame =
+    latestByKey(changes, keys, version, tieBreak: _*)
+      .filter(opCol =!= graft.model.OpType.Delete)
+
+  /** The reference's row-key derivation: PK *values* sorted lexically and
+    * joined with ':' (reference CDCTableUtil.java:98-105 — note it sorts
+    * the stringified values, a quirk we replicate deliberately). */
+  def rowKey(keys: Seq[Column]): Column =
+    concat_ws(":", sort_array(array(keys.map(_.cast("string")): _*)))
+}

@@ -1,0 +1,24 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the verified query inventory.
+  *
+  * Oracle-parity rule: any aggregation over double columns is computed in
+  * exact decimal arithmetic (cast-before-sum) and only cast back to double
+  * at the end, in BOTH the Spark plan and the DuckDB oracle SQL. Double
+  * summation is order-dependent; two engines summing in different orders
+  * drift in the last bits and fail the driver's hash compare. Decimal
+  * sums are exact, so the final decimal→double conversion is identical on
+  * both sides. Comparisons/sorts on raw doubles are safe (no arithmetic).
+  */
+object Q {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** Exact-sum of a 2-decimal-valued double column, result as double. */
+  def sumd2(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact-sum of a product of 2-decimal doubles, result as double. */
+  def dec4(c: Column): Column = c.cast("decimal(18,4)")
+}
