@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{CdcApply, ChangeFeed, DmlFlattener, Normalizer, SchemaDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The CDC operator surface from SURVEY.md §2, exercised as verifiable
+  * batch queries over the fixture tables.
+  *
+  * Each query drives a real operator from graft.operators (envelope wrap →
+  * flatten roundtrip, apply/upsert compaction, emit-on-change dedup,
+  * before/after merge, PK-change split, admission-control windows, the
+  * changes⋈base join) with a deterministic change-log synthesized from the
+  * fixture tables, so the DuckDB oracle can state the expected result in
+  * plain SQL. Streaming forms of the stateful ops are spec-tested under
+  * src/test (MemoryStream) — same column expressions, same semantics.
+  */
+object CdcQueries {
+  import Q._
+
+  private def opFromStatus = // O=open→INSERT, F=finished→UPDATE, P→DELETE
+    when(col("o_orderstatus") === "O", "INSERT")
+      .when(col("o_orderstatus") === "F", "UPDATE")
+      .otherwise("DELETE")
+
+  private def opFromEvent = // signup→INSERT, error→DELETE, else UPDATE
+    when(col("event_type") === "signup", "INSERT")
+      .when(col("event_type") === "error", "DELETE")
+      .otherwise("UPDATE")
+
+  val queries: Map[String, QueryFn] = Map(
+    // E1 + T1: wrap rows into the changeRecord envelope (values as
+    // map<string,string> + in-band schema JSON), then flatten back to
+    // typed columns. The oracle is the identity — proving the envelope
+    // is lossless for the simple-type surface the reference allows
+    // (reference Schemas.java:33-36, CDCTableUtil.java:108-118).
+    "cdc01_envelope_roundtrip" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val env = ChangeFeed.wrapDml(o, "public.orders", Seq("o_orderkey"),
+        lit("INSERT"), col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")))
+      DmlFlattener.flatten(env, o.schema)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // T1 with appendColumns=true: flatten plus CDC bookkeeping columns
+    // (reference DMLFlattener.java:108-125).
+    "cdc02_flatten_extras" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val env = ChangeFeed.wrapDml(o, "public.orders", Seq("o_orderkey"),
+        opFromStatus, col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")))
+      DmlFlattener.flatten(env, o.schema, includeCdcColumns = true)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col(DmlFlattener.OpTypeCol).as("cdc_op_type"),
+          col(DmlFlattener.VersionCol).as("change_version"),
+          col(DmlFlattener.TimestampCol).as("cdc_ts_micros"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // SNK upsert semantics, compaction half: latest row per key by
+    // version — replicates what a PK-addressed sink converges to
+    // (reference CDCTableUtil.java:72-96) as one window over one shuffle.
+    "cdc03_apply_latest" -> ((s, d) => {
+      CdcApply.latestByKey(Tables.events(s, d), Seq("user_id"),
+        col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // SNK upsert semantics, full: final state after applying an I/U/D
+    // change log — latest per key minus keys whose latest op is DELETE.
+    "cdc04_apply_changes" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("op", opFromEvent)
+      CdcApply.applyChanges(ev, Seq("user_id"), col("op"),
+        col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id"), col("op"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ST1: emit-on-change schema dedup (batch form) — documents stand in
+    // for the table→schemaJson state stream: a row passes only when its
+    // lang differs from the previous doc of the same source.
+    "cdc05_schema_dedup" -> ((s, d) => {
+      SchemaDedup.emitOnChange(Tables.documents(s, d),
+        col("source"), col("doc_id"), col("lang"))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SRC3b: PK-change split — purchases model UPDATEs that moved the PK
+    // and explode into DELETE(before) + INSERT(after); everything else
+    // passes through as one UPDATE (1→0..2 flatMap, still codegen).
+    "cdc06_pk_change_split" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def img(id: org.apache.spark.sql.Column, op: String) = struct(
+        col("event_id").as("event_id"), id.cast("long").as("user_id"),
+        lit(op).as("op"), col("value").as("value"))
+      Normalizer.pkChangeSplit(ev,
+        pkChanged = col("event_type") === "purchase",
+        asDelete = img(col("user_id"), "DELETE"),
+        asInsert = img(col("user_id") + 1000000L, "INSERT"),
+        asIs = img(col("user_id"), "UPDATE"))
+        .orderBy(col("event_id"), col("op"))
+    }),
+
+    // SRC3a: before/after image merge — per column, take the after value
+    // unless its isMissing flag is set (two columns, independent flags).
+    "cdc07_image_merge" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        Normalizer.mergeImage(
+          before = -col("value"), after = col("value"),
+          isMissing = col("event_type") === "view").as("merged_value"),
+        Normalizer.mergeImage(
+          before = lit("before-tag"), after = upper(col("event_type")),
+          isMissing = col("value") < 50.0).as("merged_tag"))
+        .orderBy(col("event_id"))
+    }),
+
+    // SNK-u: row-key derivation — PK *values* stringified, sorted
+    // lexically, joined with ':' (a reference quirk we replicate
+    // deliberately, CDCTableUtil.java:98-105).
+    "cdc08_row_key" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        CdcApply.rowKey(Seq(col("l_orderkey"), col("l_linenumber"))).as("row_key"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // SRC1c: admission control — cur = min(latest, prev + maxBatch),
+    // batch = changes in (prev, cur]. The bound is a 1-row broadcast,
+    // not a driver collect.
+    "cdc09_ct_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val bound = ev.agg(
+        expr("max(event_id) DIV 5").as("prev"),
+        least(max(col("event_id")),
+          expr("max(event_id) DIV 5 + max(event_id) DIV 4")).as("cur"))
+      ev.join(broadcast(bound))
+        .filter(col("event_id") > col("prev") && col("event_id") <= col("cur"))
+        .agg(count(lit(1)).as("n_changes"),
+          min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+    }),
+
+    // E1: DDL-before-DML batch ordering, made explicit with a sortable
+    // kind tag instead of relying on union partition order
+    // (SURVEY.md §7.3 hard part 2).
+    "cdc10_ddl_first_union" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ddl = docs.select(col("source")).distinct()
+        .select(lit("ddl").as("kind"), col("source"),
+          lit(null).cast("long").as("doc_id"))
+      val dml = docs.select(lit("dml").as("kind"), col("source"), col("doc_id"))
+      ddl.unionByName(dml)
+        .orderBy(col("source"), col("kind"), col("doc_id").asc_nulls_first)
+    }),
+
+    // SRC1b materialized Spark-side: CHANGETABLE(CHANGES) ⋈ base on PK —
+    // latest change per key in a version window, outer-joined to the base
+    // table for current attributes (missing base row ⇒ deleted).
+    "cdc11_changes_join_base" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val bound = ev.agg(expr("max(event_id) DIV 5").as("lo"),
+        expr("(max(event_id) DIV 5) * 3").as("hi"))
+      val ch = ev.join(broadcast(bound))
+        .filter(col("event_id") > col("lo") && col("event_id") <= col("hi"))
+        .drop("lo", "hi")
+      val latest = CdcApply.latestByKey(ch, Seq("user_id"), col("event_id"))
+        .select(col("user_id"), col("event_id").as("version"),
+          opFromEvent.as("op"))
+      val base = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      latest.join(base, col("user_id") === col("c_custkey"), "left_outer")
+        .select(col("user_id"), col("version"), col("op"), col("c_name"))
+        .orderBy(col("user_id"))
+    }),
+  )
+
+  private val opFromEventSql =
+    "CASE WHEN event_type = 'signup' THEN 'INSERT' WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END"
+
+  val oracle: Map[String, String] = Map(
+    "cdc01_envelope_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "cdc02_flatten_extras" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CASE WHEN o_orderstatus = 'O' THEN 'INSERT'
+        |      WHEN o_orderstatus = 'F' THEN 'UPDATE'
+        |      ELSE 'DELETE' END AS cdc_op_type,
+        | CAST(o_orderkey AS VARCHAR) AS change_version,
+        | epoch_us(o_orderdate) AS cdc_ts_micros
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "cdc03_apply_latest" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "cdc04_apply_changes" ->
+      s"""SELECT user_id, event_id, op, value
+         |FROM (SELECT user_id, event_id, $opFromEventSql AS op, value,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+         |      FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "cdc05_schema_dedup" ->
+      """SELECT doc_id, source, lang
+        |FROM (SELECT doc_id, source, lang,
+        |        LAG(lang, 1) OVER (PARTITION BY source ORDER BY doc_id) AS prev
+        |      FROM documents) t
+        |WHERE prev IS NULL OR prev <> lang ORDER BY doc_id""".stripMargin,
+    "cdc06_pk_change_split" ->
+      """SELECT event_id, user_id, 'DELETE' AS op, value FROM events
+        | WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, user_id + 1000000, 'INSERT', value FROM events
+        | WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, user_id, 'UPDATE', value FROM events
+        | WHERE event_type <> 'purchase'
+        |ORDER BY event_id, op""".stripMargin,
+    "cdc07_image_merge" ->
+      """SELECT event_id,
+        | CASE WHEN event_type = 'view' THEN -value ELSE value END AS merged_value,
+        | CASE WHEN value < 50.0 THEN 'before-tag' ELSE UPPER(event_type) END AS merged_tag
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc08_row_key" ->
+      """SELECT l_orderkey, l_linenumber,
+        | LEAST(CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))
+        |  || ':' ||
+        | GREATEST(CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR)) AS row_key
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "cdc09_ct_window" ->
+      """SELECT COUNT(*) AS n_changes, MIN(event_id) AS lo, MAX(event_id) AS hi
+        |FROM events
+        |WHERE event_id > (SELECT MAX(event_id) // 5 FROM events)
+        |  AND event_id <= (SELECT LEAST(MAX(event_id),
+        |        MAX(event_id) // 5 + MAX(event_id) // 4) FROM events)""".stripMargin,
+    "cdc10_ddl_first_union" ->
+      """SELECT 'ddl' AS kind, source, CAST(NULL AS BIGINT) AS doc_id
+        | FROM (SELECT DISTINCT source FROM documents) s
+        |UNION ALL
+        |SELECT 'dml' AS kind, source, doc_id FROM documents
+        |ORDER BY source, kind, doc_id NULLS FIRST""".stripMargin,
+    "cdc11_changes_join_base" ->
+      s"""SELECT user_id, version, op, c_name
+         |FROM (SELECT user_id, event_id AS version, $opFromEventSql AS op,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |      FROM events
+         |      WHERE event_id > (SELECT MAX(event_id) // 5 FROM events)
+         |        AND event_id <= (SELECT (MAX(event_id) // 5) * 3 FROM events)) t
+         |LEFT JOIN customer ON user_id = c_custkey
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+  )
+}
