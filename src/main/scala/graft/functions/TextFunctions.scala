@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline surface —
+  * tokenization, portable hashing, shingling, MinHash, SimHash, Jaccard —
+  * all built from Spark's codegen'd higher-order array functions
+  * (`transform`/`aggregate`/`zip_with`), zero UDFs.
+  *
+  * Portability contract: every function here has an exact DuckDB
+  * equivalent (list_transform/list_reduce over the same arithmetic), so
+  * the driver's oracle can verify values bit-for-bit. That rules out
+  * xxhash64/md5-style engine-specific hashes in favor of an explicit
+  * polynomial hash mod 2^31-1 — same shape as Java's String.hashCode but
+  * overflow-free in 64-bit arithmetic on both engines.
+  */
+object TextFunctions {
+
+  /** Modulus for all portable hashing: 2^31-1 (Mersenne prime). Keeps
+    * every intermediate product < 2^62, so int64 arithmetic never
+    * overflows in either engine. */
+  val HashMod = 2147483647L
+
+  /** Whitespace tokens. Single-space split — matches DuckDB
+    * string_split(text, ' ') including empty-string behavior. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Portable polynomial string hash:
+    * fold over codepoints, h ← (h*31 + code) mod (2^31-1). */
+  def portableHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % HashMod)
+
+  /** n-token shingles joined with '_' (empty if fewer than n tokens). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws("_", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle hash set for a text column — the MinHash input. */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(tokens(text), n), portableHash _))
+
+  /** MinHash signature: k permutations h_j(x) = ((2j+1)x + 7j+3) mod p,
+    * signature[j] = min over the shingle-hash set. */
+  def minhashSignature(hashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(hashes, h => ((j * 2 + 1) * h + (j * 7 + 3)) % HashMod)))
+
+  /** Hash one LSH band (rows [b*r+1, b*r+r] of the signature) to a single
+    * bucket id — the join key of the banded LSH self-join. */
+  def bandHash(sig: Column, band: Column, rowsPerBand: Int): Column =
+    aggregate(slice(sig, band * rowsPerBand + 1, lit(rowsPerBand)),
+      lit(0L), (acc, x) => (acc * 31 + x) % HashMod)
+
+  /** Bit b (0-based) of a non-negative int64, via arithmetic shift so the
+    * same expression runs in DuckDB (Spark's shiftright needs a literal
+    * shift amount; division by 2^b does not). */
+  private def bitAt(h: Column, b: Column): Column =
+    pmod((h.cast("double") / pow(lit(2.0), b)).cast("long"), lit(2L))
+
+  /** 31-bit SimHash over a token-hash multiset: bit b is set iff more
+    * than half the tokens have bit b set in their hash. */
+  def simhash(hashes: Column, bits: Int = 31): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), b =>
+        when(aggregate(hashes, lit(0L), (acc, h) => acc + bitAt(h, b)) * 2 > size(hashes),
+          pow(lit(2.0), b).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Exact Jaccard similarity of two pre-deduplicated sets. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives over `array<float>` columns.
+  *
+  * All folds are sequential left-folds in declared order, so double
+  * arithmetic is bit-identical between Spark (`aggregate`/`zip_with`)
+  * and the DuckDB oracle (`list_reduce`/`list_transform`) — cosine scores
+  * can be hash-compared exactly, no rounding tolerance needed.
+  */
+object VectorFunctions {
+
+  /** Dot product as an in-order left fold over pairwise products. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bucket LSH key: bit i set iff element i+1 > 0, over the first
+    * `bits` dimensions. Turns ANN search into an equi-join on bucket —
+    * the scale path that avoids the all-pairs cross join. */
+  def signBucket(vec: Column, bits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), i =>
+        when(element_at(vec, i + 1) > 0f, pow(lit(2.0), i).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+}

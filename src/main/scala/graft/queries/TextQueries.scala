@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication surface over the `documents` table
+  * (training-data pipeline operators; SURVEY.md §2.3 ⊕).
+  *
+  * Oracle strategy: all hashing is the portable polynomial hash
+  * (TextFunctions.portableHash), so DuckDB recomputes identical values
+  * via list_transform/list_reduce. DuckDB CAST(double AS BIGINT) rounds
+  * while Spark's cast truncates — every oracle uses FLOOR before CAST.
+  */
+object TextQueries {
+  import Q._
+
+  // ---- shared DuckDB SQL fragments (kept in lockstep with TextFunctions) ----
+
+  /** Portable polynomial hash of string expression `x`. The accumulator
+    * seed must be BIGINT — list_prepend(0, ...) would make the whole
+    * reduce INT32 and overflow at acc*31. */
+  private def hashSql(x: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($x) + 1),
+       |  i -> CAST(unicode(substr($x, CAST(i AS INT), 1)) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % 2147483647)""".stripMargin
+
+  /** CTE producing doc_id + distinct 3-shingle hash set per document. */
+  private val shingleHashCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, [t[i] || '_' || t[i+1] || '_' || t[i+2]
+       |                  for i in range(1, len(t) - 1)] AS shingles
+       |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id, list_distinct(list_transform(shingles,
+       |    s -> ${hashSql("s")})) AS hashes
+       |  FROM sh)""".stripMargin
+
+  private val jaccardSql =
+    "len(list_intersect(a.hashes, b.hashes)) * 1.0 / len(list_distinct(a.hashes || b.hashes))"
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopDe = Seq("der", "die", "das", "und", "nicht")
+  private val stopFr = Seq("le", "la", "et", "les", "des")
+  private def stopCountSql(words: Seq[String]) =
+    s"len(list_filter(string_split(text, ' '), w -> w IN (${words.map("'" + _ + "'").mkString(",")})))"
+
+  val queries: Map[String, QueryFn] = Map(
+    // Exact dedup: hash-groupBy on the full text, canonical id = min.
+    // One shuffle on the dedup key with map-side partial agg; at 100 TB
+    // swap the raw text key for its portableHash/sha fingerprint to keep
+    // shuffle rows narrow (same plan shape).
+    "ns01_dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("keeper_id"))
+    }),
+
+    // Token counting + quality-score components: whitespace tokens,
+    // average token length, stopword ratio, acceptance flag — pure
+    // codegen'd expressions, no UDF, no shuffle (scan-local).
+    "ns02_quality_score" -> ((s, d) => {
+      val t = tokens(col("text"))
+      val nTok = size(t)
+      val nStop = size(filter(t, w => w.isin(stopEn: _*)))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        length(col("text")).as("text_len"),
+        ((length(col("text")) - (nTok - 1)) * lit(1.0) / nTok).as("avg_token_len"),
+        (nStop * lit(1.0) / nTok).as("stopword_ratio"),
+        (nTok >= 20 && nTok <= 200 && nStop > 0).as("quality_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID: stopword-count heuristic per language, argmax with a
+    // fixed tiebreak order (en > de > fr).
+    "ns03_lang_id" -> ((s, d) => {
+      val t = tokens(col("text"))
+      def score(ws: Seq[String]) = size(filter(t, w => w.isin(ws: _*)))
+      val (se, sd, sf) = (score(stopEn), score(stopDe), score(stopFr))
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("declared_lang"),
+        se.as("score_en"), sd.as("score_de"), sf.as("score_fr"),
+        when(se >= sd && se >= sf, "en")
+          .when(sd >= sf, "de").otherwise("fr").as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact all-pairs 3-gram Jaccard near-dups (threshold in the data's
+    // verified gap: planted dups ≥0.85, background ≤0.15). Quadratic —
+    // the oracle-exact baseline; ns05 is the scale path.
+    "ns04_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash(32) + 16-band LSH candidates, exact-Jaccard verified at
+    // 0.8. Oracle is brute force at the same threshold: with the data's
+    // similarity gap and 16 bands × 2 rows, the LSH miss probability at
+    // j≥0.85 is < 1e-7, so candidate-set ∩ threshold == brute force.
+    // All joins are equi-joins on (band, bucket) / id — no cross join.
+    "ns05_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash fingerprint per doc (31-bit, majority vote over distinct
+    // token hashes) — the hamming-distance dedup primitive.
+    "ns06_simhash" -> ((s, d) => {
+      Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id"))
+    }),
+
+    // Rolling-hash document fingerprint over the raw text (content-
+    // addressable id for shard-stable exact dedup).
+    "ns07_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), portableHash(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal column plumbing: opaque binary payload + typed metadata
+    // (byte length, sha256). The decode/feature-extract stage is the
+    // stubbed operator in graft.operators.Multimodal (spec-tested); this
+    // verifies the binary-column schema path end-to-end.
+    "ns08_multimodal_meta" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+          col("source"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("sha"),
+          col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-ish regex token count (letters / digits / single symbol runs).
+    "ns09_bpe_tokens" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ns01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+    "ns02_quality_score" ->
+      s"""SELECT doc_id,
+         | len(string_split(text, ' ')) AS n_tokens,
+         | LENGTH(text) AS text_len,
+         | (LENGTH(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+         |   / len(string_split(text, ' ')) AS avg_token_len,
+         | ${stopCountSql(stopEn)} * 1.0 / len(string_split(text, ' ')) AS stopword_ratio,
+         | (len(string_split(text, ' ')) BETWEEN 20 AND 200
+         |   AND ${stopCountSql(stopEn)} > 0) AS quality_ok
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns03_lang_id" ->
+      s"""SELECT doc_id, lang AS declared_lang,
+         | ${stopCountSql(stopEn)} AS score_en,
+         | ${stopCountSql(stopDe)} AS score_de,
+         | ${stopCountSql(stopFr)} AS score_fr,
+         | CASE WHEN ${stopCountSql(stopEn)} >= ${stopCountSql(stopDe)}
+         |        AND ${stopCountSql(stopEn)} >= ${stopCountSql(stopFr)} THEN 'en'
+         |      WHEN ${stopCountSql(stopDe)} >= ${stopCountSql(stopFr)} THEN 'de'
+         |      ELSE 'fr' END AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns04_ngram_jaccard" ->
+      s"""$shingleHashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |WHERE $jaccardSql >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ns05_minhash_lsh" ->
+      s"""$shingleHashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |WHERE $jaccardSql >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ns06_simhash" ->
+      s"""WITH th AS (
+         |  SELECT doc_id AS id, list_distinct(list_transform(
+         |    string_split(text, ' '), s -> ${hashSql("s")})) AS hashes
+         |  FROM documents)
+         |SELECT id, list_reduce(list_prepend(0, list_transform(range(0, 31), b ->
+         |  CASE WHEN 2 * list_reduce(list_prepend(0, list_transform(hashes,
+         |         h -> CAST(FLOOR(h / power(2, b)) AS BIGINT) % 2)), (a, x) -> a + x)
+         |       > len(hashes)
+         |  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)), (a, x) -> a + x) AS simhash
+         |FROM th ORDER BY id""".stripMargin,
+    "ns07_fingerprint" ->
+      s"""SELECT doc_id, ${hashSql("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns08_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | sha256(text) AS sha, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns09_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search surface over the `embeddings` table
+  * (training-data pipeline operators; SURVEY.md §2.3 ⊕).
+  *
+  * Oracle strategy: cosine is an in-order left fold over pairwise double
+  * products on both engines (aggregate/zip_with ↔ list_reduce/
+  * list_transform), so scores are bit-identical — no tolerance needed.
+  */
+object VectorQueries {
+  import Q._
+
+  // ---- shared DuckDB SQL fragments (lockstep with VectorFunctions) ----
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private def bucketSql(e: String, bits: Int): String =
+    s"""list_reduce(list_prepend(0, list_transform(range(0, $bits),
+       |  i -> CASE WHEN $e[CAST(i AS INT) + 1] > 0
+       |            THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    // Brute-force exact top-10 cosine neighbors for a broadcast query
+    // set — the ANN correctness baseline. Corpus is scanned once, never
+    // shuffled; per-query heaps come from window rank pushdown.
+    "vs01_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Sign-bucket LSH ANN (6 bits → 64 buckets): equi-join on bucket —
+    // the scale path; recall traded for never crossing the corpus.
+    "vs02_knn_bucketed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bucketedTopK(emb.filter(col("vec_id") < 20), emb, k = 3, bits = 6)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Norms + bucket assignment per vector (scan-local, no shuffle).
+    "vs03_vector_stats" -> ((s, d) => {
+      Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        norm(col("embedding")).as("l2_norm"),
+        signBucket(col("embedding"), 6).as("bucket"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Embedding-cosine near-dup pairs within sign buckets (4 bits) —
+    // the embedding half of the dedup suite.
+    "vs04_cosine_neardup" -> ((s, d) => {
+      Similarity.cosineNearDups(Tables.embeddings(s, d), threshold = 0.3, bits = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "vs01_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+         |  FROM c JOIN q ON query_id <> neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "vs02_knn_bucketed" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |             ${bucketSql("embedding", 6)} AS bucket
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |        ${bucketSql("embedding", 6)} AS bucket
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, c.bucket AS bucket, neighbor_id,
+         |    ${cosSql("qv", "cv")} AS cos
+         |  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, bucket, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, bucket, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "vs03_vector_stats" ->
+      s"""SELECT vec_id, label, len(embedding) AS dim,
+         | sqrt(${dotSql("embedding", "embedding")}) AS l2_norm,
+         | ${bucketSql("embedding", 6)} AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "vs04_cosine_neardup" ->
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |             ${bucketSql("embedding", 4)} AS bucket
+         |           FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+  )
+}
