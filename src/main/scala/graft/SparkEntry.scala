@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.CdcQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.VectorQueries.queries
+      graft.queries.VectorQueries.queries ++
+      graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.CdcQueries.oracle ++
       graft.queries.TextQueries.oracle ++
-      graft.queries.VectorQueries.oracle
+      graft.queries.VectorQueries.oracle ++
+      graft.queries.StreamQueries.oracle
 }

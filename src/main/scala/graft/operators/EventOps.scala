@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics operators: gap sessionization and as-of join.
+  *
+  * Both are single-shuffle window formulations — the Spark-first answer
+  * to operators often implemented as custom physical joins elsewhere:
+  * an as-of join via union + running "last non-null" is one sort-shuffle
+  * on the key, with none of the range-join blowup, and works identically
+  * in batch and (with watermarked state) streaming.
+  */
+object EventOps {
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same key exceeds `gapSeconds`. Adds
+    * `session_seq` (1-based per key). */
+  def sessionize(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tieBreak)
+    val newSession = when(
+      lag(ts, 1).over(w).isNull ||
+        unix_micros(ts) - unix_micros(lag(ts, 1).over(w)) > gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    df.withColumn("session_seq",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** As-of join (latest right-side value at or before each left row),
+    * realized as a running windowed max over the unioned stream: for each
+    * row, `asof_<valueAlias>` = the most recent `rightTs` where `rightPred`
+    * held. No range join, no per-row probe — one shuffle on `key`. */
+  def asofLatestTs(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
+                   rightPred: Column, alias: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tieBreak)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(alias, max(when(rightPred, ts)).over(w))
+  }
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{CdcApply, EventOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` stream table — the streaming
+  * analytics surface (SURVEY.md §2.2: the reference has *no* watermarks/
+  * windows; these are the ⊕ additions), exercised in batch form so the
+  * DuckDB oracle can verify them. The same expressions run under
+  * `readStream` with a watermark — spec-tested in graft.streaming.
+  */
+object StreamQueries {
+  import Q._
+
+  val queries: Map[String, QueryFn] = Map(
+    // Tumbling 1-hour event-time window: Spark's streaming `window()`
+    // operator (struct start/end), counts + exact sums per window×type.
+    "st01_tumbling_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // Sliding window (1 hour, 30-minute slide): each event lands in two
+    // epoch-aligned windows.
+    "st02_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("n"))
+        .orderBy(col("win_start"))
+    }),
+
+    // Gap sessionization (30-minute inactivity gap): per-session rollup.
+    "st03_sessionize" -> ((s, d) => {
+      EventOps.sessionize(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_id"), gapSeconds = 1800L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // As-of join: for each purchase, the latest signup at-or-before it
+    // for the same user — via running window max, not a range join.
+    "st04_asof_join" -> ((s, d) => {
+      EventOps.asofLatestTs(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("event_type") === "signup", "last_signup_ts")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Semi-structured extraction: JSON props → typed column + agg.
+    "st05_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Streaming-dedup semantics (dropDuplicates on a business key,
+    // keeping the earliest arrival) in its batch-verifiable form.
+    "st06_stream_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Top-N per group over event time: last 3 events per user.
+    "st07_latest_n_per_key" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("rn"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+  )
+
+  private val tsSql = "CAST(ts AS TIMESTAMP)"
+
+  val oracle: Map[String, String] = Map(
+    "st01_tumbling_window" ->
+      s"""SELECT date_trunc('hour', $tsSql) AS win_start, event_type,
+         | COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "st02_sliding_window" ->
+      s"""WITH b AS (
+         |  SELECT TIMESTAMP '1970-01-01 00:00:00'
+         |    + to_seconds(epoch_us($tsSql) // 1800000000 * 1800) AS win_start
+         |  FROM events
+         |  UNION ALL
+         |  SELECT TIMESTAMP '1970-01-01 00:00:00'
+         |    + to_seconds(epoch_us($tsSql) // 1800000000 * 1800 - 1800)
+         |  FROM events)
+         |SELECT win_start, COUNT(*) AS n FROM b
+         |GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "st03_sessionize" ->
+      s"""WITH tagged AS (
+         |  SELECT user_id, $tsSql AS t, event_id,
+         |    CASE WHEN LAG($tsSql) OVER w IS NULL
+         |           OR epoch_us($tsSql) - epoch_us(LAG($tsSql) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $tsSql, event_id)),
+         |sess AS (
+         |  SELECT user_id, t, SUM(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS session_seq
+         |  FROM tagged)
+         |SELECT user_id, session_seq, COUNT(*) AS n_events,
+         |  MIN(t) AS sess_start, MAX(t) AS sess_end
+         |FROM sess GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin,
+    "st04_asof_join" ->
+      s"""SELECT event_id, user_id, ts, last_signup_ts FROM (
+         |  SELECT event_id, user_id, $tsSql AS ts, event_type,
+         |    MAX(CASE WHEN event_type = 'signup' THEN $tsSql END) OVER (
+         |      PARTITION BY user_id ORDER BY $tsSql, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+         |  FROM events) t
+         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "st05_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st06_stream_dedup" ->
+      s"""SELECT user_id, event_type, event_id, $tsSql AS ts FROM (
+         |  SELECT user_id, event_type, event_id, ts, ROW_NUMBER() OVER (
+         |    PARTITION BY user_id, event_type
+         |    ORDER BY $tsSql ASC, event_id ASC) AS rn
+         |  FROM events) t
+         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "st07_latest_n_per_key" ->
+      s"""SELECT user_id, rn, event_id, event_type FROM (
+         |  SELECT user_id, event_id, event_type, ROW_NUMBER() OVER (
+         |    PARTITION BY user_id ORDER BY $tsSql DESC, event_id DESC) AS rn
+         |  FROM events) t
+         |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+  )
+}
