@@ -1,0 +1,122 @@
+package graft.sinks
+
+import graft.operators.CdcApply
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** Schema-evolution diff: symmetric difference between the live table
+  * schema and an incoming DDL schema (reference CDCKudu.java:78-137). */
+object SchemaEvolution {
+  final case class Diff(added: Seq[StructField], dropped: Seq[String]) {
+    def isEmpty: Boolean = added.isEmpty && dropped.isEmpty
+  }
+  def diff(current: StructType, target: StructType): Diff = Diff(
+    added = target.fields.toSeq.filterNot(f => current.fieldNames.contains(f.name)),
+    dropped = current.fieldNames.toSeq.filterNot(target.fieldNames.contains))
+}
+
+/** A PK-addressed mutable target — the surface Kudu/HBase/Bigtable all
+  * reduce to in the reference (create / alter / put-all-columns /
+  * delete-row, reference CDCTableUtil.java:57-96). Implementations must
+  * be idempotent per (key, version): replays are safe, which is what
+  * makes at-least-once delivery correct end-to-end (SURVEY.md §2.2). */
+trait CdcWriter {
+  def createTableIfAbsent(table: String, schema: StructType, pks: Seq[String]): Unit
+  def alterTable(table: String, add: Seq[StructField], drop: Seq[String]): Unit
+  def upsert(table: String, key: String, values: Map[String, String]): Unit
+  def delete(table: String, key: String): Unit
+  def schemaOf(table: String): Option[StructType]
+}
+
+/** In-process writer target: the test/spec stand-in for the external
+  * stores (works in local mode because executors share the JVM; a real
+  * deployment plugs a Kudu/HBase/JDBC-backed CdcWriter in here). */
+class InMemoryStore extends CdcWriter {
+  private val schemas = new ConcurrentHashMap[String, StructType]()
+  private val pks = new ConcurrentHashMap[String, Seq[String]]()
+  private val tables = new ConcurrentHashMap[String, ConcurrentHashMap[String, Map[String, String]]]()
+
+  override def createTableIfAbsent(table: String, schema: StructType, keys: Seq[String]): Unit = {
+    schemas.putIfAbsent(table, schema)
+    pks.putIfAbsent(table, keys)
+    tables.putIfAbsent(table, new ConcurrentHashMap())
+  }
+  override def alterTable(table: String, add: Seq[StructField], drop: Seq[String]): Unit =
+    schemas.computeIfPresent(table, (_, cur) => StructType(
+      cur.fields.filterNot(f => drop.contains(f.name)) ++ add))
+  override def upsert(table: String, key: String, values: Map[String, String]): Unit =
+    tables.get(table).put(key, values)
+  override def delete(table: String, key: String): Unit =
+    tables.get(table).remove(key)
+  override def schemaOf(table: String): Option[StructType] = Option(schemas.get(table))
+
+  def rows(table: String): Map[String, Map[String, String]] =
+    Option(tables.get(table)).map(_.asScala.toMap).getOrElse(Map.empty)
+}
+
+/** Named registry so foreachBatch closures (which serialize) can locate
+  * the store by name inside executors in local mode. */
+object InMemoryStore {
+  private val stores = new ConcurrentHashMap[String, InMemoryStore]()
+  def get(name: String): InMemoryStore =
+    stores.computeIfAbsent(name, _ => new InMemoryStore)
+  def drop(name: String): Unit = stores.remove(name)
+}
+
+/** The sink: applies envelope micro-batches to a [[CdcWriter]].
+  *
+  * Per batch — mirroring the reference's contract but order-safe
+  * (SURVEY.md §7.3 hard part 2): the (tiny) DDL phase runs first on the
+  * driver (create / schema-diff alter, reference flushes-before-alter
+  * CDCKudu.java:361-364); then DML is compacted to the latest change per
+  * (table, row-key) with one window shuffle — making replay order
+  * irrelevant — and applied partition-parallel. */
+object UpsertSink {
+
+  def applyBatch(batch: DataFrame, writerName: String): Unit = {
+    val writer = InMemoryStore.get(writerName)
+    // --- DDL phase (few rows: one per table per batch at most) ---
+    val ddl = batch.filter(col("ddl").isNotNull)
+      .select(col("ddl.table"), col("ddl.schemaJson"))
+      .collect()
+    ddl.foreach { r =>
+      val table = r.getString(0)
+      val target = DataType.fromJson(r.getString(1)).asInstanceOf[StructType]
+      writer.schemaOf(table) match {
+        case None => writer.createTableIfAbsent(table, target, Seq.empty)
+        case Some(cur) =>
+          val d = SchemaEvolution.diff(cur, target)
+          if (!d.isEmpty) writer.alterTable(table, d.added, d.dropped)
+      }
+    }
+    // --- DML phase: compact per (table, rowKey), then apply ---
+    val dml = batch.filter(col("dml").isNotNull).select(
+      col("dml.table").as("table"),
+      col("dml.opType").as("op"),
+      concat_ws(":", sort_array(transform(col("dml.primaryKeys"),
+        k => element_at(col("dml.rowsValues"), k)))).as("row_key"),
+      col("dml.rowsValues").as("values"),
+      col("dml.changeTrackingVersion").cast("long").as("version"))
+    val compacted = CdcApply.latestByKey(dml, Seq("table", "row_key"), col("version"))
+    compacted.foreachPartition { rows: Iterator[Row] =>
+      val w = InMemoryStore.get(writerName)
+      rows.foreach { r =>
+        val (table, op, key) = (r.getString(0), r.getString(1), r.getString(2))
+        if (op == graft.model.OpType.Delete) w.delete(table, key)
+        else w.upsert(table, key, r.getMap[String, String](3).toMap)
+      }
+    }
+  }
+
+  /** Streaming entry: envelope stream → foreachBatch(applyBatch). */
+  def stream(envelope: DataFrame, writerName: String, checkpoint: String): StreamingQuery =
+    envelope.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, _: Long) => applyBatch(b, writerName))
+      .start()
+}

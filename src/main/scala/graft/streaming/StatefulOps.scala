@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.model.Ddl
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Cross-batch stateful operators — the streaming forms of the
+  * reference's two `mapWithState` uses (SURVEY.md §2.2).
+  *
+  * Both are keyed `flatMapGroupsWithState` with NoTimeout (state is
+  * small and unbounded by design: one schema string per table /
+  * fingerprint). Unlike the reference — which funnels everything through
+  * a single constant key, a 1-task barrier (CTSQLServer.java:142-147,
+  * GoldenGateKafka.java:196-237) — these key by table / fingerprint, so
+  * state work parallelizes across executors and scales with the number
+  * of tables, not the stream volume. At scale, back with the RocksDB
+  * state store (config `spark.sql.streaming.stateStore.providerClass`).
+  */
+object StatefulOps {
+
+  /** A DDL event with an explicit ordering version (micro-batch records
+    * carry no intrinsic order inside a group). */
+  case class VersionedDdl(table: String, schemaJson: String, version: Long)
+
+  /** GoldenGate-style wrapper message: either a schema definition
+    * (kind="schema", payload=schema JSON) or a data message
+    * (kind="data", payload=Avro-wrapped row) carrying the fingerprint of
+    * the schema it was written with. */
+  case class GgMessage(kind: String, fingerprint: Long, payload: String, version: Long)
+
+  /** A data message with its schema resolved from registry state
+    * (schemaJson is None if the schema was never seen — the reference
+    * throws here; we surface it as None for the caller to route to a
+    * dead-letter sink). */
+  case class ResolvedData(fingerprint: Long, payload: String, schemaJson: Option[String])
+
+  /** ST1 — DDL dedup: a table's schema passes through only when it
+    * differs from the last schema seen for that table, across batches
+    * (reference CTSQLServer.java:170-201). */
+  def schemaDedup(ddl: Dataset[VersionedDdl]): Dataset[Ddl] = {
+    import ddl.sparkSession.implicits._
+    ddl.groupByKey(_.table)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (table: String, recs: Iterator[VersionedDdl], state: GroupState[String]) => {
+          val out = Seq.newBuilder[Ddl]
+          var last = state.getOption.orNull
+          recs.toSeq.sortBy(_.version).foreach { r =>
+            if (last == null || last != r.schemaJson) {
+              out += Ddl(table, r.schemaJson)
+              last = r.schemaJson
+            }
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+        })
+  }
+
+  /** SRC2a — fingerprint→schema registry: schema messages install state;
+    * data messages resolve against it (reference
+    * GoldenGateKafka.java:196-237). Keyed by fingerprint (not the
+    * reference's single constant key), so distinct schemas resolve in
+    * parallel; schema messages in the same batch as their data sort
+    * first ("data" > "schema" on version tie). */
+  def resolveSchemas(msgs: Dataset[GgMessage]): Dataset[ResolvedData] = {
+    import msgs.sparkSession.implicits._
+    msgs.groupByKey(_.fingerprint)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fp: Long, recs: Iterator[GgMessage], state: GroupState[String]) => {
+          val out = Seq.newBuilder[ResolvedData]
+          var schema = state.getOption
+          recs.toSeq.sortBy(r => (r.version, if (r.kind == "schema") 0 else 1))
+            .foreach { r =>
+            if (r.kind == "schema") schema = Some(r.payload)
+            else out += ResolvedData(fp, r.payload, schema)
+          }
+          schema.foreach(state.update)
+          out.result().iterator
+        })
+  }
+}

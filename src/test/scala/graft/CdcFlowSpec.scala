@@ -1,0 +1,76 @@
+package graft
+
+import graft.model._
+import graft.operators.{CdcApply, ChangeFeed, DmlFlattener}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end golden-record flow: the reference's full I/U/D integration
+  * scenario (CTSQLServerPluginIntegrationTest.java:322-390 feeding the
+  * sink expectations of CDCBigTablePluginIntegrationTest.java:259-316) —
+  * insert rows, update one, delete one, and assert the compacted final
+  * state. */
+class CdcFlowSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private def dml(op: String, version: Long, id: Long, name: String, score: Double) =
+    ChangeRecord.ofDml(Dml(op, "dbo.people", Seq("id"), rowSchema.json,
+      Map("id" -> id.toString, "name" -> name, "score" -> score.toString),
+      version.toString, version * 1000L))
+
+  test("golden I/U/D sequence flattens and compacts to the expected final state") {
+    val changes = Seq(
+      dml(OpType.Insert, 1, 1L, "alice", 10.5),
+      dml(OpType.Insert, 2, 2L, "bob", 20.0),
+      dml(OpType.Insert, 3, 3L, "carol", 30.25),
+      dml(OpType.Update, 4, 1L, "alice2", 11.0),
+      dml(OpType.Delete, 5, 2L, "bob", 20.0))
+    val env = changes.toDS().toDF()
+
+    val flat = DmlFlattener.flatten(env, rowSchema, includeCdcColumns = true)
+    assert(flat.columns.toSeq == Seq("id", "name", "score",
+      DmlFlattener.OpTypeCol, DmlFlattener.VersionCol, DmlFlattener.TimestampCol))
+    assert(flat.count() == 5)
+    assert(flat.schema("score").dataType == DoubleType)
+
+    val finalState = CdcApply.applyChanges(flat, Seq("id"),
+      col(DmlFlattener.OpTypeCol),
+      col(DmlFlattener.VersionCol).cast("long"))
+      .select($"id", $"name", $"score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+    assert(finalState == Set((1L, "alice2", 11.0), (3L, "carol", 30.25)))
+  }
+
+  test("envelope holds exactly one of ddl/dml") {
+    intercept[IllegalArgumentException](ChangeRecord(None, None))
+    intercept[IllegalArgumentException](
+      ChangeRecord(Some(Ddl("t", "{}")),
+        Some(Dml("INSERT", "t", Seq(), "{}", Map(), "1", 0L))))
+  }
+
+  test("op type parsing accepts long and short forms") {
+    assert(OpType.parse("i") == OpType.Insert)
+    assert(OpType.parse("UPDATE") == OpType.Update)
+    assert(OpType.parse("D") == OpType.Delete)
+    intercept[IllegalArgumentException](OpType.parse("X"))
+  }
+
+  test("wrapDml/flatten roundtrip preserves values and DDL-first union ordering holds") {
+    val rows = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+    val env = ChangeFeed.wrapDml(rows, "dbo.t", Seq("id"),
+      lit("INSERT"), lit(1L), lit(0L))
+    val ddl = ChangeFeed.wrapDdl(spark, "dbo.t", rows.schema)
+    val batch = ChangeFeed.unionDdlFirst(ddl, env).collect()
+    assert(batch.head.getAs[Any]("ddl") != null)
+    assert(batch.drop(1).forall(_.getAs[Any]("dml") != null))
+
+    val back = DmlFlattener.flatten(env, rows.schema)
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "x"), (2L, "y")))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity operators against the fixture data: LSH must
+  * reproduce the brute-force ground truth; multimodal plumbing must be
+  * deterministic end-to-end. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("minhash LSH near-dups == brute-force ground truth at threshold 0.8") {
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 32, 16, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == brute)
+  }
+
+  test("simhash of near-dup pairs is close in hamming distance") {
+    val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dists = pairs.map { case (a, b) => hamming(fp(a), fp(b)) }
+    assert(dists.forall(_ <= 8),
+      s"near-dup simhashes should be close, got ${dists.mkString(",")}")
+  }
+
+  test("brute-force knn is deterministic and self-consistent with bucketed ANN") {
+    val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" < 3), emb, 5)
+    val rows = brute.collect()
+    assert(rows.length == 15) // 3 queries × k=5
+    val bucketed = Similarity.bucketedTopK(emb.filter($"vec_id" < 3), emb, 5, bits = 4)
+    // every bucketed neighbor's cosine must be ≤ the brute-force best
+    val bestByQuery = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getDouble(3)).max).toMap
+    bucketed.collect().foreach { r =>
+      assert(r.getDouble(4) <= bestByQuery(r.getLong(0)) + 1e-12)
+    }
+  }
+
+  test("multimodal payload plumbing: stable schema, deterministic stub features") {
+    val media = Multimodal.attachPayload(docs, "doc_id", "text", "text/plain")
+    assert(media.schema == Multimodal.mediaType)
+    val f1 = Multimodal.extractFeatures(media, dim = 8)
+      .collect().map(m => m.media_id -> m.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(media.repartition(7), dim = 8)
+      .collect().map(m => m.media_id -> m.features.toSeq).toMap
+    assert(f1 == f2, "features must not depend on partitioning")
+    assert(f1.values.forall(v => v.length == 8 && v.forall(x => x >= 0f && x < 1f)))
+  }
+}

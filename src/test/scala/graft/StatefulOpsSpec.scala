@@ -1,0 +1,65 @@
+package graft
+
+import graft.model.Ddl
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{GgMessage, VersionedDdl}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Cross-batch state semantics on MemoryStream: the ST1 schema dedup and
+  * the SRC2a fingerprint registry (reference mapWithState behaviors). */
+class StatefulOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def runBatches[T](q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+  }
+
+  test("schemaDedup suppresses unchanged schemas across batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[VersionedDdl]
+    val out = StatefulOps.schemaDedup(in.toDS())
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", checkpointDir("dedup"))
+      .outputMode("append").start()
+
+    // batch 1: A@s1, dup A@s1 in-batch, B@s1
+    in.addData(VersionedDdl("A", "s1", 1), VersionedDdl("A", "s1", 2),
+      VersionedDdl("B", "s1", 3))
+    q.processAllAvailable()
+    // batch 2: A@s1 again (dup across batches), then A@s2 (real change)
+    in.addData(VersionedDdl("A", "s1", 4), VersionedDdl("A", "s2", 5))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_out").as[Ddl].collect().toSet
+    assert(got == Set(Ddl("A", "s1"), Ddl("B", "s1"), Ddl("A", "s2")))
+  }
+
+  test("resolveSchemas joins data messages with registry state, in and across batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[GgMessage]
+    val out = StatefulOps.resolveSchemas(in.toDS())
+    val q = out.writeStream.format("memory").queryName("registry_out")
+      .option("checkpointLocation", checkpointDir("registry"))
+      .outputMode("append").start()
+
+    // batch 1: schema for fp=7 arrives with its data in the same batch
+    in.addData(GgMessage("schema", 7L, "sch7", 1),
+      GgMessage("data", 7L, "row-a", 2))
+    q.processAllAvailable()
+    // batch 2: more fp=7 data (state carried over) + unknown fp=9 data
+    in.addData(GgMessage("data", 7L, "row-b", 3),
+      GgMessage("data", 9L, "row-c", 4))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("registry_out")
+      .as[StatefulOps.ResolvedData].collect()
+      .map(r => (r.payload, r.schemaJson)).toSet
+    assert(got == Set(
+      ("row-a", Some("sch7")),
+      ("row-b", Some("sch7")),
+      ("row-c", None)))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.model._
+import graft.sinks.{InMemoryStore, SchemaEvolution, UpsertSink}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+
+/** Streaming upsert sink: DDL-create, I/U/D application with per-batch
+  * compaction, schema evolution mid-stream (the reference sink suite's
+  * scenarios: create table / insert / update overwrites / delete removes,
+  * CDCBigTablePluginIntegrationTest.java:119-316). */
+class UpsertSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val s1 = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+  private val s2 = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType),
+    StructField("extra", StringType)))
+
+  private def ddl(schema: StructType) =
+    ChangeRecord.ofDdl(Ddl("dbo.t", schema.json))
+  private def dml(op: String, version: Long, id: Long, values: (String, String)*) =
+    ChangeRecord.ofDml(Dml(op, "dbo.t", Seq("id"),
+      s1.json, Map("id" -> id.toString) ++ values.toMap, version.toString, 0L))
+
+  test("streaming I/U/D with mid-stream schema evolution converges to expected store state") {
+    val store = "upsert-spec"
+    InMemoryStore.drop(store)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ChangeRecord]
+    val q = UpsertSink.stream(in.toDF(), store, checkpointDir("upsert"))
+
+    // batch 1: create + 2 inserts + same-batch update of row 1 (compaction
+    // must keep only the latest change per key)
+    in.addData(ddl(s1),
+      dml(OpType.Insert, 1, 1L, "v" -> "a"),
+      dml(OpType.Insert, 2, 2L, "v" -> "b"),
+      dml(OpType.Update, 3, 1L, "v" -> "a2"))
+    q.processAllAvailable()
+
+    val st = InMemoryStore.get(store)
+    assert(st.rows("dbo.t")("1")("v") == "a2")
+    assert(st.rows("dbo.t")("2")("v") == "b")
+
+    // batch 2: schema evolves (adds column), delete row 2, insert row 3
+    in.addData(ddl(s2),
+      dml(OpType.Delete, 4, 2L, "v" -> "b"),
+      dml(OpType.Insert, 5, 3L, "v" -> "c", "extra" -> "x"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(st.schemaOf("dbo.t").get.fieldNames.contains("extra"))
+    assert(st.rows("dbo.t").keySet == Set("1", "3"))
+    assert(st.rows("dbo.t")("3")("extra") == "x")
+  }
+
+  test("schema diff is the symmetric difference") {
+    val d = SchemaEvolution.diff(s1, s2)
+    assert(d.added.map(_.name) == Seq("extra") && d.dropped.isEmpty)
+    val d2 = SchemaEvolution.diff(s2, s1)
+    assert(d2.dropped == Seq("extra") && d2.added.isEmpty)
+    assert(SchemaEvolution.diff(s1, s1).isEmpty)
+  }
+}
