@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DSv2 micro-batch source for a change-tracking feed — the Spark-native
+  * re-design of the reference's CTInputDStream
+  * (reference: source/sqlserver/CTInputDStream.java:100-179).
+  *
+  * What the DStream did imperatively, the DSv2 contract does declaratively:
+  *  - offset/admission control: `cur = min(currentVersion, prev + maxBatchSize)`
+  *    (CTInputDStream.java:113-122) becomes `SupportsAdmissionControl
+  *    .latestOffset(start, ReadLimit)` — and offsets are CHECKPOINTED by
+  *    Structured Streaming, fixing the reference's restart-loses-offset
+  *    bug (volatile `trackingOffset`, CTInputDStream.java:58).
+  *  - parallelism: the reference reads one JDBC partition (admitted TODO,
+  *    CTInputDStream.java:166-167); here `planInputPartitions` splits the
+  *    key space into `numPartitions` hash ranges read concurrently.
+  *  - the CHANGETABLE range predicate stays pushed down into the store
+  *    scan (the simulator's `changes(prev, cur, part, n)`; a JDBC-backed
+  *    store composes the same SQL the reference builds,
+  *    CTInputDStream.java:149-158).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format(classOf[ChangeFeedProvider].getName)
+  *     .option("store", "my-feed").option("maxBatchSize", "100")
+  *     .option("numPartitions", "4").load()
+  * }}}
+  */
+class ChangeFeedProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeFeedSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ChangeFeedTable(properties.asScala.toMap)
+}
+
+object ChangeFeedSource {
+  val schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("key", LongType, nullable = false),
+    StructField("payload", StringType, nullable = true)))
+}
+
+private[sources] class ChangeFeedTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"change_feed(${props.getOrElse("store", "?")})"
+  override def schema(): StructType = ChangeFeedSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new ChangeFeedScan(
+      options.get("store"),
+      Option(options.get("maxBatchSize")).map(_.toLong).getOrElse(100000L),
+      Option(options.get("numPartitions")).map(_.toInt).getOrElse(4))
+}
+
+private[sources] class ChangeFeedScan(store: String, maxBatchSize: Long,
+                                      numPartitions: Int) extends Scan {
+  override def readSchema(): StructType = ChangeFeedSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChangeFeedMicroBatchStream(store, maxBatchSize, numPartitions)
+}
+
+/** Offset = the change-tracking version high-water mark. */
+private[sources] case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[sources] class ChangeFeedMicroBatchStream(
+    store: String, maxBatchSize: Long, numPartitions: Int)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow target: pinned at query start so the drain has a
+  // stable end even while writers keep appending.
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def initialOffset(): Offset = VersionOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxBatchSize)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(ChangeTrackingStore.get(store).currentVersion)
+
+  override def reportLatestOffset(): Offset =
+    VersionOffset(ChangeTrackingStore.get(store).currentVersion)
+
+  /** cur = min(currentVersion, prev + maxBatchSize) — SRC1c. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val prev = start.asInstanceOf[VersionOffset].version
+    val live = availableNowTarget
+      .getOrElse(ChangeTrackingStore.get(store).currentVersion)
+    val cap = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => maxBatchSize
+    }
+    VersionOffset(math.min(live, prev + cap))
+  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (lo, hi) = (start.asInstanceOf[VersionOffset].version,
+      end.asInstanceOf[VersionOffset].version)
+    Array.tabulate[InputPartition](numPartitions)(p =>
+      ChangeFeedPartition(store, lo, hi, p, numPartitions))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[ChangeFeedPartition]
+      new ChangeFeedPartitionReader(p)
+    }
+
+  override def commit(end: Offset): Unit = () // source-side state is the log itself
+  override def stop(): Unit = ()
+}
+
+private[sources] case class ChangeFeedPartition(
+    store: String, prev: Long, cur: Long, part: Int, nParts: Int)
+  extends InputPartition
+
+private[sources] class ChangeFeedPartitionReader(p: ChangeFeedPartition)
+    extends PartitionReader[InternalRow] {
+  // Pushed-down range + key-hash scan (one store call per partition).
+  private val it = ChangeTrackingStore.get(p.store)
+    .changes(p.prev, p.cur, p.part, p.nParts).iterator
+  private var cur: ChangeTrackingStore#Change = _
+
+  override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
+  override def get(): InternalRow = InternalRow(
+    cur.version, UTF8String.fromString(cur.op), cur.key,
+    if (cur.payload == null) null else UTF8String.fromString(cur.payload))
+  override def close(): Unit = ()
+}

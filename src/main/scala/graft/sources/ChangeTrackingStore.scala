@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
+
+/** In-JVM simulator of a change-tracking-enabled source database — the
+  * test double for SQL Server Change Tracking (FIXTURES.md / SURVEY.md §5:
+  * the CT polling logic is tested against a simulator, not a live
+  * server). One instance models one CT-enabled table: an append-only log
+  * of (version, op, key, payload) where version is the monotonically
+  * increasing change-tracking version (SYS_CHANGE_VERSION).
+  */
+final class ChangeTrackingStore {
+  final case class Change(version: Long, op: String, key: Long, payload: String)
+
+  private val log = new ConcurrentHashMap[Long, Change]()
+  private val version = new AtomicLong(0L)
+
+  /** Record a change; returns its assigned version. */
+  def append(op: String, key: Long, payload: String): Long = {
+    val v = version.incrementAndGet()
+    log.put(v, Change(v, op, key, payload))
+    v
+  }
+
+  /** The current change-tracking version (CHANGE_TRACKING_CURRENT_VERSION). */
+  def currentVersion: Long = version.get()
+
+  /** Changes with version in (prevVersion, curVersion], restricted to the
+    * keys hashing to `part` of `nParts` — the per-partition scan of the
+    * DSv2 reader (fixes the reference's 1-partition JDBC read,
+    * CTInputDStream.java:166-167). */
+  def changes(prevVersion: Long, curVersion: Long, part: Int, nParts: Int): Seq[Change] =
+    log.values().asScala.iterator
+      .filter(c => c.version > prevVersion && c.version <= curVersion &&
+        math.floorMod(c.key, nParts.toLong) == part.toLong)
+      .toSeq.sortBy(_.version)
+}
+
+object ChangeTrackingStore {
+  private val stores = new ConcurrentHashMap[String, ChangeTrackingStore]()
+  def get(name: String): ChangeTrackingStore =
+    stores.computeIfAbsent(name, _ => new ChangeTrackingStore)
+  def drop(name: String): Unit = stores.remove(name)
+}
