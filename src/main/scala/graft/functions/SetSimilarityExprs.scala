@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the dedup hot path. Semantically
+  * identical to their builtin formulations (spec-cross-checked), but one
+  * primitive-array pass instead of per-element interpreted lambdas —
+  * these run millions of times per near-dup query, where boxing and
+  * generic array ops dominate.
+  */
+
+/** Exact Jaccard |a∩b| / |a∪b| of two DISTINCT long arrays (sets) —
+  * equals size(array_intersect(a,b)) / size(array_union(a,b)) for
+  * deduplicated inputs. Sort-merge on primitive arrays, zero boxing. */
+case class SetJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    java.util.Arrays.sort(a); java.util.Arrays.sort(b)
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "set_jaccard"
+}
+
+/** MinHash signature: sig[j] = min over the hash set of
+  * ((2j+1)*h + 7j+3) mod 2^31-1, j = 0..k-1. Equals the
+  * transform/array_min formulation in [[TextFunctions.minhashSignature]]
+  * (same arithmetic), evaluated as k tight loops over one primitive
+  * array. */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = j * 2 + 1; val b = j * 7 + 3
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = (a * hs(i) + b) % TextFunctions.HashMod
+        if (v < m) m = v
+        i += 1
+      }
+      sig(j) = if (hs.isEmpty) 0L else m
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}

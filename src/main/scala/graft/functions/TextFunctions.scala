@@ -27,8 +27,17 @@ object TextFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Portable polynomial string hash:
-    * fold over codepoints, h ← (h*31 + code) mod (2^31-1). */
+    * fold over codepoints, h ← (h*31 + code) mod (2^31-1).
+    * Backed by the native [[PortableHashExpr]] (codegen'd single-pass
+    * loop); `portableHashHof` is the pure-builtins formulation kept for
+    * cross-checking the two implementations in specs. */
   def portableHash(s: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      PortableHashExpr(org.apache.spark.sql.graftbridge.ColumnBridge.expression(s)))
+
+  /** Higher-order-function formulation of [[portableHash]] — identical
+    * values, no custom expression (reference implementation). */
+  def portableHashHof(s: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
       lit(0L),
@@ -46,8 +55,15 @@ object TextFunctions {
     array_distinct(transform(shingles(tokens(text), n), portableHash _))
 
   /** MinHash signature: k permutations h_j(x) = ((2j+1)x + 7j+3) mod p,
-    * signature[j] = min over the shingle-hash set. */
-  def minhashSignature(hashes: Column, k: Int): Column =
+    * signature[j] = min over the shingle-hash set. Native expression;
+    * [[minhashSignatureHof]] is the builtins cross-check. */
+  def minhashSignature(hashes: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(MinHashSigExpr(expression(hashes), k))
+  }
+
+  /** Higher-order-function formulation of [[minhashSignature]]. */
+  def minhashSignatureHof(hashes: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), j =>
       array_min(transform(hashes, h => ((j * 2 + 1) * h + (j * 7 + 3)) % HashMod)))
 
@@ -72,7 +88,15 @@ object TextFunctions {
           pow(lit(2.0), b).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
 
-  /** Exact Jaccard similarity of two pre-deduplicated sets. */
-  def jaccard(a: Column, b: Column): Column =
+  /** Exact Jaccard similarity of two pre-deduplicated long-hash sets.
+    * Native sort-merge expression; [[jaccardHof]] is the builtins
+    * cross-check (identical for distinct inputs). */
+  def jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(SetJaccardExpr(expression(a), expression(b)))
+  }
+
+  /** Builtins formulation of [[jaccard]] (any element type). */
+  def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 }

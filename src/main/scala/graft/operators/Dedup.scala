@@ -37,13 +37,25 @@ object Dedup {
     * @return (id_a, id_b, jaccard) with id_a < id_b
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+                      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sh = df.select(col(idCol).as("id"),
+    // The repartitions are deliberate materialization barriers. Catalyst
+    // collapses adjacent projections, and interpreted higher-order
+    // expressions get no common-subexpression elimination — so without a
+    // barrier the shingle-hash expression is inlined and recomputed
+    // inside all k permutation lambdas, and the signature inside all
+    // `bands` band hashes: O(k × |shingles| × |shingle|) per doc instead
+    // of O(k × |shingles| + |shingles| × |shingle|). Two narrow shuffles
+    // of (id, hashes[, sig]) are far cheaper at any scale (and at 100 TB
+    // the first doubles as the candidate-join pre-partitioning).
+    val hashed = df.select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleN).as("hashes"))
+      .repartition(col("id"))
+    val sh = hashed
       .withColumn("sig", minhashSignature(col("hashes"), k))
+      .repartition(col("id"))
     // One row per (doc, band) with the band's bucket hash; join key is
     // (band, bucket) — a plain shuffled equi-join at any scale.
     val banded = sh.select(col("id"),
@@ -59,7 +71,7 @@ object Dedup {
     // Verify candidates with exact Jaccard: re-attach shingle sets by id
     // (two broadcast-or-shuffle hash joins on id, not carried through the
     // LSH explode).
-    val sets = sh.select(col("id"), col("hashes"))
+    val sets = hashed.select(col("id"), col("hashes"))
     cand
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("hashes", "h_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("hashes", "h_b"), "id_b")
@@ -69,7 +81,8 @@ object Dedup {
   }
 
   /** Exact all-pairs n-gram Jaccard above a threshold — the oracle-exact
-    * form. Quadratic in documents; use [[minhashNearDups]] at scale. */
+    * form. Quadratic in documents; use [[minhashNearDups]] or
+    * [[blockedJaccardPairs]] at scale. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
@@ -78,6 +91,35 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("a.hashes"), col("b.hashes")))
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+  }
+
+  /** Length-blocked n-gram Jaccard pairs: candidates restricted to
+    * documents whose `lenCol` falls in the same or adjacent
+    * `bucketWidth`-sized bucket (guaranteeing every pair within
+    * `bucketWidth` length difference is considered — high-Jaccard pairs
+    * are necessarily close in length). Left side explodes to 3 bucket
+    * keys, right keeps 1, so each pair matches exactly once and the join
+    * is a plain shuffled equi-join — the quadratic [[ngramJaccardPairs]]
+    * made scale-safe with an oracle-expressible predicate. */
+  def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          lenCol: String, shingleN: Int = 3,
+                          threshold: Double = 0.5, bucketWidth: Int = 32): DataFrame = {
+    // Materialization barrier: without it the shingle-hash expression is
+    // collapsed into both join sides' projections and recomputed (see
+    // minhashNearDups).
+    val sh = df.select(col(idCol).as("id"),
+      (col(lenCol) / bucketWidth).cast("long").as("bucket"),
+      shingleHashes(col(textCol), shingleN).as("hashes"))
+      .repartition(col("id"))
+    val left = sh.select(col("id").as("id_a"), col("hashes").as("h_a"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("jb"))
+    val right = sh.select(col("id").as("id_b"), col("hashes").as("h_b"),
+      col("bucket").as("jb"))
+    left.join(right, Seq("jb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("h_a"), col("h_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** SimHash fingerprint per document (over whitespace-token hashes). */

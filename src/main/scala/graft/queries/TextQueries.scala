@@ -29,13 +29,13 @@ object TextQueries {
   /** CTE producing doc_id + distinct 3-shingle hash set per document. */
   private val shingleHashCte =
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |  SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents),
        |sh AS (
-       |  SELECT doc_id, [t[i] || '_' || t[i+1] || '_' || t[i+2]
+       |  SELECT doc_id, n_chars, [t[i] || '_' || t[i+1] || '_' || t[i+2]
        |                  for i in range(1, len(t) - 1)] AS shingles
        |  FROM toks),
        |hs AS (
-       |  SELECT doc_id, list_distinct(list_transform(shingles,
+       |  SELECT doc_id, n_chars, list_distinct(list_transform(shingles,
        |    s -> ${hashSql("s")})) AS hashes
        |  FROM sh)""".stripMargin
 
@@ -89,23 +89,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Exact all-pairs 3-gram Jaccard near-dups (threshold in the data's
-    // verified gap: planted dups ≥0.85, background ≤0.15). Quadratic —
-    // the oracle-exact baseline; ns05 is the scale path.
+    // Exact 3-gram Jaccard near-dups (threshold in the data's verified
+    // gap: planted dups ≥0.85, background ≤0.15), length-bucket blocked:
+    // candidates restricted to same/adjacent 32-char buckets, which turns
+    // the quadratic cross join into a shuffled equi-join (the oracle
+    // states the identical bucket predicate).
     "ns04_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        shingleN = 3, threshold = 0.5)
+      Dedup.blockedJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        lenCol = "n_chars", shingleN = 3, threshold = 0.5, bucketWidth = 32)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // MinHash(32) + 16-band LSH candidates, exact-Jaccard verified at
-    // 0.8. Oracle is brute force at the same threshold: with the data's
-    // similarity gap and 16 bands × 2 rows, the LSH miss probability at
-    // j≥0.85 is < 1e-7, so candidate-set ∩ threshold == brute force.
-    // All joins are equi-joins on (band, bucket) / id — no cross join.
+    // MinHash(64) + 16-band×4-row LSH candidates, exact-Jaccard verified
+    // at 0.8. Oracle is brute force at the same threshold: with the
+    // data's similarity gap, the per-pair LSH miss probability at j≥0.85
+    // is < 1e-4 and at the planted j≈0.99 astronomically small, so
+    // candidate-set ∩ threshold == brute force. r=4 rows per band keeps
+    // buckets tiny even with a small shared vocabulary (r=2 degenerates
+    // into quadratic buckets). All joins are equi-joins — no cross join.
     "ns05_minhash_lsh" -> ((s, d) => {
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-        shingleN = 3, k = 32, bands = 16, threshold = 0.8)
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -177,7 +181,8 @@ object TextQueries {
       s"""$shingleHashCte
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
          |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-         |WHERE $jaccardSql >= 0.5
+         |WHERE (b.n_chars // 32) - (a.n_chars // 32) BETWEEN -1 AND 1
+         |  AND $jaccardSql >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "ns05_minhash_lsh" ->
       s"""$shingleHashCte

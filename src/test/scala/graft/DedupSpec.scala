@@ -15,7 +15,7 @@ class DedupSpec extends SparkSuite {
   test("minhash LSH near-dups == brute-force ground truth at threshold 0.8") {
     val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 32, 16, 0.8)
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(brute.nonEmpty, "fixture should contain planted near-dups")
     assert(lsh == brute)

@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** The native PortableHashExpr must agree exactly with the pure-builtins
+  * higher-order formulation (and therefore with the DuckDB oracle). */
+class TextFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("native portable hash == HOF portable hash on fixture texts") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val diff = docs.select(
+      TextFunctions.portableHash($"text").as("native"),
+      TextFunctions.portableHashHof($"text").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+    // and on edge cases incl. empty + non-ascii (codepoint semantics)
+    val edge = Seq("", "a", "hello world", "café", "你好").toDF("t")
+    val rows = edge.select(TextFunctions.portableHash($"t").as("n"),
+      TextFunctions.portableHashHof($"t").as("h")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("native minhash signature == HOF signature on fixture shingle sets") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val hs = docs.select($"doc_id",
+      TextFunctions.shingleHashes($"text", 3).as("h")).repartition($"doc_id")
+    val diff = hs.select(
+      TextFunctions.minhashSignature($"h", 16).as("native"),
+      TextFunctions.minhashSignatureHof($"h", 16).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+  }
+
+  test("native set jaccard == builtins jaccard on fixture pairs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"doc_id" < 40)
+    val hs = docs.select($"doc_id".as("id"),
+      TextFunctions.shingleHashes($"text", 3).as("h")).repartition($"id")
+    val pairs = hs.as("a").join(hs.as("b"), $"a.id" < $"b.id")
+    val diff = pairs.select(
+      TextFunctions.jaccard($"a.h", $"b.h").as("native"),
+      TextFunctions.jaccardHof($"a.h", $"b.h").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+  }
+}
