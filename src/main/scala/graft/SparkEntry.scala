@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.CdcQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
-      graft.queries.StreamQueries.queries
+      graft.queries.StreamQueries.queries ++
+      graft.queries.ApiQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.CdcQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.VectorQueries.oracle ++
-      graft.queries.StreamQueries.oracle
+      graft.queries.StreamQueries.oracle ++
+      graft.queries.ApiQueries.oracle
 }

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Aggregators
+import org.apache.spark.sql.functions._
+
+/** API-surface queries: the typed Dataset/Aggregator tier, the SQL entry
+  * point, and the sketch tier (SURVEY.md §2.3 "UDF/UDAF/UDTF surface").
+  */
+object ApiQueries {
+  import Q._
+
+  val queries: Map[String, QueryFn] = Map(
+    // Custom typed Aggregator[IN, BUF, OUT] (UDAF surface) with exact
+    // integer-cent arithmetic — partial+final merge like any Catalyst
+    // agg, and oracle-verifiable with zero tolerance.
+    "q21_custom_aggregator" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(Aggregators.priceStats.toColumn)
+        .map { case (k, (avg, mx, n)) => (k, avg, mx, n) }
+        .toDF("o_custkey", "avg_price", "max_price", "n_orders")
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Sketch tier: HLL approximate distinct (no oracle — DuckDB's HLL
+    // differs by construction; the driver records a rows-only check, and
+    // the exact counterpart is q07).
+    "q22_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // SQL entry point: the same engine surface via spark.sql over
+    // registered views (TPC-H Q4 shape: EXISTS subquery -> semi join).
+    "q23_sql_api" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_v o
+        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q21_custom_aggregator" ->
+      """SELECT o_custkey,
+        | (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+        |   / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+        | CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |   AS max_price,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // q22_approx_distinct: deliberately no oracle (sketch).
+    "q23_sql_api" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+  )
+}

@@ -49,10 +49,13 @@ class InMemoryStore extends CdcWriter {
   override def alterTable(table: String, add: Seq[StructField], drop: Seq[String]): Unit =
     schemas.computeIfPresent(table, (_, cur) => StructType(
       cur.fields.filterNot(f => drop.contains(f.name)) ++ add))
+  // DML auto-creates the table on first touch — create-if-absent is the
+  // reference sink behavior (CDCTableUtil.java:57-64); a DDL record later
+  // fills in the schema.
   override def upsert(table: String, key: String, values: Map[String, String]): Unit =
-    tables.get(table).put(key, values)
+    tables.computeIfAbsent(table, _ => new ConcurrentHashMap()).put(key, values)
   override def delete(table: String, key: String): Unit =
-    tables.get(table).remove(key)
+    tables.computeIfAbsent(table, _ => new ConcurrentHashMap()).remove(key)
   override def schemaOf(table: String): Option[StructType] = Option(schemas.get(table))
 
   def rows(table: String): Map[String, Map[String, String]] =
