@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Aggregators
+import graft.operators.Skew
 import org.apache.spark.sql.functions._
 
 /** API-surface queries: the typed Dataset/Aggregator tier, the SQL entry
@@ -49,6 +50,17 @@ object ApiQueries {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")
     }),
+    // Salted skew join: result must equal the plain equi-join (the
+    // oracle) while spreading each orderkey over 8 shuffle partitions.
+    "q24_skew_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, o, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumd2(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -68,5 +80,10 @@ object ApiQueries {
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q24_skew_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }
