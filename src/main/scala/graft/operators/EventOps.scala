@@ -28,6 +28,34 @@ object EventOps {
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Bucketized range join: right rows of the same key with timestamp in
+    * the half-open window (leftTs - windowMicros, leftTs). A naive range
+    * condition plans as a broadcast-nested-loop join; bucketizing the
+    * time axis turns it into a shuffled equi-join on (key, bucket) — the
+    * left side explodes to the two buckets its window can span, the
+    * right keeps one, so each qualifying pair matches exactly once and
+    * the exact range predicate filters the bucket-adjacent false
+    * positives. Inner-join semantics.
+    *
+    * @return left row + right row columns (right's renamed via `rPrefix`)
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                leftTsCol: String, rightTsCol: String,
+                windowMicros: Long): DataFrame = {
+    require(left.columns.toSet.intersect(right.columns.toSet) == Set(key),
+      s"left/right columns must be disjoint apart from '$key' (alias before joining)")
+    val l = left.withColumn("__lts", unix_micros(col(leftTsCol)))
+      .withColumn("__b", explode(array(
+        expr(s"__lts DIV $windowMicros"),
+        expr(s"(__lts DIV $windowMicros) - 1"))))
+    val r = right.withColumn("__rts", unix_micros(col(rightTsCol)))
+      .withColumn("__b", expr(s"__rts DIV $windowMicros"))
+    l.join(r, Seq(key, "__b"))
+      .filter(col("__rts") >= col("__lts") - windowMicros &&
+        col("__rts") < col("__lts"))
+      .drop("__b", "__lts", "__rts")
+  }
+
   /** As-of join (latest right-side value at or before each left row),
     * realized as a running windowed max over the unioned stream: for each
     * row, `asof_<valueAlias>` = the most recent `rightTs` where `rightPred`

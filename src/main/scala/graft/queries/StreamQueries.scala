@@ -80,6 +80,23 @@ object StreamQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Range join, bucketized: clicks within the hour before each
+    // purchase, per user — an equi-join on (user, time-bucket) with
+    // exact range filtering, never a nested-loop range join. Inner
+    // semantics: purchases with zero preceding clicks don't appear.
+    "st08_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      graft.operators.EventOps.rangeJoin(purchases, clicks, "user_id",
+        "p_ts", "c_ts", windowMicros = 3600000000L)
+        .groupBy(col("p_id"))
+        .agg(count(lit(1)).as("n_clicks"), max(col("c_id")).as("last_click_id"))
+        .orderBy(col("p_id"))
+    }),
+
     // Top-N per group over event time: last 3 events per user.
     "st07_latest_n_per_key" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -148,6 +165,16 @@ object StreamQueries {
          |    ORDER BY $tsSql ASC, event_id ASC) AS rn
          |  FROM events) t
          |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "st08_range_join" ->
+      s"""SELECT p.event_id AS p_id, COUNT(*) AS n_clicks,
+         | MAX(c.event_id) AS last_click_id
+         |FROM events p JOIN events c
+         |  ON c.user_id = p.user_id
+         | AND c.event_type = 'click'
+         | AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 3600000000
+         | AND epoch_us(CAST(c.ts AS TIMESTAMP)) < epoch_us(CAST(p.ts AS TIMESTAMP))
+         |WHERE p.event_type = 'purchase'
+         |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
     "st07_latest_n_per_key" ->
       s"""SELECT user_id, rn, event_id, event_type FROM (
          |  SELECT user_id, event_id, event_type, ROW_NUMBER() OVER (

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Watermarked event-time windowed aggregation (SURVEY.md §2.2: the
+  * reference has no watermarks/windows — this is the ⊕ streaming
+  * surface): append-mode emission only after the watermark passes a
+  * window, and late data beyond the watermark is dropped. */
+class StreamingWindowSpec extends SparkSuite {
+  import spark.implicits._
+
+  case class Ev(ts: java.sql.Timestamp, user: Long, v: Double)
+  private def ev(minute: Int, user: Long, v: Double) =
+    Ev(java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, v)
+
+  test("watermarked tumbling window emits closed windows and drops late data") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum($"v".cast("decimal(18,2)")).cast("double").as("total"))
+      .select($"w.start".as("start"), $"n", $"total")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .option("checkpointLocation", checkpointDir("wm"))
+      .outputMode("append").start()
+
+    // window [10:00,10:10): two events; then advance event time past
+    // 10:10 + 5min watermark so the first window closes
+    in.addData(ev(1, 1, 1.0), ev(9, 2, 2.0))
+    q.processAllAvailable()
+    in.addData(ev(16, 1, 4.0)) // watermark -> 10:11, closes [10:00,10:10)
+    q.processAllAvailable()
+    val afterClose = spark.table("win_out").collect()
+    assert(afterClose.length == 1)
+    assert(afterClose.head.getLong(1) == 2 && afterClose.head.getDouble(2) == 3.0)
+
+    // a late event for the closed window (event time 10:05 < watermark)
+    // must be dropped, not re-open the window
+    in.addData(ev(5, 3, 100.0))
+    q.processAllAvailable()
+    // advance far enough to close [10:10,10:20) as well
+    in.addData(ev(40, 1, 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val all = spark.table("win_out").collect().map(r =>
+      (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    assert(all == Set(
+      ("2024-01-01 10:00:00.0", 2L, 3.0),   // late 100.0 NOT included
+      ("2024-01-01 10:10:00.0", 1L, 4.0)))
+  }
+}
