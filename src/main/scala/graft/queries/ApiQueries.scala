@@ -50,6 +50,18 @@ object ApiQueries {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")
     }),
+    // Custom TypedImperativeAggregate (imperative buffer serialized
+    // between partial/final stages — the sketch integration surface),
+    // kept exact so the oracle is plain COUNT(DISTINCT).
+    "q25_typed_imperative_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.ExactDistinctLong.distinctCount(col("l_partkey"))
+          .as("n_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Salted skew join: result must equal the plain equi-join (the
     // oracle) while spreading each orderkey over 8 shuffle partitions.
     "q24_skew_salted_join" -> ((s, d) => {
@@ -80,6 +92,10 @@ object ApiQueries {
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q25_typed_imperative_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q24_skew_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -59,11 +59,21 @@ private[sources] class ChangeFeedTable(props: Map[String, String])
   override def schema(): StructType = ChangeFeedSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new ChangeFeedScan(
-      options.get("store"),
-      Option(options.get("maxBatchSize")).map(_.toLong).getOrElse(100000L),
-      Option(options.get("numPartitions")).map(_.toInt).getOrElse(4))
+  /** Per-field option validation (the V1 config-validation surface;
+    * reference CTSQLServerConfig.java:173-197 style: name the offending
+    * property). Defaults mirror the reference: maxBatchSize 100000
+    * (CTSQLServerConfig.java:116). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val store = options.get("store")
+    require(store != null && store.nonEmpty, "option 'store' is required")
+    val maxBatchSize =
+      Option(options.get("maxBatchSize")).map(_.toLong).getOrElse(100000L)
+    require(maxBatchSize > 0, s"option 'maxBatchSize' must be > 0, got $maxBatchSize")
+    val numPartitions =
+      Option(options.get("numPartitions")).map(_.toInt).getOrElse(4)
+    require(numPartitions > 0, s"option 'numPartitions' must be > 0, got $numPartitions")
+    () => new ChangeFeedScan(store, maxBatchSize, numPartitions)
+  }
 }
 
 private[sources] class ChangeFeedScan(store: String, maxBatchSize: Long,
