@@ -73,6 +73,32 @@ object ApiQueries {
         .agg(count(lit(1)).as("n"), sumd2(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderpriority"))
     }),
+    // Deterministic collection aggregation (collect_set sorted+joined —
+    // the LISTAGG surface, made order-stable on both engines).
+    "q26_collect_agg" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Exact lower-median per group via rank arithmetic (no engine
+    // median() — interpolation rules differ; the element itself is
+    // engine-independent).
+    "q27_exact_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wc = Window.partitionBy(col("c_mktsegment"))
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+        .select(col("c_mktsegment"), col("c_acctbal").as("lower_median"))
+        .orderBy(col("c_mktsegment"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -101,5 +127,19 @@ object ApiQueries {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q26_collect_agg" ->
+      """SELECT o_orderpriority,
+        | array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q27_exact_median" ->
+      """SELECT c_mktsegment, c_acctbal AS lower_median FROM (
+        |  SELECT c_mktsegment, c_acctbal, c_custkey,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM customer) t
+        |WHERE rn = (cnt + 1) // 2
+        |ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -143,6 +143,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // UDTF/explode surface: corpus token frequencies, top 20 with a
+    // deterministic tiebreak.
+    "ns10_token_freq" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }),
+
     // BPE-ish regex token count (letters / digits / single symbol runs).
     "ns09_bpe_tokens" -> ((s, d) => {
       Tables.documents(s, d).select(
@@ -208,6 +219,10 @@ object TextQueries {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | sha256(text) AS sha, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns10_token_freq" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "ns09_bpe_tokens" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
