@@ -12,8 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product as an in-order left fold over pairwise products. */
-  def dotProduct(a: Column, b: Column): Column =
+  /** Dot product as an in-order left fold over pairwise products.
+    * Native expression ([[DotProductExpr]]); [[dotProductHof]] is the
+    * pure-builtins cross-check. */
+  def dotProduct(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(DotProductExpr(expression(a), expression(b)))
+  }
+
+  /** Higher-order-function formulation of [[dotProduct]]. */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

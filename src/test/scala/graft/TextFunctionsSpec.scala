@@ -22,6 +22,19 @@ class TextFunctionsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("native dot product == HOF dot product on fixture embeddings") {
+    import graft.functions.VectorFunctions
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
+    val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("a"))
+      .crossJoin(emb.select($"vec_id".as("ib"), $"embedding".as("b")))
+      .filter($"ia" < $"ib" && $"ib" < 20)
+    val diff = pairs.select(
+      VectorFunctions.dotProduct($"a", $"b").as("native"),
+      VectorFunctions.dotProductHof($"a", $"b").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+  }
+
   test("native minhash signature == HOF signature on fixture shingle sets") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val hs = docs.select($"doc_id",
