@@ -72,15 +72,19 @@ private[sources] class ChangeFeedTable(props: Map[String, String])
     val numPartitions =
       Option(options.get("numPartitions")).map(_.toInt).getOrElse(4)
     require(numPartitions > 0, s"option 'numPartitions' must be > 0, got $numPartitions")
-    () => new ChangeFeedScan(store, maxBatchSize, numPartitions)
+    val maxRetrySeconds =
+      Option(options.get("maxRetrySeconds")).map(_.toLong).getOrElse(60L)
+    require(maxRetrySeconds >= 0, s"option 'maxRetrySeconds' must be >= 0, got $maxRetrySeconds")
+    () => new ChangeFeedScan(store, maxBatchSize, numPartitions, maxRetrySeconds)
   }
 }
 
 private[sources] class ChangeFeedScan(store: String, maxBatchSize: Long,
-                                      numPartitions: Int) extends Scan {
+                                      numPartitions: Int,
+                                      maxRetrySeconds: Long = 60L) extends Scan {
   override def readSchema(): StructType = ChangeFeedSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeFeedMicroBatchStream(store, maxBatchSize, numPartitions)
+    new ChangeFeedMicroBatchStream(store, maxBatchSize, numPartitions, maxRetrySeconds)
 }
 
 /** Offset = the change-tracking version high-water mark. */
@@ -89,7 +93,8 @@ private[sources] case class VersionOffset(version: Long) extends Offset {
 }
 
 private[sources] class ChangeFeedMicroBatchStream(
-    store: String, maxBatchSize: Long, numPartitions: Int)
+    store: String, maxBatchSize: Long, numPartitions: Int,
+    maxRetrySeconds: Long = 60L)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -106,14 +111,38 @@ private[sources] class ChangeFeedMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(ChangeTrackingStore.get(store).currentVersion)
 
-  override def reportLatestOffset(): Offset =
-    VersionOffset(ChangeTrackingStore.get(store).currentVersion)
+  // Last successfully observed live version — lets the (metrics-only)
+  // reportLatestOffset stay quiet through a source outage instead of
+  // killing the query.
+  @volatile private var lastKnownLive: Long = 0L
+
+  override def reportLatestOffset(): Offset = VersionOffset(
+    try {
+      lastKnownLive = ChangeTrackingStore.get(store).currentVersion
+      lastKnownLive
+    } catch { case _: Exception => lastKnownLive })
+
+  // SRC1d retry window: on source failure, emit an empty batch (offset
+  // unchanged) and keep retrying until maxRetrySeconds have elapsed,
+  // then rethrow (reference CTInputDStream.java:73-98).
+  @volatile private var firstFailureAtMs: Long = -1L
 
   /** cur = min(currentVersion, prev + maxBatchSize) — SRC1c. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val prev = start.asInstanceOf[VersionOffset].version
-    val live = availableNowTarget
-      .getOrElse(ChangeTrackingStore.get(store).currentVersion)
+    val live =
+      try {
+        val v = availableNowTarget
+          .getOrElse(ChangeTrackingStore.get(store).currentVersion)
+        firstFailureAtMs = -1L
+        v
+      } catch {
+        case e: Exception =>
+          val now = System.currentTimeMillis()
+          if (firstFailureAtMs < 0) firstFailureAtMs = now
+          if (now - firstFailureAtMs > maxRetrySeconds * 1000L) throw e
+          prev // empty batch; retry on the next trigger
+      }
     val cap = limit match {
       case m: ReadMaxRows => m.maxRows()
       case _ => maxBatchSize

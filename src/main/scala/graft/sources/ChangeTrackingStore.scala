@@ -16,6 +16,14 @@ final class ChangeTrackingStore {
 
   private val log = new ConcurrentHashMap[Long, Change]()
   private val version = new AtomicLong(0L)
+  private val failNextReads = new AtomicLong(0L)
+
+  /** Failure injection for retry-path tests: the next `n` reads of
+    * currentVersion throw (simulating a connection outage). */
+  def failReads(n: Long): Unit = failNextReads.set(n)
+  private def maybeFail(): Unit =
+    if (failNextReads.getAndUpdate(v => math.max(0, v - 1)) > 0)
+      throw new RuntimeException("simulated source outage")
 
   /** Record a change; returns its assigned version. */
   def append(op: String, key: Long, payload: String): Long = {
@@ -25,7 +33,7 @@ final class ChangeTrackingStore {
   }
 
   /** The current change-tracking version (CHANGE_TRACKING_CURRENT_VERSION). */
-  def currentVersion: Long = version.get()
+  def currentVersion: Long = { maybeFail(); version.get() }
 
   /** Changes with version in (prevVersion, curVersion], restricted to the
     * keys hashing to `part` of `nParts` — the per-partition scan of the

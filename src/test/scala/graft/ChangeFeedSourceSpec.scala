@@ -47,4 +47,32 @@ class ChangeFeedSourceSpec extends SparkSuite {
     q2.awaitTermination()
     assert(spark.table("ct_out2").count() == 260)
   }
+
+  test("transient source outage yields empty batches, then recovery delivers everything") {
+    val name = "ct-retry"
+    ChangeTrackingStore.drop(name)
+    val store = ChangeTrackingStore.get(name)
+    (1 to 20).foreach(i => store.append("INSERT", i, s"p$i"))
+
+    val stream = spark.readStream
+      .format(classOf[ChangeFeedProvider].getName)
+      .option("store", name).option("maxBatchSize", "5")
+      .option("numPartitions", "2").option("maxRetrySeconds", "30")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("ct_retry_out")
+      .option("checkpointLocation", checkpointDir("ctretry"))
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+
+    // let a couple of batches through, then inject an outage
+    Thread.sleep(500)
+    store.failReads(3) // next 3 polls throw -> empty batches, no crash
+    (21 to 30).foreach(i => store.append("INSERT", i, s"p$i"))
+    // wait until fully caught up after recovery
+    val deadline = System.currentTimeMillis() + 30000
+    def delivered = spark.table("ct_retry_out").count()
+    while (delivered < 30 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    q.stop()
+    assert(delivered == 30, s"only $delivered/30 delivered after recovery")
+    assert(q.exception.isEmpty, s"query should survive the outage: ${q.exception}")
+  }
 }
