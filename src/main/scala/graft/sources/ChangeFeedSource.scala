@@ -25,16 +25,25 @@ import scala.jdk.CollectionConverters._
   *  - parallelism: the reference reads one JDBC partition (admitted TODO,
   *    CTInputDStream.java:166-167); here `planInputPartitions` splits the
   *    key space into `numPartitions` hash ranges read concurrently.
+  *  - DDL snapshot per batch (SRC1a/SRC1e): with `emitDdl=true`, each
+  *    batch plans one extra partition carrying the current schema of
+  *    every tracked table (snapshotted driver-side at plan time, exactly
+  *    where the reference does its metadata I/O), tagged with the
+  *    batch's start version so DDL sorts before DML (the E1 ordering
+  *    contract).
   *  - the CHANGETABLE range predicate stays pushed down into the store
   *    scan (the simulator's `changes(prev, cur, part, n)`; a JDBC-backed
   *    store composes the same SQL the reference builds,
   *    CTInputDStream.java:149-158).
+  *  - retry window (SRC1d): on source failure the stream emits empty
+  *    batches until `maxRetrySeconds` elapse, then rethrows
+  *    (CTInputDStream.java:73-98).
   *
   * Usage:
   * {{{
   *   spark.readStream.format(classOf[ChangeFeedProvider].getName)
   *     .option("store", "my-feed").option("maxBatchSize", "100")
-  *     .option("numPartitions", "4").load()
+  *     .option("numPartitions", "4").option("emitDdl", "true").load()
   * }}}
   */
 class ChangeFeedProvider extends TableProvider {
@@ -46,11 +55,16 @@ class ChangeFeedProvider extends TableProvider {
 }
 
 object ChangeFeedSource {
+  /** kind = 'ddl' (schema snapshot row; op/key/payload null) or
+    * 'dml' (change row; schemaJson null). */
   val schema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
     StructField("version", LongType, nullable = false),
-    StructField("op", StringType, nullable = false),
-    StructField("key", LongType, nullable = false),
-    StructField("payload", StringType, nullable = true)))
+    StructField("op", StringType, nullable = true),
+    StructField("key", LongType, nullable = true),
+    StructField("payload", StringType, nullable = true),
+    StructField("schemaJson", StringType, nullable = true)))
 }
 
 private[sources] class ChangeFeedTable(props: Map[String, String])
@@ -59,6 +73,7 @@ private[sources] class ChangeFeedTable(props: Map[String, String])
   override def schema(): StructType = ChangeFeedSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
+
   /** Per-field option validation (the V1 config-validation surface;
     * reference CTSQLServerConfig.java:173-197 style: name the offending
     * property). Defaults mirror the reference: maxBatchSize 100000
@@ -75,16 +90,20 @@ private[sources] class ChangeFeedTable(props: Map[String, String])
     val maxRetrySeconds =
       Option(options.get("maxRetrySeconds")).map(_.toLong).getOrElse(60L)
     require(maxRetrySeconds >= 0, s"option 'maxRetrySeconds' must be >= 0, got $maxRetrySeconds")
-    () => new ChangeFeedScan(store, maxBatchSize, numPartitions, maxRetrySeconds)
+    val emitDdl =
+      Option(options.get("emitDdl")).map(_.toBoolean).getOrElse(false)
+    () => new ChangeFeedScan(store, maxBatchSize, numPartitions, maxRetrySeconds, emitDdl)
   }
 }
 
 private[sources] class ChangeFeedScan(store: String, maxBatchSize: Long,
                                       numPartitions: Int,
-                                      maxRetrySeconds: Long = 60L) extends Scan {
+                                      maxRetrySeconds: Long = 60L,
+                                      emitDdl: Boolean = false) extends Scan {
   override def readSchema(): StructType = ChangeFeedSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeFeedMicroBatchStream(store, maxBatchSize, numPartitions, maxRetrySeconds)
+    new ChangeFeedMicroBatchStream(store, maxBatchSize, numPartitions,
+      maxRetrySeconds, emitDdl)
 }
 
 /** Offset = the change-tracking version high-water mark. */
@@ -94,7 +113,7 @@ private[sources] case class VersionOffset(version: Long) extends Offset {
 
 private[sources] class ChangeFeedMicroBatchStream(
     store: String, maxBatchSize: Long, numPartitions: Int,
-    maxRetrySeconds: Long = 60L)
+    maxRetrySeconds: Long = 60L, emitDdl: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -156,14 +175,21 @@ private[sources] class ChangeFeedMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (lo, hi) = (start.asInstanceOf[VersionOffset].version,
       end.asInstanceOf[VersionOffset].version)
-    Array.tabulate[InputPartition](numPartitions)(p =>
+    val data = Array.tabulate[InputPartition](numPartitions)(p =>
       ChangeFeedPartition(store, lo, hi, p, numPartitions))
+    if (!emitDdl) data
+    else {
+      // Driver-side schema snapshot — one DDL row per tracked table,
+      // stamped with the batch's start version so DDL sorts first.
+      val snapshot = ChangeTrackingStore.get(store).schemas.toSeq.sorted
+      DdlSnapshotPartition(snapshot, lo) +: data
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => {
-      val p = partition.asInstanceOf[ChangeFeedPartition]
-      new ChangeFeedPartitionReader(p)
+    (partition: InputPartition) => partition match {
+      case p: ChangeFeedPartition => new ChangeFeedPartitionReader(p)
+      case d: DdlSnapshotPartition => new DdlSnapshotReader(d)
     }
 
   override def commit(end: Offset): Unit = () // source-side state is the log itself
@@ -174,6 +200,9 @@ private[sources] case class ChangeFeedPartition(
     store: String, prev: Long, cur: Long, part: Int, nParts: Int)
   extends InputPartition
 
+private[sources] case class DdlSnapshotPartition(
+    schemas: Seq[(String, String)], startVersion: Long) extends InputPartition
+
 private[sources] class ChangeFeedPartitionReader(p: ChangeFeedPartition)
     extends PartitionReader[InternalRow] {
   // Pushed-down range + key-hash scan (one store call per partition).
@@ -183,7 +212,26 @@ private[sources] class ChangeFeedPartitionReader(p: ChangeFeedPartition)
 
   override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
   override def get(): InternalRow = InternalRow(
-    cur.version, UTF8String.fromString(cur.op), cur.key,
-    if (cur.payload == null) null else UTF8String.fromString(cur.payload))
+    UTF8String.fromString("dml"),
+    UTF8String.fromString(cur.table),
+    cur.version,
+    UTF8String.fromString(cur.op),
+    cur.key,
+    if (cur.payload == null) null else UTF8String.fromString(cur.payload),
+    null)
+  override def close(): Unit = ()
+}
+
+private[sources] class DdlSnapshotReader(p: DdlSnapshotPartition)
+    extends PartitionReader[InternalRow] {
+  private val it = p.schemas.iterator
+  private var cur: (String, String) = _
+  override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
+  override def get(): InternalRow = InternalRow(
+    UTF8String.fromString("ddl"),
+    UTF8String.fromString(cur._1),
+    p.startVersion,
+    null, null, null,
+    UTF8String.fromString(cur._2))
   override def close(): Unit = ()
 }
