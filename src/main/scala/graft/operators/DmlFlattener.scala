@@ -40,4 +40,20 @@ object DmlFlattener {
       .filter(col("dml").isNotNull) // DDL records are dropped (DMLFlattener.java:81-83)
       .select(valueCols ++ cdcCols: _*)
   }
+
+  /** Flatten with the row schema taken from the stream itself — the
+    * reference's mode of operation, where the output schema is parsed
+    * from the in-band `rows_schema` JSON (DMLFlattener.java:85,108-125).
+    * One driver-side peek at the first DML record resolves the schema;
+    * batch-only (a streaming plan can't peek — pass the schema
+    * explicitly there, or ship it through [[graft.streaming.StatefulOps
+    * .schemaDedup]] state). */
+  def flattenInferred(envelope: org.apache.spark.sql.DataFrame,
+                      includeCdcColumns: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val json = envelope.filter(col("dml").isNotNull)
+      .select(col("dml.rowsSchemaJson")).head().getString(0)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[StructType]
+    flatten(envelope, schema, includeCdcColumns)
+  }
 }

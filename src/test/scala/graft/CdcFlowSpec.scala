@@ -46,6 +46,15 @@ class CdcFlowSpec extends SparkSuite {
     assert(finalState == Set((1L, "alice2", 11.0), (3L, "carol", 30.25)))
   }
 
+  test("flattenInferred derives the output schema from in-band rows_schema JSON") {
+    val changes = Seq(dml(OpType.Insert, 1, 7L, "gail", 1.25)).toDS().toDF()
+    val flat = DmlFlattener.flattenInferred(changes)
+    assert(flat.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(flat.schema("id").dataType == LongType)
+    val r = flat.collect().head
+    assert((r.getLong(0), r.getString(1), r.getDouble(2)) == ((7L, "gail", 1.25)))
+  }
+
   test("envelope holds exactly one of ddl/dml") {
     intercept[IllegalArgumentException](ChangeRecord(None, None))
     intercept[IllegalArgumentException](

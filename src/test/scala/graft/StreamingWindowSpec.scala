@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+case class Keyed(id: Long, ts: java.sql.Timestamp, v: String)
+
 /** Watermarked event-time windowed aggregation (SURVEY.md §2.2: the
   * reference has no watermarks/windows — this is the ⊕ streaming
   * surface): append-mode emission only after the watermark passes a
@@ -50,5 +52,28 @@ class StreamingWindowSpec extends SparkSuite {
     assert(all == Set(
       ("2024-01-01 10:00:00.0", 2L, 3.0),   // late 100.0 NOT included
       ("2024-01-01 10:10:00.0", 1L, 4.0)))
+  }
+
+  test("streaming exact dedup drops at-least-once replays within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Keyed]
+    val q = in.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("dedup_stream_out")
+      .option("checkpointLocation", checkpointDir("sdedup"))
+      .outputMode("append").start()
+
+    def k(id: Long, minute: Int, v: String) =
+      Keyed(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v)
+    in.addData(k(1, 0, "first"), k(1, 1, "replay-same-batch"), k(2, 1, "b"))
+    q.processAllAvailable()
+    in.addData(k(1, 2, "replay-next-batch"), k(3, 3, "c"))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_stream_out").select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ids == Set((1L, "first"), (2L, "b"), (3L, "c")))
   }
 }
