@@ -99,6 +99,26 @@ object ApiQueries {
         .select(col("c_mktsegment"), col("c_acctbal").as("lower_median"))
         .orderBy(col("c_mktsegment"))
     }),
+    // Full outer join (aggregated sides → 1:1 on the key, null-padded
+    // where only one side has the nation).
+    "q28_full_outer_join" -> ((s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .orderBy(col("nationkey"))
+    }),
+
+    // Array-valued result column: sorted distinct list per group
+    // (complex-typed output through the parquet/oracle compare).
+    "q29_array_result" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("yr"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -141,5 +161,19 @@ object ApiQueries {
         |  FROM customer) t
         |WHERE rn = (cnt + 1) // 2
         |ORDER BY c_mktsegment""".stripMargin,
+    "q28_full_outer_join" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        | c.n_customers, s.n_suppliers
+        |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1) s
+        |ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q29_array_result" ->
+      """SELECT YEAR(o_orderdate) AS yr,
+        | list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
   )
 }
