@@ -119,6 +119,22 @@ object ApiQueries {
           count(lit(1)).as("n"))
         .orderBy(col("yr"))
     }),
+    // RANGE-frame window: 30-day trailing spend per customer, ordered by
+    // day number (numeric range frame, distinct from the ROWS frames in
+    // q20).
+    "q30_range_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = (unix_micros(col("o_orderdate").cast("timestamp")) / 86400000000L)
+        .cast("long")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, 0)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), days.as("day"),
+          col("o_totalprice"))
+        .withColumn("trailing_30d",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -170,6 +186,15 @@ object ApiQueries {
         |      FROM supplier GROUP BY 1) s
         |ON c.nationkey = s.nationkey
         |ORDER BY nationkey""".stripMargin,
+    "q30_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+        | o_totalprice,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey
+        |   ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM orders ORDER BY o_custkey, day, o_orderkey""".stripMargin,
     "q29_array_result" ->
       """SELECT YEAR(o_orderdate) AS yr,
         | list_sort(list(DISTINCT o_orderstatus)) AS statuses,

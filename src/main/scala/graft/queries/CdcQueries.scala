@@ -156,6 +156,26 @@ object CdcQueries {
         .orderBy(col("source"), col("kind"), col("doc_id").asc_nulls_first)
     }),
 
+    // §3.4 flatten-and-query — the architectural headline: once a change
+    // stream is flattened, it is a first-class DataFrame and the full
+    // Catalyst pipeline applies. Wrap lineitem into the envelope,
+    // flatten through the in-band schema, then run a plain relational
+    // aggregation on the result. The reference can only hand flattened
+    // rows to sinks; this engine hands them to Spark SQL.
+    "cdc12_flatten_then_query" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val env = ChangeFeed.wrapDml(li, "public.lineitem",
+        Seq("l_orderkey", "l_linenumber"),
+        lit("INSERT"), col("l_orderkey"), lit(0L))
+      DmlFlattener.flatten(env, li.schema)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // SRC1b materialized Spark-side: CHANGETABLE(CHANGES) ⋈ base on PK —
     // latest change per key in a version window, outer-joined to the base
     // table for current attributes (missing base row ⇒ deleted).
@@ -244,6 +264,12 @@ object CdcQueries {
         |UNION ALL
         |SELECT 'dml' AS kind, source, doc_id FROM documents
         |ORDER BY source, kind, doc_id NULLS FIRST""".stripMargin,
+    "cdc12_flatten_then_query" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "cdc11_changes_join_base" ->
       s"""SELECT user_id, version, op, c_name
          |FROM (SELECT user_id, event_id AS version, $opFromEventSql AS op,
