@@ -20,7 +20,7 @@ object Skew {
     * stay deterministic under retries. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(large.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

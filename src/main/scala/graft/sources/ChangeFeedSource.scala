@@ -208,7 +208,7 @@ private[sources] class ChangeFeedPartitionReader(p: ChangeFeedPartition)
   // Pushed-down range + key-hash scan (one store call per partition).
   private val it = ChangeTrackingStore.get(p.store)
     .changes(p.prev, p.cur, p.part, p.nParts).iterator
-  private var cur: ChangeTrackingStore#Change = _
+  private var cur: ChangeTrackingStore.Change = _
 
   override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
   override def get(): InternalRow = InternalRow(

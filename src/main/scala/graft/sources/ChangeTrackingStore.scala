@@ -13,8 +13,7 @@ import scala.jdk.CollectionConverters._
   * increasing change-tracking version (SYS_CHANGE_VERSION).
   */
 final class ChangeTrackingStore {
-  final case class Change(version: Long, table: String, op: String,
-                          key: Long, payload: String)
+  import ChangeTrackingStore.Change
 
   private val log = new ConcurrentHashMap[Long, Change]()
   private val version = new AtomicLong(0L)
@@ -62,6 +61,9 @@ final class ChangeTrackingStore {
 }
 
 object ChangeTrackingStore {
+  final case class Change(version: Long, table: String, op: String,
+                          key: Long, payload: String)
+
   private val stores = new ConcurrentHashMap[String, ChangeTrackingStore]()
   def get(name: String): ChangeTrackingStore =
     stores.computeIfAbsent(name, _ => new ChangeTrackingStore)
