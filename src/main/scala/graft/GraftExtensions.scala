@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.{DotProductExpr, MinHashSigExpr, PortableHashExpr, SetJaccardExpr}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Registers graft's native expressions under SQL names so `spark.sql`
+  * users call them like builtins:
+  *
+  *   - `portable_hash(str)` — polynomial string hash mod 2^31-1
+  *   - `set_jaccard(arr, arr)` — exact Jaccard of two long-hash sets
+  *   - `minhash_sig(arr, k)` — MinHash signature (k literal)
+  *   - `dot_product(arr, arr)` — in-order double dot product
+  *
+  * Two entry points: `GraftExtensions` for cluster config
+  * (`spark.sql.extensions=graft.GraftExtensions`, applied at session
+  * build) and [[GraftFunctions.register]] for an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.definitions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftFunctions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "portable_hash" -> (es => PortableHashExpr(es.head)),
+    "set_jaccard" -> (es => SetJaccardExpr(es.head, es(1))),
+    "minhash_sig" -> (es => MinHashSigExpr(es.head, intLit(es(1), "minhash_sig k"))),
+    "dot_product" -> (es => DotProductExpr(es.head, es(1))))
+
+  /** Register into a live session's function registry. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}

@@ -1,0 +1,20 @@
+package graft
+
+/** SQL-name registration of the native expressions. */
+class GraftFunctionsSpec extends SparkSuite {
+
+  test("registered SQL functions evaluate like their Column forms") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT portable_hash('hello') AS h,
+             set_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+             minhash_sig(array(7L, 11L), 4) AS sig,
+             dot_product(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+                         array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS dp
+    """).collect().head
+    assert(r.getLong(0) == 99162322L) // == Java "hello".hashCode (no overflow)
+    assert(r.getDouble(1) == 0.5)
+    assert(r.getSeq[Long](2).length == 4)
+    assert(r.getDouble(3) == 4.0)
+  }
+}
