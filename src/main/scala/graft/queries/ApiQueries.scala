@@ -135,6 +135,24 @@ object ApiQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
         .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
     }),
+    // Ranking-function family: rank, dense_rank, percent_rank, cume_dist,
+    // ntile, first/nth value — over a deterministic total order.
+    "q31_rank_functions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.customer(s, d).select(
+        col("c_mktsegment"), col("c_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"),
+        first(col("c_custkey")).over(wf).as("top_key"))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("c_mktsegment"), col("rnk"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -186,6 +204,22 @@ object ApiQueries {
         |      FROM supplier GROUP BY 1) s
         |ON c.nationkey = s.nationkey
         |ORDER BY nationkey""".stripMargin,
+    "q31_rank_functions" ->
+      """SELECT c_mktsegment, c_custkey, rnk, drnk, prnk, cdist, quartile, top_key
+        |FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    RANK() OVER w AS rnk,
+        |    DENSE_RANK() OVER w AS drnk,
+        |    PERCENT_RANK() OVER w AS prnk,
+        |    CUME_DIST() OVER w AS cdist,
+        |    NTILE(4) OVER w AS quartile,
+        |    FIRST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_key
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC)) t
+        |WHERE rnk <= 10 ORDER BY c_mktsegment, rnk""".stripMargin,
     "q30_range_frame" ->
       """SELECT o_custkey, o_orderkey,
         | epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
