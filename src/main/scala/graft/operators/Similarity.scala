@@ -48,6 +48,52 @@ object Similarity {
       .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN with trained coarse centroids: one centroid
+    * per `labelCol` partition, each query probes only its nearest
+    * centroid's partition. Centroid components are means of
+    * floor-quantized values (floor(v·2^20) summed in exact int64) —
+    * deterministic under any aggregation order, so the whole search is
+    * oracle-verifiable; quantization at 2^-20 is far below the noise
+    * floor of a float32 embedding. At scale: centroids are a tiny
+    * broadcast, the corpus shuffles once on label, each query scans one
+    * partition (nprobe=1). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, labelCol: String,
+              k: Int): DataFrame = {
+    val quant = 1048576L // 2^20
+    // exact, order-independent centroid training
+    val dims = corpus.select(col(labelCol).as("label"),
+      posexplode(col("embedding")).as(Seq("i", "v")))
+    val cent = dims.groupBy(col("label"), col("i"))
+      .agg((sum(floor(col("v").cast("double") * quant).cast("long")).cast("double")
+        / count(lit(1))).as("c"))
+    val cvec = cent.groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    // assignment: argmax centroid score per query (deterministic tiebreak)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = q.crossJoin(broadcast(cvec))
+      .withColumn("score", aggregate(
+        zip_with(col("qv"), col("cvec"), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x))
+    val wAssign = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("label").asc)
+    val assigned = scored.withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("query_id"), col("qv"), col("label").as("probe_label"))
+    // search within the probed partition only
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col(labelCol).as("probe_label"))
+    val cand = c.join(broadcast(assigned), Seq("probe_label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("probe_label"), col("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
   /** All corpus pairs with cosine ≥ threshold, via the bucket equi-join
     * (embedding-cosine near-dup detection). */
   def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int): DataFrame = {

@@ -65,6 +65,13 @@ object VectorQueries {
       Similarity.cosineNearDups(Tables.embeddings(s, d), threshold = 0.3, bits = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // IVF ANN: per-label centroids trained with order-independent
+    // quantized means, nprobe=1 search in the assigned partition.
+    "vs05_ivf_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "label", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -103,6 +110,39 @@ object VectorQueries {
          | sqrt(${dotSql("embedding", "embedding")}) AS l2_norm,
          | ${bucketSql("embedding", 6)} AS bucket
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "vs05_ivf_search" ->
+      s"""WITH dims AS (
+         |  SELECT label, r.i AS i,
+         |    CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |  FROM embeddings, range(1, 65) r(i)),
+         |cent AS (
+         |  SELECT label, i, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS c
+         |  FROM dims GROUP BY label, i),
+         |cvec AS (
+         |  SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT query_id, qv, label,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+         |      i -> CAST(qv[i] AS DOUBLE) * cv[i])), (acc, x) -> acc + x) AS score
+         |  FROM q CROSS JOIN cvec),
+         |assigned AS (
+         |  SELECT query_id, qv, label AS probe_label FROM (
+         |    SELECT query_id, qv, label, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, label ASC) AS arnk
+         |    FROM scored) t WHERE arnk = 1),
+         |cand AS (
+         |  SELECT query_id, probe_label, e.vec_id AS neighbor_id,
+         |    ${cosSql("qv", "e.embedding")} AS cos
+         |  FROM assigned JOIN embeddings e ON e.label = assigned.probe_label
+         |  WHERE e.vec_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, probe_label, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand)
+         |SELECT query_id, probe_label, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "vs04_cosine_neardup" ->
       s"""WITH c AS (SELECT vec_id, embedding,
          |             ${bucketSql("embedding", 4)} AS bucket
