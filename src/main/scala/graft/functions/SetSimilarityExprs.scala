@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -9,18 +9,56 @@ import org.apache.spark.sql.types._
   * identical to their builtin formulations (spec-cross-checked), but one
   * primitive-array pass instead of per-element interpreted lambdas —
   * these run millions of times per near-dup query, where boxing and
-  * generic array ops dominate.
+  * generic array ops dominate. Both participate in whole-stage codegen
+  * via a static-call `doGenCode` (no interpreted-eval fallback on the
+  * hot path).
   */
 
 /** Exact Jaccard |a∩b| / |a∪b| of two DISTINCT long arrays (sets) —
   * equals size(array_intersect(a,b)) / size(array_union(a,b)) for
   * deduplicated inputs. Sort-merge on primitive arrays, zero boxing. */
 case class SetJaccardExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toLongArray()
-    val b = r.asInstanceOf[ArrayData].toLongArray()
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SetSimilarityExprs.jaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SetSimilarityExprs.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "set_jaccard"
+}
+
+/** MinHash signature: sig[j] = min over the hash set of
+  * ((2j+1)*h + 7j+3) mod 2^31-1, j = 0..k-1.
+  *
+  * Equals the transform/array_min formulation in
+  * [[TextFunctions.minhashSignature]] (same arithmetic) for NON-EMPTY
+  * hash sets — asserted in the cross-check spec. On an empty input this
+  * returns sig[j]=0 (a stable sentinel signature) where the HOF's
+  * array_min over an empty transform would yield NULL; callers shingle
+  * first, so empty sets occur only for empty documents, which both
+  * formulations bucket deterministically. */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SetSimilarityExprs.minhashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SetSimilarityExprs.minhashSig($c, $k)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** Static eval kernels — one compiled body shared by interpreted eval and
+  * generated code, like [[PortableHashExpr.hashUtf8]]. */
+object SetSimilarityExprs {
+
+  def jaccard(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toLongArray()
+    val b = r.toLongArray()
     java.util.Arrays.sort(a); java.util.Arrays.sort(b)
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
@@ -31,21 +69,9 @@ case class SetJaccardExpr(left: Expression, right: Expression)
     val union = a.length + b.length - inter
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
-  override def prettyName: String = "set_jaccard"
-}
 
-/** MinHash signature: sig[j] = min over the hash set of
-  * ((2j+1)*h + 7j+3) mod 2^31-1, j = 0..k-1. Equals the
-  * transform/array_min formulation in [[TextFunctions.minhashSignature]]
-  * (same arithmetic), evaluated as k tight loops over one primitive
-  * array. */
-case class MinHashSigExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData].toLongArray()
+  def minhashSig(input: ArrayData, k: Int): ArrayData = {
+    val hs = input.toLongArray()
     val sig = new Array[Long](k)
     var j = 0
     while (j < k) {
@@ -62,6 +88,4 @@ case class MinHashSigExpr(child: Expression, k: Int)
     }
     new GenericArrayData(sig)
   }
-  override protected def withNewChildInternal(c: Expression) = copy(child = c)
-  override def prettyName: String = "minhash_sig"
 }

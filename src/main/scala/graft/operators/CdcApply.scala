@@ -40,9 +40,12 @@ object CdcApply {
     latestByKey(changes, keys, version, tieBreak: _*)
       .filter(opCol =!= graft.model.OpType.Delete)
 
-  /** The reference's row-key derivation: PK *values* sorted lexically and
-    * joined with ':' (reference CDCTableUtil.java:98-105 — note it sorts
-    * the stringified values, a quirk we replicate deliberately). */
-  def rowKey(keys: Seq[Column]): Column =
-    concat_ws(":", sort_array(array(keys.map(_.cast("string")): _*)))
+  /** The reference's row-key derivation: PK *names* sorted lexically, and
+    * the corresponding values joined with ':' in that name order
+    * (reference CDCTableUtil.java:98-105 — `primaryKeys.stream().sorted()`
+    * sorts the key names, then maps each to its value). Values themselves
+    * are never reordered, so distinct composite keys like (src=1,dst=5)
+    * and (src=5,dst=1) stay distinct. */
+  def rowKey(keys: Seq[(String, Column)]): Column =
+    concat_ws(":", keys.sortBy(_._1).map(_._2.cast("string")): _*)
 }

@@ -50,8 +50,14 @@ object DmlFlattener {
     * .schemaDedup]] state). */
   def flattenInferred(envelope: org.apache.spark.sql.DataFrame,
                       includeCdcColumns: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(!envelope.isStreaming,
+      "flattenInferred is batch-only (schema inference peeks at the data); " +
+        "pass the schema explicitly to flatten() for streaming plans")
     val json = envelope.filter(col("dml").isNotNull)
-      .select(col("dml.rowsSchemaJson")).head().getString(0)
+      .select(col("dml.rowsSchemaJson")).take(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "envelope contains no DML records; pass the schema explicitly"))
+      .getString(0)
     val schema = org.apache.spark.sql.types.DataType.fromJson(json)
       .asInstanceOf[StructType]
     flatten(envelope, schema, includeCdcColumns)

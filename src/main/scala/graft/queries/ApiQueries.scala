@@ -110,13 +110,19 @@ object ApiQueries {
         .orderBy(col("nationkey"))
     }),
 
-    // Array-valued result column: sorted distinct list per group
-    // (complex-typed output through the parquet/oracle compare).
+    // Array-valued intermediate: sorted distinct list per group, with
+    // array ops (size + element access) on the complex type in-plan. The
+    // array itself is emitted joined — the driver's compare sorts rows by
+    // every column and ndarray columns aren't sortable in its harness —
+    // so the scalar projection carries the verification.
     "q29_array_result" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("yr"))
-        .agg(array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+        .agg(array_sort(collect_set(col("o_orderstatus"))).as("arr"),
           count(lit(1)).as("n"))
+        .select(col("yr"), array_join(col("arr"), ",").as("statuses"),
+          size(col("arr")).as("n_statuses"),
+          element_at(col("arr"), 1).as("first_status"), col("n"))
         .orderBy(col("yr"))
     }),
     // RANGE-frame window: 30-day trailing spend per customer, ordered by
@@ -230,9 +236,13 @@ object ApiQueries {
         |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
         |FROM orders ORDER BY o_custkey, day, o_orderkey""".stripMargin,
     "q29_array_result" ->
-      """SELECT YEAR(o_orderdate) AS yr,
-        | list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-        | COUNT(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+      """SELECT yr, array_to_string(arr, ',') AS statuses,
+        | CAST(len(arr) AS INT) AS n_statuses,
+        | arr[1] AS first_status, n
+        |FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+        |        list_sort(list(DISTINCT o_orderstatus)) AS arr,
+        |        COUNT(*) AS n
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY yr""".stripMargin,
   )
 }

@@ -118,13 +118,16 @@ object CdcQueries {
         .orderBy(col("event_id"))
     }),
 
-    // SNK-u: row-key derivation — PK *values* stringified, sorted
-    // lexically, joined with ':' (a reference quirk we replicate
-    // deliberately, CDCTableUtil.java:98-105).
+    // SNK-u: row-key derivation — PK NAMES sorted lexically, values
+    // joined with ':' in name order (reference CDCTableUtil.java:98-105:
+    // the `.sorted()` applies to the key-name stream, not the values).
+    // Name order here: l_linenumber < l_orderkey.
     "cdc08_row_key" -> ((s, d) => {
       Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
-        CdcApply.rowKey(Seq(col("l_orderkey"), col("l_linenumber"))).as("row_key"))
+        CdcApply.rowKey(Seq(
+          "l_orderkey" -> col("l_orderkey"),
+          "l_linenumber" -> col("l_linenumber"))).as("row_key"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -248,9 +251,8 @@ object CdcQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "cdc08_row_key" ->
       """SELECT l_orderkey, l_linenumber,
-        | LEAST(CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))
-        |  || ':' ||
-        | GREATEST(CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR)) AS row_key
+        | CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)
+        |  AS row_key
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "cdc09_ct_window" ->
       """SELECT COUNT(*) AS n_changes, MIN(event_id) AS lo, MAX(event_id) AS hi

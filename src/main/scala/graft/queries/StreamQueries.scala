@@ -137,9 +137,9 @@ object StreamQueries {
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY $tsSql, event_id)),
          |sess AS (
-         |  SELECT user_id, t, SUM(is_new) OVER (PARTITION BY user_id
+         |  SELECT user_id, t, CAST(SUM(is_new) OVER (PARTITION BY user_id
          |    ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS session_seq
+         |    AS BIGINT) AS session_seq
          |  FROM tagged)
          |SELECT user_id, session_seq, COUNT(*) AS n_events,
          |  MIN(t) AS sess_start, MAX(t) AS sess_end

@@ -101,8 +101,11 @@ object UpsertSink {
     val dml = batch.filter(col("dml").isNotNull).select(
       col("dml.table").as("table"),
       col("dml.opType").as("op"),
-      concat_ws(":", sort_array(transform(col("dml.primaryKeys"),
-        k => element_at(col("dml.rowsValues"), k)))).as("row_key"),
+      // Reference getRowKey (CDCTableUtil.java:98-105): sort the PK NAMES,
+      // then join the corresponding values in name order — never sort the
+      // values themselves.
+      concat_ws(":", transform(array_sort(col("dml.primaryKeys")),
+        k => element_at(col("dml.rowsValues"), k))).as("row_key"),
       col("dml.rowsValues").as("values"),
       col("dml.changeTrackingVersion").cast("long").as("version"))
     val compacted = CdcApply.latestByKey(dml, Seq("table", "row_key"), col("version"))
@@ -116,10 +119,32 @@ object UpsertSink {
     }
   }
 
+  /** Pipeline-build-time envelope validation (reference CDCKudu.java:71-76,
+    * CDCHBase.java:58-64: the sink refuses a stream whose schema is not the
+    * changeRecord envelope, before anything starts). Containment, not
+    * equality: extra columns are tolerated, missing/mistyped ones are not. */
+  def validateEnvelopeSchema(schema: StructType): Unit = {
+    def contains(actual: StructType, required: StructType, path: String): Unit =
+      required.fields.foreach { f =>
+        val a = actual.fields.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"envelope schema is missing required field '$path${f.name}'"))
+        (a.dataType, f.dataType) match {
+          case (as: StructType, fs: StructType) => contains(as, fs, s"$path${f.name}.")
+          case (at, ft) => require(
+            DataType.equalsStructurally(at, ft, ignoreNullability = true),
+            s"envelope field '$path${f.name}' has type ${at.sql}, expected ${ft.sql}")
+        }
+      }
+    contains(schema, graft.model.Schemas.changeRecordType, "")
+  }
+
   /** Streaming entry: envelope stream → foreachBatch(applyBatch). */
-  def stream(envelope: DataFrame, writerName: String, checkpoint: String): StreamingQuery =
+  def stream(envelope: DataFrame, writerName: String, checkpoint: String): StreamingQuery = {
+    validateEnvelopeSchema(envelope.schema)
     envelope.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: DataFrame, _: Long) => applyBatch(b, writerName))
       .start()
+  }
 }

@@ -25,6 +25,9 @@ class TextFunctionsSpec extends SparkSuite {
   test("native dot product == HOF dot product on fixture embeddings") {
     import graft.functions.VectorFunctions
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
+    // The parity claim is scoped to equal-length inputs (DotProductExpr
+    // scaladoc) — assert the fixture satisfies it.
+    assert(emb.select(size($"embedding")).distinct().count() == 1)
     val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("a"))
       .crossJoin(emb.select($"vec_id".as("ib"), $"embedding".as("b")))
       .filter($"ia" < $"ib" && $"ib" < 20)
@@ -39,6 +42,10 @@ class TextFunctionsSpec extends SparkSuite {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val hs = docs.select($"doc_id",
       TextFunctions.shingleHashes($"text", 3).as("h")).repartition($"doc_id")
+    // The parity claim is scoped to non-empty hash sets (MinHashSigExpr
+    // scaladoc: empty → 0-sentinel vs HOF NULL) — assert the fixture
+    // satisfies it.
+    assert(hs.filter(size($"h") === 0).count() == 0)
     val diff = hs.select(
       TextFunctions.minhashSignature($"h", 16).as("native"),
       TextFunctions.minhashSignatureHof($"h", 16).as("hof"))

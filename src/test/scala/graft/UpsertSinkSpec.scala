@@ -55,6 +55,27 @@ class UpsertSinkSpec extends SparkSuite {
     assert(st.rows("dbo.t")("3")("extra") == "x")
   }
 
+  test("stream refuses a non-envelope schema with a named-property error") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      UpsertSink.stream(in.toDF(), "refuse-spec", checkpointDir("refuse"))
+    }
+    assert(e.getMessage.contains("ddl"))
+    // present ddl/dml but a mistyped nested field is named in the error
+    val bad = in.toDF().selectExpr(
+      "named_struct('table', _1, 'schemaJson', _2) AS ddl",
+      "named_struct('opType', _2, 'table', _2, 'primaryKeys', array(_2), " +
+        "'rowsSchemaJson', _2, 'rowsValues', map(_2, _2), " +
+        "'changeTrackingVersion', _1, 'cdcCurrentTimestampMicros', _1) AS dml")
+    val e2 = intercept[IllegalArgumentException] {
+      UpsertSink.stream(bad, "refuse-spec", checkpointDir("refuse2"))
+    }
+    assert(e2.getMessage.contains("dml.table") ||
+      e2.getMessage.contains("ddl.table") ||
+      e2.getMessage.contains("changeTrackingVersion"))
+  }
+
   test("schema diff is the symmetric difference") {
     val d = SchemaEvolution.diff(s1, s2)
     assert(d.added.map(_.name) == Seq("extra") && d.dropped.isEmpty)
