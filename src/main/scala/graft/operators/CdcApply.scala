@@ -40,6 +40,18 @@ object CdcApply {
     latestByKey(changes, keys, version, tieBreak: _*)
       .filter(opCol =!= graft.model.OpType.Delete)
 
+  /** Null-strict row-key segment: a NULL primary-key value fails the task
+    * instead of being silently dropped by concat_ws (which would collapse
+    * distinct composite keys like (a,NULL) and (a) onto 'a' and let one
+    * malformed DML record overwrite an unrelated row). The reference has
+    * the same fail-fast posture — it NPEs on `changes.get(pk).toString()`
+    * (reference CDCTableUtil.java:100-104); we name the offending key. */
+  def strictKeySegment(name: Column, value: Column): Column =
+    when(value.isNull, raise_error(concat(
+      lit("null or missing primary-key value for '"), name,
+      lit("' in row-key derivation"))))
+      .otherwise(value.cast("string"))
+
   /** The reference's row-key derivation: PK *names* sorted lexically, and
     * the corresponding values joined with ':' in that name order
     * (reference CDCTableUtil.java:98-105 — `primaryKeys.stream().sorted()`
@@ -47,5 +59,7 @@ object CdcApply {
     * are never reordered, so distinct composite keys like (src=1,dst=5)
     * and (src=5,dst=1) stay distinct. */
   def rowKey(keys: Seq[(String, Column)]): Column =
-    concat_ws(":", keys.sortBy(_._1).map(_._2.cast("string")): _*)
+    concat_ws(":", keys.sortBy(_._1).map { case (n, c) =>
+      strictKeySegment(lit(n), c)
+    }: _*)
 }

@@ -103,9 +103,11 @@ object UpsertSink {
       col("dml.opType").as("op"),
       // Reference getRowKey (CDCTableUtil.java:98-105): sort the PK NAMES,
       // then join the corresponding values in name order — never sort the
-      // values themselves.
+      // values themselves. Null-strict per segment (CdcApply.strictKeySegment):
+      // a missing/NULL PK value raises instead of collapsing keys.
       concat_ws(":", transform(array_sort(col("dml.primaryKeys")),
-        k => element_at(col("dml.rowsValues"), k))).as("row_key"),
+        k => CdcApply.strictKeySegment(k, element_at(col("dml.rowsValues"), k))))
+        .as("row_key"),
       col("dml.rowsValues").as("values"),
       col("dml.changeTrackingVersion").cast("long").as("version"))
     val compacted = CdcApply.latestByKey(dml, Seq("table", "row_key"), col("version"))
@@ -124,9 +126,12 @@ object UpsertSink {
     * changeRecord envelope, before anything starts). Containment, not
     * equality: extra columns are tolerated, missing/mistyped ones are not. */
   def validateEnvelopeSchema(schema: StructType): Unit = {
+    // Name match is case-insensitive, aligning with Spark's default
+    // column resolution (spark.sql.caseSensitive=false): a stream whose
+    // analyzer would resolve 'DML' must not be rejected here as missing.
     def contains(actual: StructType, required: StructType, path: String): Unit =
       required.fields.foreach { f =>
-        val a = actual.fields.find(_.name == f.name).getOrElse(
+        val a = actual.fields.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
           throw new IllegalArgumentException(
             s"envelope schema is missing required field '$path${f.name}'"))
         (a.dataType, f.dataType) match {

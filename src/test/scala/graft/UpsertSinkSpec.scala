@@ -76,6 +76,45 @@ class UpsertSinkSpec extends SparkSuite {
       e2.getMessage.contains("changeTrackingVersion"))
   }
 
+  private def messages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
+  test("a DML record with a missing primary-key value fails fast instead of collapsing keys") {
+    val store = "nullkey-spec"
+    InMemoryStore.drop(store)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ChangeRecord]
+    val q = UpsertSink.stream(in.toDF(), store, checkpointDir("nullkey"))
+    // rowsValues lacks the 'id' key entirely — concat_ws would silently
+    // produce the same key as a row with only the other segments.
+    in.addData(ddl(s1),
+      ChangeRecord.ofDml(Dml(OpType.Insert, "dbo.t", Seq("id"),
+        s1.json, Map("v" -> "a"), "1", 0L)))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(messages(e).exists(_.contains("primary-key value for 'id'")),
+      s"expected a named-key failure, got: ${messages(e).mkString(" | ")}")
+    q.stop()
+  }
+
+  test("batch rowKey raises on a NULL key component, naming the key") {
+    import graft.operators.CdcApply
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Option("x")), (2L, Option.empty[String])).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(CdcApply.rowKey(Seq("a" -> col("a"), "b" -> col("b"))))
+        .collect()
+    }
+    assert(messages(e).exists(_.contains("primary-key value for 'b'")))
+  }
+
+  test("envelope validation is case-insensitive, matching Spark resolution") {
+    val env = spark.createDataset(Seq(ddl(s1)))
+    // Rename the top-level columns to a different case: Spark's analyzer
+    // (caseSensitive=false) would still resolve them, so validation must too.
+    UpsertSink.validateEnvelopeSchema(env.toDF("DDL", "Dml").schema)
+  }
+
   test("schema diff is the symmetric difference") {
     val d = SchemaEvolution.diff(s1, s2)
     assert(d.added.map(_.name) == Seq("extra") && d.dropped.isEmpty)
