@@ -1,0 +1,228 @@
+package graft.sinks
+
+import graft.operators.CdcApply
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Durable, cluster-valid CDC target: one bucket-partitioned,
+  * copy-on-write parquet table per CDC table, committed through a
+  * manifest log.
+  *
+  * This is the missing concrete sink behind [[CdcWriter]]'s semantics
+  * (reference sink/CDCKudu.java:139-184, sink/CDCTableUtil.java:57-96:
+  * create-if-absent, alter on DDL, put-all-columns on I/U, delete on D) —
+  * but expressed for Spark's execution model instead of a row-at-a-time
+  * client:
+  *
+  *   - Rows live as `(row_key, op, values map<string,string>, version)`
+  *     parquet partitioned by `bucket = pmod(hash(row_key), numBuckets)`.
+  *   - Each micro-batch is compacted to the latest change per key
+  *     ([[CdcApply.latestByKey]] — one hash shuffle), merged against ONLY
+  *     the buckets it touches (partition-pruned read), and written as a
+  *     new snapshot directory `snap-<batchId>` holding just those buckets.
+  *   - A `manifest-<batchId>` file maps every bucket to the snapshot
+  *     directory holding its current data. Readers take the highest
+  *     manifest id; writers commit with an atomic rename — the same
+  *     log-then-pointer protocol Delta/Iceberg use, at bucket granularity.
+  *
+  * 100 TB story: per-batch work is proportional to the buckets touched by
+  * the batch, not to table size — a 1k-row batch against a 100 TB table
+  * rewrites at most `min(rows, numBuckets)` buckets (`numBuckets` sized so
+  * a bucket is a few GB). DELETEs are retained as tombstones so replayed
+  * or out-of-order batches can never resurrect a deleted row (max-version
+  * wins); [[compact]] folds tombstones out once they are past the
+  * checkpoint replay horizon. Replaying a batch id is idempotent: it
+  * rewrites the same snapshot directory and re-commits the same manifest.
+  *
+  * Schema evolution (reference CDCKudu.java:78-137) is metadata-only here:
+  * the live values travel as the envelope's map<string,string>, so a DDL
+  * add/drop updates the schema recorded in the manifest without touching
+  * data files — strictly cheaper than the reference's alter-and-flush.
+  */
+class ParquetUpsertStore(root: String, numBuckets: Int = 16) extends Serializable {
+  import ParquetUpsertStore._
+
+  private def tableDir(table: String): String =
+    root + "/" + table.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Apply one envelope micro-batch (DDL first, then compacted DML). */
+  def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      // --- DDL phase (driver-side; at most one row per table per batch) ---
+      val ddl = batch.filter(col("ddl").isNotNull)
+        .select(col("ddl.table"), col("ddl.schemaJson")).collect()
+      val ddlSchemas: Map[String, StructType] = ddl.map { r =>
+        r.getString(0) -> DataType.fromJson(r.getString(1)).asInstanceOf[StructType]
+      }.toMap
+
+      // --- DML phase: compact per (table, row_key), merge per table ---
+      val dml = UpsertSink.dmlProjection(batch)
+        .withColumn("bucket", pmod(hash(col("row_key")), lit(numBuckets)))
+      val tables = (dml.select(col("table")).distinct().collect().map(_.getString(0))
+        ++ ddlSchemas.keys).distinct
+
+      tables.foreach { t =>
+        val fs = fileSystem(spark, root)
+        val tdir = tableDir(t)
+        val cur = readManifest(fs, tdir)
+        val nb = cur.map(_.numBuckets).getOrElse(numBuckets)
+
+        // evolve the recorded schema on DDL (metadata-only alter)
+        val schemaJson: Option[String] = ddlSchemas.get(t) match {
+          case Some(target) =>
+            val evolved = cur.flatMap(_.schemaJson)
+              .map(j => DataType.fromJson(j).asInstanceOf[StructType]) match {
+              case None => target
+              case Some(live) =>
+                val d = SchemaEvolution.diff(live, target)
+                if (d.isEmpty) live
+                else StructType(live.fields.filterNot(f =>
+                  d.dropped.exists(_.equalsIgnoreCase(f.name))) ++ d.added)
+            }
+            Some(evolved.json)
+          case None => cur.flatMap(_.schemaJson)
+        }
+
+        val changes = CdcApply.latestByKey(
+          dml.filter(col("table") === t).drop("table"),
+          Seq("row_key"), col("version"))
+        val touched = changes.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+
+        val mapping = cur.map(_.buckets).getOrElse(Map.empty[Int, String])
+        if (touched.nonEmpty) {
+          val existing = readBuckets(spark, tdir, mapping, touched)
+          val merged = CdcApply.latestByKey(
+            existing.unionByName(changes), Seq("row_key"), col("version"))
+          merged.select(col("row_key"), col("op"), col("values"),
+              col("version"), col("bucket"))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("bucket")
+            .parquet(s"$tdir/snap-$batchId")
+        }
+        val newMapping = mapping ++ touched.map(_ -> s"snap-$batchId")
+        commitManifest(fs, tdir, batchId, Manifest(nb, schemaJson, newMapping))
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Live rows of `table` at the latest committed snapshot
+    * (tombstones filtered): `row_key, op, values, version`. */
+  def snapshot(spark: SparkSession, table: String): DataFrame = {
+    val fs = fileSystem(spark, root)
+    val tdir = tableDir(table)
+    val m = readManifest(fs, tdir).getOrElse(Manifest(numBuckets, None, Map.empty))
+    readBuckets(spark, tdir, m.buckets, m.buckets.keySet)
+      .filter(col("op") =!= graft.model.OpType.Delete)
+      .drop("bucket")
+  }
+
+  /** Recorded live schema of `table` (from the last applied DDL). */
+  def schemaOf(spark: SparkSession, table: String): Option[StructType] =
+    readManifest(fileSystem(spark, root), tableDir(table))
+      .flatMap(_.schemaJson)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** Fold all buckets into one snapshot directory and drop tombstones.
+    * Run only past the streaming checkpoint's replay horizon: once a
+    * tombstone is gone, a replay of the batch that deleted it must never
+    * happen (the checkpoint guarantees exactly that for committed batches). */
+  def compact(spark: SparkSession, table: String, asBatchId: Long): Unit = {
+    val fs = fileSystem(spark, root)
+    val tdir = tableDir(table)
+    readManifest(fs, tdir).foreach { m =>
+      val live = readBuckets(spark, tdir, m.buckets, m.buckets.keySet)
+        .filter(col("op") =!= graft.model.OpType.Delete)
+      live.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$tdir/snap-$asBatchId")
+      val mapping = m.buckets.keySet.map(_ -> s"snap-$asBatchId").toMap
+      commitManifest(fs, tdir, asBatchId, Manifest(m.numBuckets, m.schemaJson, mapping))
+    }
+  }
+
+  private def readBuckets(spark: SparkSession, tdir: String,
+                          mapping: Map[Int, String],
+                          buckets: Set[Int]): DataFrame = {
+    val byDir = mapping.filter { case (b, _) => buckets.contains(b) }
+      .groupBy(_._2).view.mapValues(_.keySet.toSeq).toMap
+    val parts = byDir.toSeq.sortBy(_._1).map { case (dir, bs) =>
+      spark.read.parquet(s"$tdir/$dir")
+        .withColumn("bucket", col("bucket").cast("int"))
+        .filter(col("bucket").isin(bs: _*))
+        .select(col("row_key"), col("op"), col("values"),
+          col("version"), col("bucket"))
+    }
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        snapshotSchema))
+  }
+}
+
+object ParquetUpsertStore {
+
+  val snapshotSchema: StructType = StructType(Seq(
+    StructField("row_key", StringType),
+    StructField("op", StringType),
+    StructField("values", MapType(StringType, StringType)),
+    StructField("version", LongType),
+    StructField("bucket", IntegerType)))
+
+  private[sinks] final case class Manifest(
+      numBuckets: Int, schemaJson: Option[String], buckets: Map[Int, String])
+
+  private def fileSystem(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest-id committed manifest, or None for a table that doesn't exist. */
+  private[sinks] def readManifest(fs: FileSystem, tdir: String): Option[Manifest] = {
+    val dir = new Path(tdir)
+    val latest =
+      try fs.listStatus(dir).iterator
+        .map(_.getPath.getName)
+        .filter(_.matches("manifest-\\d+"))
+        .map(n => n.stripPrefix("manifest-").toLong)
+        .foldLeft(Option.empty[Long])((acc, v) => Some(acc.fold(v)(math.max(_, v))))
+      catch { case _: java.io.FileNotFoundException => None }
+    latest.map { id =>
+      val in = new BufferedReader(new InputStreamReader(
+        fs.open(new Path(dir, s"manifest-$id")), UTF_8))
+      try {
+        val header = in.readLine().split(" ")
+        require(header(0) == "graft-upsert-manifest", s"bad manifest header in $tdir")
+        val nb = header(1).toInt
+        val schemaJson = Option(in.readLine()).filter(_ != "-")
+        val buckets = Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty)
+          .map { line =>
+            val Array(b, d) = line.split("\t", 2)
+            b.toInt -> d
+          }.toMap
+        Manifest(nb, schemaJson, buckets)
+      } finally in.close()
+    }
+  }
+
+  /** Write manifest-<id> via tmp-file + atomic rename (the commit point).
+    * A failed rename means the id is already committed (a replay) — the
+    * content is identical by construction, so it is dropped. */
+  private[sinks] def commitManifest(fs: FileSystem, tdir: String, id: Long,
+                                    m: Manifest): Unit = {
+    val text = new StringBuilder()
+      .append("graft-upsert-manifest ").append(m.numBuckets).append('\n')
+      .append(m.schemaJson.getOrElse("-")).append('\n')
+    m.buckets.toSeq.sortBy(_._1).foreach { case (b, d) =>
+      text.append(b).append('\t').append(d).append('\n')
+    }
+    val tmp = new Path(tdir, s".manifest-$id.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.toString.getBytes(UTF_8)) finally out.close()
+    if (!fs.rename(tmp, new Path(tdir, s"manifest-$id"))) fs.delete(tmp, false)
+  }
+}

@@ -15,9 +15,15 @@ object SchemaEvolution {
   final case class Diff(added: Seq[StructField], dropped: Seq[String]) {
     def isEmpty: Boolean = added.isEmpty && dropped.isEmpty
   }
-  def diff(current: StructType, target: StructType): Diff = Diff(
-    added = target.fields.toSeq.filterNot(f => current.fieldNames.contains(f.name)),
-    dropped = current.fieldNames.toSeq.filterNot(target.fieldNames.contains))
+  // Name comparison matches the envelope-validation posture (and Spark's
+  // default resolution): case-insensitive, so a DDL record that merely
+  // re-cases a column — the same column to the analyzer — is not a diff.
+  def diff(current: StructType, target: StructType): Diff = {
+    def has(names: Array[String], n: String) = names.exists(_.equalsIgnoreCase(n))
+    Diff(
+      added = target.fields.toSeq.filterNot(f => has(current.fieldNames, f.name)),
+      dropped = current.fieldNames.toSeq.filterNot(has(target.fieldNames, _)))
+  }
 }
 
 /** A PK-addressed mutable target — the surface Kudu/HBase/Bigtable all
@@ -81,6 +87,24 @@ object InMemoryStore {
   * irrelevant — and applied partition-parallel. */
 object UpsertSink {
 
+  /** Envelope DML records → `(table, op, row_key, values, version)`.
+    *
+    * Row key per reference getRowKey (CDCTableUtil.java:98-105): sort the
+    * PK NAMES, then join the corresponding values in name order — never
+    * sort the values themselves. Null-strict per segment
+    * (CdcApply.strictKeySegment): a missing/NULL PK value raises a named
+    * error instead of collapsing keys. `try_element_at` keeps the lookup
+    * NULL-on-missing under ANSI mode, so the named error is preserved. */
+  private[sinks] def dmlProjection(batch: DataFrame): DataFrame =
+    batch.filter(col("dml").isNotNull).select(
+      col("dml.table").as("table"),
+      col("dml.opType").as("op"),
+      concat_ws(":", transform(array_sort(col("dml.primaryKeys")),
+        k => CdcApply.strictKeySegment(k, try_element_at(col("dml.rowsValues"), k))))
+        .as("row_key"),
+      col("dml.rowsValues").as("values"),
+      col("dml.changeTrackingVersion").cast("long").as("version"))
+
   def applyBatch(batch: DataFrame, writerName: String): Unit = {
     val writer = InMemoryStore.get(writerName)
     // --- DDL phase (few rows: one per table per batch at most) ---
@@ -98,19 +122,8 @@ object UpsertSink {
       }
     }
     // --- DML phase: compact per (table, rowKey), then apply ---
-    val dml = batch.filter(col("dml").isNotNull).select(
-      col("dml.table").as("table"),
-      col("dml.opType").as("op"),
-      // Reference getRowKey (CDCTableUtil.java:98-105): sort the PK NAMES,
-      // then join the corresponding values in name order — never sort the
-      // values themselves. Null-strict per segment (CdcApply.strictKeySegment):
-      // a missing/NULL PK value raises instead of collapsing keys.
-      concat_ws(":", transform(array_sort(col("dml.primaryKeys")),
-        k => CdcApply.strictKeySegment(k, element_at(col("dml.rowsValues"), k))))
-        .as("row_key"),
-      col("dml.rowsValues").as("values"),
-      col("dml.changeTrackingVersion").cast("long").as("version"))
-    val compacted = CdcApply.latestByKey(dml, Seq("table", "row_key"), col("version"))
+    val compacted = CdcApply.latestByKey(dmlProjection(batch),
+      Seq("table", "row_key"), col("version"))
     compacted.foreachPartition { rows: Iterator[Row] =>
       val w = InMemoryStore.get(writerName)
       rows.foreach { r =>
