@@ -179,6 +179,34 @@ object CdcQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // SNK1 durable, end-to-end: the cluster-valid parquet upsert target.
+    // Wrap events into the envelope as an I/U/D change log with
+    // version = event_id, apply it through ParquetUpsertStore in two
+    // micro-batches (DDL schema snapshot rides batch 0; DML split by
+    // version parity so batch 1 must merge against batch 0's committed
+    // buckets), then read the committed snapshot back and re-type it.
+    // Converges to the same law as cdc04: latest change per key, minus
+    // keys whose latest op is DELETE — regardless of batch boundaries
+    // (reference sink/CDCTableUtil.java:57-96, CDCKudu.java:139-184).
+    "cdc13_durable_upsert" -> ((s, d) => {
+      import graft.sinks.ParquetUpsertStore
+      val ev = Tables.events(s, d)
+      val env = ChangeFeed.wrapDml(ev, "public.events", Seq("user_id"),
+        opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val store = new ParquetUpsertStore(freshDir("cdc13"), numBuckets = 8)
+      store.applyBatch(ChangeFeed.wrapDdl(s, "public.events", ev.schema)
+        .unionByName(env.filter(ver % 2 === 0)), 0L)
+      store.applyBatch(env.filter(ver % 2 === 1), 1L)
+      store.snapshot(s, "public.events")
+        .select(
+          element_at(col("values"), "user_id").cast("long").as("user_id"),
+          element_at(col("values"), "event_id").cast("long").as("event_id"),
+          col("op"),
+          element_at(col("values"), "value").cast("double").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // SRC1b materialized Spark-side: CHANGETABLE(CHANGES) ⋈ base on PK —
     // latest change per key in a version window, outer-joined to the base
     // table for current attributes (missing base row ⇒ deleted).
@@ -198,6 +226,15 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
   )
+
+  /** Scratch directory for queries that exercise a durable store
+    * (driver-local; under the build's target/ so nothing outside the repo
+    * is touched). */
+  private def freshDir(tag: String): String = {
+    val base = java.nio.file.Paths.get("target", "tmp")
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, tag + "-").toString
+  }
 
   private val opFromEventSql =
     "CASE WHEN event_type = 'signup' THEN 'INSERT' WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END"
@@ -272,6 +309,13 @@ object CdcQueries {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "cdc13_durable_upsert" ->
+      s"""SELECT user_id, event_id, op, value
+         |FROM (SELECT user_id, event_id, $opFromEventSql AS op, value,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY event_id DESC) AS rn
+         |      FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "cdc11_changes_join_base" ->
       s"""SELECT user_id, version, op, c_name
          |FROM (SELECT user_id, event_id AS version, $opFromEventSql AS op,

@@ -64,7 +64,6 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16) extends Serializabl
 
       // --- DML phase: compact per (table, row_key), merge per table ---
       val dml = UpsertSink.dmlProjection(batch)
-        .withColumn("bucket", pmod(hash(col("row_key")), lit(numBuckets)))
       val tables = (dml.select(col("table")).distinct().collect().map(_.getString(0))
         ++ ddlSchemas.keys).distinct
 
@@ -90,9 +89,14 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16) extends Serializabl
           case None => cur.flatMap(_.schemaJson)
         }
 
+        // Bucket with the MANIFEST's bucket count, not the constructor's:
+        // a store handle opened with a different `numBuckets` must keep
+        // writing buckets consistent with the table's recorded mapping,
+        // or reads would prune to buckets that don't hold the rows.
         val changes = CdcApply.latestByKey(
           dml.filter(col("table") === t).drop("table"),
           Seq("row_key"), col("version"))
+          .withColumn("bucket", pmod(hash(col("row_key")), lit(nb)))
         val touched = changes.select(col("bucket")).distinct()
           .collect().map(_.getInt(0)).toSet
 

@@ -139,12 +139,18 @@ object UpsertSink {
     * changeRecord envelope, before anything starts). Containment, not
     * equality: extra columns are tolerated, missing/mistyped ones are not. */
   def validateEnvelopeSchema(schema: StructType): Unit = {
-    // Name match is case-insensitive, aligning with Spark's default
-    // column resolution (spark.sql.caseSensitive=false): a stream whose
-    // analyzer would resolve 'DML' must not be rejected here as missing.
+    // Name matching follows the session's resolution posture: under the
+    // default spark.sql.caseSensitive=false a stream whose analyzer would
+    // resolve 'DML' must not be rejected here as missing — but when
+    // case-sensitive analysis is on, accepting 'DML' would defeat
+    // fail-before-start (the analyzer would fail mid-stream instead).
+    val nameMatches: (String, String) => Boolean =
+      if (org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis)
+        (a, b) => a == b
+      else (a, b) => a.equalsIgnoreCase(b)
     def contains(actual: StructType, required: StructType, path: String): Unit =
       required.fields.foreach { f =>
-        val a = actual.fields.find(_.name.equalsIgnoreCase(f.name)).getOrElse(
+        val a = actual.fields.find(a => nameMatches(a.name, f.name)).getOrElse(
           throw new IllegalArgumentException(
             s"envelope schema is missing required field '$path${f.name}'"))
         (a.dataType, f.dataType) match {
@@ -163,6 +169,20 @@ object UpsertSink {
     envelope.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: DataFrame, _: Long) => applyBatch(b, writerName))
+      .start()
+  }
+
+  /** Streaming entry against the durable, cluster-valid target: envelope
+    * stream → foreachBatch([[ParquetUpsertStore.applyBatch]]). The batch id
+    * flows through to the store's manifest commit, so a replayed batch
+    * (at-least-once foreachBatch) rewrites the same snapshot and re-commits
+    * the same manifest — idempotent end-to-end. */
+  def stream(envelope: DataFrame, store: ParquetUpsertStore,
+             checkpoint: String): StreamingQuery = {
+    validateEnvelopeSchema(envelope.schema)
+    envelope.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => store.applyBatch(b, id))
       .start()
   }
 }

@@ -115,6 +115,22 @@ class UpsertSinkSpec extends SparkSuite {
     UpsertSink.validateEnvelopeSchema(env.toDF("DDL", "Dml").schema)
   }
 
+  test("envelope validation goes exact-match under spark.sql.caseSensitive=true") {
+    val env = spark.createDataset(Seq(ddl(s1)))
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      // exact-cased names still validate...
+      UpsertSink.validateEnvelopeSchema(env.toDF().schema)
+      // ...but re-cased ones are rejected up front: the case-sensitive
+      // analyzer could not resolve them later, so accepting them here
+      // would defeat fail-before-start.
+      val e = intercept[IllegalArgumentException] {
+        UpsertSink.validateEnvelopeSchema(env.toDF("DDL", "Dml").schema)
+      }
+      assert(e.getMessage.contains("ddl"))
+    } finally spark.conf.unset("spark.sql.caseSensitive")
+  }
+
   test("schema diff is the symmetric difference") {
     val d = SchemaEvolution.diff(s1, s2)
     assert(d.added.map(_.name) == Seq("extra") && d.dropped.isEmpty)
