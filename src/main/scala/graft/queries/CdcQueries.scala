@@ -207,6 +207,67 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // SRC1f with real JDBC typing: a change-scan ResultSet (offline
+    // fixture over the exact java.sql interfaces) decoded through the
+    // DBUtils type tier — every lossy quirk on display: DECIMAL(12,2)→
+    // double, DECIMAL(5,0)→int, DECIMAL(12,0)→long, "int unsigned"
+    // INTEGER→long, TINYINT→int, REAL→float, CLOB→string, DATE/TIME/
+    // TIMESTAMP logical mapping — then wrapped into the envelope and
+    // flattened back to typed columns (reference DBUtils.java:97-209,
+    // ResultSetToDMLRecord.java:56-113). Oracle is the literal expected
+    // table: the quirks are deterministic, so the values are too.
+    "cdc14_jdbc_typed_decode" -> ((s, _) => {
+      import graft.sources.{JdbcFixture, JdbcTypes}
+      import java.sql.{Date, Time, Timestamp, Types}
+      import javax.sql.rowset.serial.SerialClob
+      import s.implicits._
+      val cols = Seq(
+        JdbcFixture.Col("CHANGE_TRACKING_VERSION", "bigint", Types.BIGINT),
+        JdbcFixture.Col("SYS_CHANGE_CREATION_VERSION", "bigint", Types.BIGINT),
+        JdbcFixture.Col("SYS_CHANGE_OPERATION", "varchar", Types.VARCHAR),
+        JdbcFixture.Col("CDC_CURRENT_TIMESTAMP", "timestamp", Types.TIMESTAMP),
+        JdbcFixture.Col("id", "int", Types.INTEGER, precision = 10),
+        JdbcFixture.Col("big", "bigint", Types.BIGINT),
+        JdbcFixture.Col("ucount", "int unsigned", Types.INTEGER),
+        JdbcFixture.Col("price", "decimal", Types.DECIMAL, precision = 12, scale = 2),
+        JdbcFixture.Col("qty", "decimal", Types.DECIMAL, precision = 5),
+        JdbcFixture.Col("serial", "decimal", Types.DECIMAL, precision = 12),
+        JdbcFixture.Col("tiny", "tinyint", Types.TINYINT),
+        JdbcFixture.Col("ratio", "real", Types.REAL),
+        JdbcFixture.Col("name", "varchar", Types.VARCHAR),
+        JdbcFixture.Col("note", "clob", Types.CLOB),
+        JdbcFixture.Col("d", "date", Types.DATE),
+        JdbcFixture.Col("tm", "time", Types.TIME),
+        JdbcFixture.Col("tstamp", "timestamp", Types.TIMESTAMP))
+      def dec(v: String) = new java.math.BigDecimal(v)
+      val ct = Timestamp.valueOf("2024-03-01 12:00:00")
+      val rows = Seq(
+        Seq[Any](101L, 100L, "I", ct, 1, 9000000000L, 3000000000L,
+          dec("123.45"), dec("7"), dec("99999999999"), 5.toByte, 0.5f,
+          "alpha", new SerialClob("note-a".toCharArray),
+          Date.valueOf("2024-03-01"), Time.valueOf("01:02:03"),
+          Timestamp.valueOf("2024-03-01 10:30:00")),
+        Seq[Any](102L, 100L, "U", ct, 2, -9000000000L, 4294967295L,
+          dec("0.10"), dec("0"), dec("1"), (-3).toByte, 2.25f,
+          "beta", null,
+          Date.valueOf("1999-12-31"), Time.valueOf("23:59:59"),
+          Timestamp.valueOf("1999-12-31 23:59:59")),
+        Seq[Any](103L, 103L, "D", ct, 3, 0L, 1L,
+          dec("-42.50"), dec("12345"), dec("1234567890"), 0.toByte, -0.5f,
+          "gamma", new SerialClob("note-c".toCharArray),
+          Date.valueOf("2024-02-29"), Time.valueOf("00:00:00"),
+          Timestamp.valueOf("2024-02-29 00:00:00")))
+      val recs = JdbcTypes.changeRecords(
+        JdbcFixture.resultSet(cols, rows), "dbo", "mixed", Seq("id"))
+      val rowSchema = JdbcTypes.changeSchema(JdbcFixture.metaData(cols))
+      DmlFlattener.flatten(s.createDataset(recs).toDF(), rowSchema,
+          includeCdcColumns = true)
+        .withColumnRenamed(DmlFlattener.OpTypeCol, "op")
+        .withColumnRenamed(DmlFlattener.VersionCol, "version")
+        .drop(DmlFlattener.TimestampCol)
+        .orderBy(col("id"))
+    }),
+
     // SRC1b materialized Spark-side: CHANGETABLE(CHANGES) ⋈ base on PK —
     // latest change per key in a version window, outer-joined to the base
     // table for current attributes (missing base row ⇒ deleted).
@@ -316,6 +377,26 @@ object CdcQueries {
          |          ORDER BY event_id DESC) AS rn
          |      FROM events) t
          |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "cdc14_jdbc_typed_decode" ->
+      """SELECT * FROM (VALUES
+        |  (1, CAST(9000000000 AS BIGINT), CAST(3000000000 AS BIGINT),
+        |   CAST(123.45 AS DOUBLE), 7, CAST(99999999999 AS BIGINT), 5,
+        |   CAST(0.5 AS REAL), 'alpha', 'note-a', DATE '2024-03-01',
+        |   CAST(3723000000 AS BIGINT), TIMESTAMP '2024-03-01 10:30:00',
+        |   'INSERT', '101'),
+        |  (2, CAST(-9000000000 AS BIGINT), CAST(4294967295 AS BIGINT),
+        |   CAST(0.10 AS DOUBLE), 0, CAST(1 AS BIGINT), -3,
+        |   CAST(2.25 AS REAL), 'beta', CAST(NULL AS VARCHAR),
+        |   DATE '1999-12-31', CAST(86399000000 AS BIGINT),
+        |   TIMESTAMP '1999-12-31 23:59:59', 'UPDATE', '102'),
+        |  (3, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+        |   CAST(-42.50 AS DOUBLE), 12345, CAST(1234567890 AS BIGINT), 0,
+        |   CAST(-0.5 AS REAL), 'gamma', 'note-c', DATE '2024-02-29',
+        |   CAST(0 AS BIGINT), TIMESTAMP '2024-02-29 00:00:00',
+        |   'DELETE', '103')
+        |) AS v(id, big, ucount, price, qty, serial, tiny, ratio, name,
+        |       note, d, tm, tstamp, op, version)
+        |ORDER BY id""".stripMargin,
     "cdc11_changes_join_base" ->
       s"""SELECT user_id, version, op, c_name
          |FROM (SELECT user_id, event_id AS version, $opFromEventSql AS op,

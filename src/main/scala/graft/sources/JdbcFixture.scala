@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{ResultSet, ResultSetMetaData}
+
+/** Offline stand-in for a live JDBC connection: builds real
+  * `java.sql.ResultSet` / `ResultSetMetaData` instances over in-memory
+  * rows, so the [[JdbcTypes]] tier is exercised through the exact
+  * interfaces a driver would hand it (the environment has no database or
+  * driver jar — same role as the CT simulator in
+  * [[ChangeTrackingStore]]). Only the accessors the decode path uses are
+  * implemented; anything else throws, which is a feature: it fails loudly
+  * if the tier grows a dependency the fixture doesn't model. */
+object JdbcFixture {
+
+  /** One column's JDBC-visible metadata. */
+  final case class Col(name: String, typeName: String, sqlType: Int,
+                       precision: Int = 0, scale: Int = 0,
+                       nullable: Boolean = true)
+
+  def metaData(cols: Seq[Col]): ResultSetMetaData =
+    proxy[ResultSetMetaData] { (m, args) =>
+      def col = cols(args(0).asInstanceOf[Int] - 1)
+      m match {
+        case "getColumnCount" => Int.box(cols.size)
+        case "getColumnName" | "getColumnLabel" => col.name
+        case "getColumnType" => Int.box(col.sqlType)
+        case "getColumnTypeName" => col.typeName
+        case "getPrecision" => Int.box(col.precision)
+        case "getScale" => Int.box(col.scale)
+        case "isNullable" => Int.box(
+          if (col.nullable) ResultSetMetaData.columnNullable
+          else ResultSetMetaData.columnNoNulls)
+        case other => throw new UnsupportedOperationException(
+          s"JdbcFixture metadata does not model $other")
+      }
+    }
+
+  /** A forward-only ResultSet over `rows` (each row positional, aligned
+    * with `cols`). */
+  def resultSet(cols: Seq[Col], rows: Seq[Seq[Any]]): ResultSet = {
+    val md = metaData(cols)
+    val byName = cols.map(_.name).zipWithIndex.toMap
+    var cursor = -1
+    def cell(args: Array[AnyRef]): Any = args(0) match {
+      case i: Integer => rows(cursor)(i - 1)
+      case name: String => rows(cursor)(byName.getOrElse(name,
+        throw new java.sql.SQLException(s"no such column: $name")))
+      case other => throw new java.sql.SQLException(s"bad column ref: $other")
+    }
+    proxy[ResultSet] { (m, args) =>
+      m match {
+        case "next" => cursor += 1; Boolean.box(cursor < rows.size)
+        case "getMetaData" => md
+        case "getObject" => cell(args).asInstanceOf[AnyRef]
+        case "getString" => Option(cell(args)).map(_.toString).orNull
+        case "getDate" => cell(args).asInstanceOf[java.sql.Date]
+        case "getTime" => cell(args).asInstanceOf[java.sql.Time]
+        case "getTimestamp" => cell(args).asInstanceOf[java.sql.Timestamp]
+        case "close" | "clearWarnings" => null
+        case "isClosed" => Boolean.box(false)
+        case "toString" => s"JdbcFixture.resultSet(${cols.size} cols, ${rows.size} rows)"
+        case other => throw new UnsupportedOperationException(
+          s"JdbcFixture result set does not model $other")
+      }
+    }
+  }
+
+  private def proxy[T](handler: (String, Array[AnyRef]) => AnyRef)
+                      (implicit ct: scala.reflect.ClassTag[T]): T = {
+    val clazz = ct.runtimeClass
+    Proxy.newProxyInstance(clazz.getClassLoader, Array(clazz),
+      new InvocationHandler {
+        override def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          handler(m.getName, if (args == null) Array.empty else args)
+      }).asInstanceOf[T]
+  }
+}
