@@ -62,10 +62,17 @@ object ChangeFeed {
   /** Union DDL records ahead of DML records — the reference's
     * DDL-before-DML batch ordering contract (CTInputDStream.java:124-133),
     * made explicit with an `order` tag instead of relying on union
-    * partition order (SURVEY.md §7.3 hard part 2). */
-  def unionDdlFirst(ddl: DataFrame, dml: DataFrame): DataFrame =
-    ddl.withColumn("__order", lit(0))
+    * partition order (SURVEY.md §7.3 hard part 2).
+    *
+    * Streaming plans forbid Sort, so there the tag is dropped and the
+    * union is left unordered — safe because every sink in this engine
+    * phase-splits each micro-batch itself (DDL first, then DML:
+    * [[graft.sinks.UpsertSink.applyBatch]]), rather than relying on row
+    * iteration order the way the reference's row-at-a-time sinks do. */
+  def unionDdlFirst(ddl: DataFrame, dml: DataFrame): DataFrame = {
+    val tagged = ddl.withColumn("__order", lit(0))
       .unionByName(dml.withColumn("__order", lit(1)))
-      .sortWithinPartitions("__order")
+    (if (tagged.isStreaming) tagged else tagged.sortWithinPartitions("__order"))
       .drop("__order")
+  }
 }

@@ -268,6 +268,60 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // SRC2 + SRC2a + SRC3 end-to-end on REAL GoldenGate payloads: raw
+    // Kafka-shaped bytes (wrapper-schema announcement, schema JSON,
+    // Avro-wrapped DMLs with paired before/after images and *_isMissing
+    // flags) → classify → fingerprint registry → decode → merge/split →
+    // envelope → flatten. Exercises the missing-column merge (UPDATE
+    // takes the before value where the after flag is set) and the
+    // PK-moving UPDATE split into DELETE + INSERT (reference
+    // source/oracle/Normalizer.java:59-104,146-201,
+    // GoldenGateKafka.java:208-237). Deterministic fixture → literal
+    // oracle.
+    "cdc15_goldengate_pipeline" -> ((s, _) => {
+      import graft.sources.{GoldenGateAvro => GG, GoldenGateDml}
+      import s.implicits._
+      val schemaJson =
+        """{"type":"record","name":"CUSTOMERS","namespace":"ORCL","fields":[
+          | {"name":"table","type":"string"},
+          | {"name":"op_type","type":"string"},
+          | {"name":"primary_keys","type":{"type":"array","items":"string"}},
+          | {"name":"before","type":["null",{"type":"record","name":"columns","fields":[
+          |   {"name":"id","type":"long"},{"name":"id_isMissing","type":"boolean"},
+          |   {"name":"name","type":["null","string"]},{"name":"name_isMissing","type":"boolean"},
+          |   {"name":"bal","type":"double"},{"name":"bal_isMissing","type":"boolean"}]}]},
+          | {"name":"after","type":["null","columns"]}]}""".stripMargin
+      val fp = org.apache.avro.SchemaNormalization.parsingFingerprint64(
+        new org.apache.avro.Schema.Parser().parse(schemaJson))
+      def row(id: Long, name: String, bal: Double, missName: Boolean = false) =
+        Map[String, Any]("id" -> id, "id_isMissing" -> false,
+          "name" -> name, "name_isMissing" -> missName,
+          "bal" -> bal, "bal_isMissing" -> false)
+      def dmlMsg(op: String, before: Any, after: Any) =
+        GG.encodeWrapper("ORCL.CUSTOMERS", fp, GG.encodeRecord(schemaJson,
+          Map[String, Any]("table" -> "ORCL.CUSTOMERS", "op_type" -> op,
+            "primary_keys" -> Seq("id"), "before" -> before, "after" -> after)))
+      val raw: Seq[Array[Byte]] = Seq(
+        GG.WrapperSchemaJson.getBytes("UTF-8"), // announcement → ignored
+        schemaJson.getBytes("UTF-8"),           // registers fingerprint
+        dmlMsg("I", null, row(1, "ann", 10.5)),
+        // unchanged name arrives flagged missing → merged from before
+        dmlMsg("U", row(1, "ann", 10.5), row(1, "WRONG", 99.25, missName = true)),
+        // PK moved → DELETE(before) + INSERT(after)
+        dmlMsg("U", row(2, "bob", 1.0), row(20, "bob2", 2.0)),
+        dmlMsg("D", row(1, "ann", 99.25), null))
+      val msgs = raw.zipWithIndex.map { case (b, i) =>
+        GoldenGateDml.classify(b, i.toLong)
+      }
+      val env = GoldenGateDml.pipeline(s.createDataset(msgs))
+      DmlFlattener.flatten(env, GoldenGateDml.rowStructType(schemaJson),
+          includeCdcColumns = true)
+        .select(col("id"), col("name"), col("bal"),
+          col(DmlFlattener.OpTypeCol).as("op"),
+          col(DmlFlattener.VersionCol).cast("long").as("version"))
+        .orderBy(col("version"), col("op"), col("id"))
+    }),
+
     // SRC1b materialized Spark-side: CHANGETABLE(CHANGES) ⋈ base on PK —
     // latest change per key in a version window, outer-joined to the base
     // table for current attributes (missing base row ⇒ deleted).
@@ -397,6 +451,15 @@ object CdcQueries {
         |) AS v(id, big, ucount, price, qty, serial, tiny, ratio, name,
         |       note, d, tm, tstamp, op, version)
         |ORDER BY id""".stripMargin,
+    "cdc15_goldengate_pipeline" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'ann', CAST(10.5 AS DOUBLE), 'INSERT', CAST(2 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'ann', CAST(99.25 AS DOUBLE), 'UPDATE', CAST(3 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'bob', CAST(1.0 AS DOUBLE), 'DELETE', CAST(4 AS BIGINT)),
+        |  (CAST(20 AS BIGINT), 'bob2', CAST(2.0 AS DOUBLE), 'INSERT', CAST(4 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'ann', CAST(99.25 AS DOUBLE), 'DELETE', CAST(5 AS BIGINT))
+        |) AS v(id, name, bal, op, version)
+        |ORDER BY version, op, id""".stripMargin,
     "cdc11_changes_join_base" ->
       s"""SELECT user_id, version, op, c_name
          |FROM (SELECT user_id, event_id AS version, $opFromEventSql AS op,

@@ -31,8 +31,10 @@ object StatefulOps {
   /** A data message with its schema resolved from registry state
     * (schemaJson is None if the schema was never seen — the reference
     * throws here; we surface it as None for the caller to route to a
-    * dead-letter sink). */
-  case class ResolvedData(fingerprint: Long, payload: String, schemaJson: Option[String])
+    * dead-letter sink). `version` carries the message's source order
+    * through (the offset-derived version of the [[GgMessage]]). */
+  case class ResolvedData(fingerprint: Long, payload: String,
+                          schemaJson: Option[String], version: Long = 0L)
 
   /** ST1 — DDL dedup: a table's schema passes through only when it
     * differs from the last schema seen for that table, across batches
@@ -71,7 +73,7 @@ object StatefulOps {
           recs.toSeq.sortBy(r => (r.version, if (r.kind == "schema") 0 else 1))
             .foreach { r =>
             if (r.kind == "schema") schema = Some(r.payload)
-            else out += ResolvedData(fp, r.payload, schema)
+            else out += ResolvedData(fp, r.payload, schema, r.version)
           }
           schema.foreach(state.update)
           out.result().iterator

@@ -1,0 +1,103 @@
+package graft
+
+import graft.sources.{GoldenGateAvro, GoldenGateDml, GoldenGateFeed, MessageLog}
+
+/** The Kafka-shaped transport tier: −1/−2 initial-offset resolution,
+  * retention-aware validation, and the composed readStream assembly
+  * (feed → classify → registry → decode → merge/split → envelope). */
+class GoldenGateFeedSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val ggSchemaJson =
+    """{"type":"record","name":"T","namespace":"ORCL","fields":[
+      | {"name":"table","type":"string"},
+      | {"name":"op_type","type":"string"},
+      | {"name":"primary_keys","type":{"type":"array","items":"string"}},
+      | {"name":"before","type":["null",{"type":"record","name":"columns","fields":[
+      |   {"name":"id","type":"long"},{"name":"id_isMissing","type":"boolean"},
+      |   {"name":"v","type":["null","string"]},{"name":"v_isMissing","type":"boolean"}]}]},
+      | {"name":"after","type":["null","columns"]}]}""".stripMargin
+  private val fp = org.apache.avro.SchemaNormalization.parsingFingerprint64(
+    new org.apache.avro.Schema.Parser().parse(ggSchemaJson))
+
+  private def row(id: Long, v: String) =
+    Map[String, Any]("id" -> id, "id_isMissing" -> false,
+      "v" -> v, "v_isMissing" -> false)
+
+  private def dmlMsg(op: String, before: Any, after: Any): Array[Byte] =
+    GoldenGateAvro.encodeWrapper("ORCL.T", fp,
+      GoldenGateAvro.encodeRecord(ggSchemaJson, Map[String, Any](
+        "table" -> "ORCL.T", "op_type" -> op, "primary_keys" -> Seq("id"),
+        "before" -> before, "after" -> after)))
+
+  test("initial-offset sentinels resolve against the log like the reference's loadOffsets") {
+    val log = new MessageLog
+    (1 to 5).foreach(i => log.append(Array[Byte](i.toByte)))
+    log.expireThrough(2) // retention: offsets 0,1 are gone
+    assert(GoldenGateFeed.resolveInitialOffset(GoldenGateFeed.EarliestSentinel, log) == 2L)
+    assert(GoldenGateFeed.resolveInitialOffset(GoldenGateFeed.LatestSentinel, log) == 5L)
+    assert(GoldenGateFeed.resolveInitialOffset(3L, log) == 3L)
+    // an offset already expired by retention fails loudly
+    intercept[IllegalArgumentException] {
+      GoldenGateFeed.resolveInitialOffset(1L, log)
+    }
+  }
+
+  test("earliest start replays the retained log through the composed pipeline") {
+    val name = "gg-feed-earliest"
+    MessageLog.drop(name)
+    val log = MessageLog.get(name)
+    log.append(ggSchemaJson.getBytes("UTF-8"))
+    log.append(dmlMsg("I", null, row(1, "a")))
+
+    val q = GoldenGateDml.fromFeed(spark, name,
+        initialOffset = GoldenGateFeed.EarliestSentinel)
+      .writeStream.format("memory").queryName("gg_feed_e")
+      .option("checkpointLocation", checkpointDir("ggfeed-e"))
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // live appends keep flowing, offset-versioned
+    log.append(dmlMsg("U", row(1, "a"), row(1, "a2")))
+    q.processAllAvailable()
+    q.stop()
+
+    val env = spark.table("gg_feed_e")
+    assert(env.filter("ddl IS NOT NULL").count() == 1)
+    val dml = env.filter("dml IS NOT NULL")
+      .selectExpr("dml.opType", "dml.rowsValues['v']",
+        "CAST(dml.changeTrackingVersion AS LONG)")
+      .as[(String, String, Long)].collect().sortBy(_._3)
+    assert(dml.toSeq == Seq(("INSERT", "a", 1L), ("UPDATE", "a2", 2L)))
+  }
+
+  test("latest start skips the backlog and sees only post-start messages") {
+    val name = "gg-feed-latest"
+    MessageLog.drop(name)
+    val log = MessageLog.get(name)
+    // backlog that must NOT be read
+    log.append(ggSchemaJson.getBytes("UTF-8"))
+    log.append(dmlMsg("I", null, row(1, "old")))
+
+    val q = GoldenGateDml.fromFeed(spark, name,
+        initialOffset = GoldenGateFeed.LatestSentinel)
+      .writeStream.format("memory").queryName("gg_feed_l")
+      .option("checkpointLocation", checkpointDir("ggfeed-l"))
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("gg_feed_l").count() == 0)
+
+    // post-start messages (schema must re-arrive: the registry state is
+    // per-query, exactly like the reference's mapWithState)
+    log.append(ggSchemaJson.getBytes("UTF-8"))
+    log.append(dmlMsg("I", null, row(2, "new")))
+    q.processAllAvailable()
+    q.stop()
+
+    val env = spark.table("gg_feed_l")
+    assert(env.filter("ddl IS NOT NULL").count() == 1)
+    val dml = env.filter("dml IS NOT NULL")
+      .selectExpr("dml.opType", "dml.rowsValues['id']", "dml.rowsValues['v']")
+      .as[(String, String, String)].collect()
+    assert(dml.toSeq == Seq(("INSERT", "2", "new")))
+  }
+}
