@@ -26,14 +26,23 @@ object ApiQueries {
         .orderBy(col("o_custkey"))
     }),
 
-    // Sketch tier: HLL approximate distinct (no oracle — DuckDB's HLL
-    // differs by construction; the driver records a rows-only check, and
-    // the exact counterpart is q07).
+    // Sketch tier: a real dense HyperLogLog behind TypedImperativeAggregate
+    // (graft.functions.HllSketchAgg, p=12 → ±1.6% σ). The sketch hashes
+    // with a fixed splitmix64, so its estimate is DETERMINISTIC per input
+    // set — which makes it oracle-gateable: emit the exact count plus a
+    // boolean asserting the estimate landed within 5% (≈3σ) of it. DuckDB
+    // states the exact side and TRUE; any estimator drift or
+    // non-determinism breaks the hash compare.
     "q22_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(graft.functions.HllSketchAgg.approxDistinct(col("l_partkey"))
+            .as("hll_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("hll_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("hll_within_5pct"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -170,7 +179,10 @@ object ApiQueries {
         |   AS max_price,
         | COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
-    // q22_approx_distinct: deliberately no oracle (sketch).
+    "q22_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        | COUNT(*) AS n, TRUE AS hll_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q23_sql_api" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders o
