@@ -55,10 +55,11 @@ object Similarity {
     * deterministic under any aggregation order, so the whole search is
     * oracle-verifiable; quantization at 2^-20 is far below the noise
     * floor of a float32 embedding. At scale: centroids are a tiny
-    * broadcast, the corpus shuffles once on label, each query scans one
-    * partition (nprobe=1). */
+    * broadcast, the corpus shuffles once on label, each query scans its
+    * `nprobe` nearest centroids' partitions (recall rises with nprobe at
+    * a linear cost in candidates — still never the full corpus). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, labelCol: String,
-              k: Int): DataFrame = {
+              k: Int, nprobe: Int = 1): DataFrame = {
     val quant = 1048576L // 2^20
     // exact, order-independent centroid training
     val dims = corpus.select(col(labelCol).as("label"),
@@ -78,7 +79,7 @@ object Similarity {
     val wAssign = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("label").asc)
     val assigned = scored.withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") === 1)
+      .filter(col("arnk") <= nprobe)
       .select(col("query_id"), col("qv"), col("label").as("probe_label"))
     // search within the probed partition only
     val c = corpus.select(col("vec_id").as("neighbor_id"),

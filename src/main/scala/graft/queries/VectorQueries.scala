@@ -72,6 +72,16 @@ object VectorQueries {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "label", k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // IVF with nprobe=2: each query searches its TWO nearest centroids'
+    // partitions — the recall dial. Candidates stay bounded by
+    // nprobe/partitions of the corpus; top-k ranks across both probes.
+    "vs06_ivf_nprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "label",
+          k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -132,6 +142,39 @@ object VectorQueries {
          |    SELECT query_id, qv, label, ROW_NUMBER() OVER (
          |      PARTITION BY query_id ORDER BY score DESC, label ASC) AS arnk
          |    FROM scored) t WHERE arnk = 1),
+         |cand AS (
+         |  SELECT query_id, probe_label, e.vec_id AS neighbor_id,
+         |    ${cosSql("qv", "e.embedding")} AS cos
+         |  FROM assigned JOIN embeddings e ON e.label = assigned.probe_label
+         |  WHERE e.vec_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, probe_label, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand)
+         |SELECT query_id, probe_label, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "vs06_ivf_nprobe" ->
+      s"""WITH dims AS (
+         |  SELECT label, r.i AS i,
+         |    CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |  FROM embeddings, range(1, 65) r(i)),
+         |cent AS (
+         |  SELECT label, i, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS c
+         |  FROM dims GROUP BY label, i),
+         |cvec AS (
+         |  SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT query_id, qv, label,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+         |      i -> CAST(qv[i] AS DOUBLE) * cv[i])), (acc, x) -> acc + x) AS score
+         |  FROM q CROSS JOIN cvec),
+         |assigned AS (
+         |  SELECT query_id, qv, label AS probe_label FROM (
+         |    SELECT query_id, qv, label, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, label ASC) AS arnk
+         |    FROM scored) t WHERE arnk <= 2),
          |cand AS (
          |  SELECT query_id, probe_label, e.vec_id AS neighbor_id,
          |    ${cosSql("qv", "e.embedding")} AS cos

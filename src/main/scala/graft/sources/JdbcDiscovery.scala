@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.sql.ResultSet
+
+/** SRC1a — change-tracking table discovery over the JDBC catalog views,
+  * replicating the reference's queries against a SQL Server
+  * (CTInputDStream.java:222-241 `sys.change_tracking_tables ⋈ sys.tables
+  * ⋈ sys.schemas`, :206-220 `INFORMATION_SCHEMA.KEY_COLUMN_USAGE` with
+  * the IsPrimaryKey constraint filter, :184-203 `SELECT TOP 1 *` column
+  * probe).
+  *
+  * Connection management is the caller's: discovery consumes the three
+  * catalog ResultSets (live JDBC or [[JdbcFixture]] — same interfaces),
+  * so the tier is testable offline and driver-agnostic. Runs driver-side
+  * once per stream start, like the reference — the catalog is a handful
+  * of rows, never data-scaled. */
+object JdbcDiscovery {
+
+  /** One CT-enabled table (reference TableInformation.java:29-41:
+    * valueColumns = columns − primaryKeys, set-subtracted in column
+    * order). */
+  final case class TableInformation(schemaName: String, name: String,
+                                    columns: Seq[String], primaryKeys: Seq[String]) {
+    val valueColumnNames: Seq[String] = columns.filterNot(primaryKeys.contains)
+    def qualifiedName: String = s"$schemaName.$name"
+  }
+
+  /** Whitelist semantics of the reference (CTInputDStream.java:226-230):
+    * empty = every CT-enabled table. */
+  def discoverTables(
+      ctEnabledTables: ResultSet, // rows: (schema_name, table_name)
+      columnsOf: (String, String) => ResultSet, // column probe (metadata used)
+      keyColumnsOf: (String, String) => ResultSet, // rows: (COLUMN_NAME)
+      tableWhitelist: Set[String] = Set.empty): Seq[TableInformation] = {
+    val out = Seq.newBuilder[TableInformation]
+    while (ctEnabledTables.next()) {
+      val schemaName = ctEnabledTables.getString("schema_name")
+      val tableName = ctEnabledTables.getString("table_name")
+      if (tableWhitelist.isEmpty || tableWhitelist.contains(tableName)) {
+        val md = columnsOf(schemaName, tableName).getMetaData
+        val columns = (1 to md.getColumnCount).map(md.getColumnName)
+        val keys = Seq.newBuilder[String]
+        val krs = keyColumnsOf(schemaName, tableName)
+        while (krs.next()) keys += krs.getString(1)
+        out += TableInformation(schemaName, tableName, columns, keys.result())
+      }
+    }
+    out.result()
+  }
+
+  /** Discovery → the per-batch DDL snapshot a [[ChangeTrackingStore]]
+    * carries (SRC1a feeding SRC1e): table name → row StructType JSON,
+    * typed through the [[JdbcTypes]] tier. */
+  def schemaSnapshot(
+      tables: Seq[TableInformation],
+      columnsOf: (String, String) => ResultSet): Map[String, String] =
+    tables.map { t =>
+      t.qualifiedName ->
+        JdbcTypes.schemaFor(columnsOf(t.schemaName, t.name).getMetaData).json
+    }.toMap
+}

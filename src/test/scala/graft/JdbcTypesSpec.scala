@@ -124,6 +124,39 @@ class JdbcTypesSpec extends AnyFunSuite {
       "2024-03-01 10:30:00.5")
   }
 
+  test("discovery walks the catalog: CT tables, key columns, whitelist, value columns") {
+    import graft.sources.JdbcDiscovery
+    import JdbcFixture.Col
+    val ctCols = Seq(Col("schema_name", "varchar", Types.VARCHAR),
+      Col("table_name", "varchar", Types.VARCHAR))
+    def ct() = JdbcFixture.resultSet(ctCols,
+      Seq(Seq("dbo", "orders"), Seq("dbo", "items")))
+    val tableCols = Map(
+      ("dbo", "orders") -> Seq(Col("id", "int", Types.INTEGER, 10),
+        Col("amt", "decimal", Types.DECIMAL, 12, 2)),
+      ("dbo", "items") -> Seq(Col("sku", "varchar", Types.VARCHAR),
+        Col("qty", "int", Types.INTEGER, 10)))
+    def colsOf(s: String, t: String) =
+      JdbcFixture.resultSet(tableCols((s, t)), Seq.empty)
+    val pks = Map(("dbo", "orders") -> Seq("id"), ("dbo", "items") -> Seq("sku"))
+    def keysOf(s: String, t: String) = JdbcFixture.resultSet(
+      Seq(Col("COLUMN_NAME", "varchar", Types.VARCHAR)), pks((s, t)).map(Seq(_: Any)))
+
+    val all = JdbcDiscovery.discoverTables(ct(), colsOf, keysOf)
+    assert(all.map(_.qualifiedName) == Seq("dbo.orders", "dbo.items"))
+    assert(all.head.primaryKeys == Seq("id"))
+    assert(all.head.valueColumnNames == Seq("amt")) // columns − pks
+
+    // whitelist semantics: empty = all (asserted above); named = filtered
+    val wl = JdbcDiscovery.discoverTables(ct(), colsOf, keysOf, Set("items"))
+    assert(wl.map(_.name) == Seq("items"))
+
+    // snapshot types flow through the DBUtils tier (DECIMAL(12,2)→double)
+    val snap = JdbcDiscovery.schemaSnapshot(all, colsOf)
+    assert(DataType.fromJson(snap("dbo.orders")) == StructType(Seq(
+      StructField("id", IntegerType), StructField("amt", DoubleType))))
+  }
+
   test("changeRecords decodes a change scan into envelope DML records") {
     val cols = Seq(
       JdbcFixture.Col("CHANGE_TRACKING_VERSION", "bigint", Types.BIGINT),
