@@ -1,8 +1,8 @@
 package graft.streaming
 
 import graft.model.Ddl
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Cross-batch stateful operators — the streaming forms of the
   * reference's two `mapWithState` uses (SURVEY.md §2.2).
@@ -78,5 +78,38 @@ object StatefulOps {
           schema.foreach(state.update)
           out.result().iterator
         })
+  }
+
+  /** SRC2a on the state-v2 API: the same registry semantics as
+    * [[resolveSchemas]], expressed as a `StatefulProcessor` for
+    * `transformWithState` — the forward-looking operator whose named
+    * state handles live in the RocksDB state store (required provider),
+    * giving changelog checkpointing and state rebalancing at scale.
+    * Semantics are identical by construction; the spec asserts both
+    * forms produce the same output on the same stream. */
+  class SchemaRegistryProcessor
+      extends StatefulProcessor[Long, GgMessage, ResolvedData] {
+    @transient private var schema: ValueState[String] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      schema = getHandle.getValueState("schema", Encoders.STRING, TTLConfig.NONE)
+    override def handleInputRows(fp: Long, recs: Iterator[GgMessage],
+                                 tv: TimerValues): Iterator[ResolvedData] = {
+      val out = Seq.newBuilder[ResolvedData]
+      var cur = if (schema.exists()) Some(schema.get()) else None
+      recs.toSeq.sortBy(r => (r.version, if (r.kind == "schema") 0 else 1))
+        .foreach { r =>
+          if (r.kind == "schema") cur = Some(r.payload)
+          else out += ResolvedData(fp, r.payload, cur, r.version)
+        }
+      cur.foreach(schema.update)
+      out.result().iterator
+    }
+  }
+
+  def resolveSchemasV2(msgs: Dataset[GgMessage]): Dataset[ResolvedData] = {
+    import msgs.sparkSession.implicits._
+    msgs.groupByKey(_.fingerprint)
+      .transformWithState(new SchemaRegistryProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 }

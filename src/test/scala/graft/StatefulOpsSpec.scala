@@ -62,4 +62,34 @@ class StatefulOpsSpec extends SparkSuite {
       ("row-b", Some("sch7")),
       ("row-c", None)))
   }
+
+  test("resolveSchemasV2 (transformWithState) matches the flatMapGroupsWithState form") {
+    // state v2 requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[GgMessage]
+      val q = StatefulOps.resolveSchemasV2(in.toDS())
+        .writeStream.format("memory").queryName("registry_v2_out")
+        .option("checkpointLocation", checkpointDir("registry-v2"))
+        .outputMode("append").start()
+
+      in.addData(GgMessage("schema", 7L, "sch7", 1),
+        GgMessage("data", 7L, "row-a", 2))
+      q.processAllAvailable()
+      in.addData(GgMessage("data", 7L, "row-b", 3),
+        GgMessage("data", 9L, "row-c", 4))
+      q.processAllAvailable()
+      q.stop()
+
+      val got = spark.table("registry_v2_out")
+        .as[StatefulOps.ResolvedData].collect()
+        .map(r => (r.payload, r.schemaJson, r.version)).toSet
+      assert(got == Set(
+        ("row-a", Some("sch7"), 2L),
+        ("row-b", Some("sch7"), 3L),
+        ("row-c", None, 4L)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
