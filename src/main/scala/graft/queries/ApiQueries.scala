@@ -168,6 +168,48 @@ object ApiQueries {
         .filter(col("rnk") <= 10)
         .orderBy(col("c_mktsegment"), col("rnk"))
     }),
+
+    // Explicit GROUPING SETS through the DataFrame API (one Expand pass,
+    // like rollup/cube but with a hand-picked lattice: both keys, status
+    // only, grand total — NOT the full cube).
+    "q32_grouping_sets" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumd2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // CSV source/sink round-trip: write nation as headered CSV, read it
+    // back with an explicit schema, aggregate — proving the csv format
+    // tier end to end (oracle states the same result off the original
+    // parquet, so any loss in the round-trip breaks the hash).
+    "q33_csv_roundtrip" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val dir = freshDir("q33csv")
+      n.write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.option("header", "true").schema(n.schema).csv(dir)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          min(col("n_name")).as("first_nation"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // JSON source/sink round-trip, same contract as q33 (dates survive as
+    // ISO strings re-typed by the explicit read schema).
+    "q34_json_roundtrip" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val dir = freshDir("q34json")
+      o.write.mode("overwrite").json(dir)
+      s.read.schema(o.schema).json(dir)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumd2(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -238,6 +280,22 @@ object ApiQueries {
         |  WINDOW w AS (PARTITION BY c_mktsegment
         |    ORDER BY c_acctbal DESC, c_custkey ASC)) t
         |WHERE rnk <= 10 ORDER BY c_mktsegment, rnk""".stripMargin,
+    "q32_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q33_csv_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q34_json_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q30_range_frame" ->
       """SELECT o_custkey, o_orderkey,
         | epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,

@@ -342,15 +342,6 @@ object CdcQueries {
     }),
   )
 
-  /** Scratch directory for queries that exercise a durable store
-    * (driver-local; under the build's target/ so nothing outside the repo
-    * is touched). */
-  private def freshDir(tag: String): String = {
-    val base = java.nio.file.Paths.get("target", "tmp")
-    java.nio.file.Files.createDirectories(base)
-    java.nio.file.Files.createTempDirectory(base, tag + "-").toString
-  }
-
   private val opFromEventSql =
     "CASE WHEN event_type = 'signup' THEN 'INSERT' WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END"
 

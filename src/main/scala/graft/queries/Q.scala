@@ -21,4 +21,13 @@ object Q {
 
   /** Exact-sum of a product of 2-decimal doubles, result as double. */
   def dec4(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** Scratch directory for queries that exercise a file source/sink
+    * (driver-local, under the build's target/ so nothing outside the repo
+    * is touched). */
+  def freshDir(tag: String): String = {
+    val base = java.nio.file.Paths.get("target", "tmp")
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, tag + "-").toString
+  }
 }

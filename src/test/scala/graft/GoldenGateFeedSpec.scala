@@ -100,4 +100,34 @@ class GoldenGateFeedSpec extends SparkSuite {
       .as[(String, String, String)].collect()
     assert(dml.toSeq == Seq(("INSERT", "2", "new")))
   }
+
+  test("full integration: feed bytes → registry → envelope → durable parquet snapshot") {
+    import graft.sinks.{ParquetUpsertStore, UpsertSink}
+    val name = "gg-feed-store"
+    MessageLog.drop(name)
+    val log = MessageLog.get(name)
+    log.append(ggSchemaJson.getBytes("UTF-8"))
+    log.append(dmlMsg("I", null, row(1, "a")))
+    log.append(dmlMsg("I", null, row(2, "b")))
+
+    val store = new ParquetUpsertStore(checkpointDir("gg-store"), numBuckets = 4)
+    val env = GoldenGateDml.fromFeed(spark, name,
+      initialOffset = GoldenGateFeed.EarliestSentinel)
+    val q = UpsertSink.stream(env, store, checkpointDir("gg-store-ckpt"))
+    q.processAllAvailable()
+    // batch 2: update key 1, delete key 2 — must merge against batch 1's
+    // committed buckets, with message offsets as versions
+    log.append(dmlMsg("U", row(1, "a"), row(1, "a2")))
+    log.append(dmlMsg("D", row(2, "b"), null))
+    q.processAllAvailable()
+    q.stop()
+
+    // the DDL message became the table's recorded schema (flags stripped)
+    assert(store.schemaOf(spark, "ORCL.T").get.fieldNames.toSeq == Seq("id", "v"))
+    val st = store.snapshot(spark, "ORCL.T")
+      .collect().map(r => r.getString(0) -> r.getMap[String, String](2).toMap)
+      .toMap
+    assert(st.keySet == Set("1"), s"live keys: ${st.keySet}")
+    assert(st("1")("v") == "a2")
+  }
 }
