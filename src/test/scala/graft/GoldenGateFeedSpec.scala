@@ -130,4 +130,56 @@ class GoldenGateFeedSpec extends SparkSuite {
     assert(st.keySet == Set("1"), s"live keys: ${st.keySet}")
     assert(st("1")("v") == "a2")
   }
+
+  test("mid-stream DDL evolution flows from a new payload schema into the store's recorded schema") {
+    import graft.sinks.{ParquetUpsertStore, UpsertSink}
+    // v2 payload schema: same table, extra column w (a GoldenGate trail
+    // regenerated after ALTER TABLE — new fingerprint, same table name)
+    val ggSchemaV2 =
+      """{"type":"record","name":"T","namespace":"ORCL","fields":[
+        | {"name":"table","type":"string"},
+        | {"name":"op_type","type":"string"},
+        | {"name":"primary_keys","type":{"type":"array","items":"string"}},
+        | {"name":"before","type":["null",{"type":"record","name":"columns","fields":[
+        |   {"name":"id","type":"long"},{"name":"id_isMissing","type":"boolean"},
+        |   {"name":"v","type":["null","string"]},{"name":"v_isMissing","type":"boolean"},
+        |   {"name":"w","type":["null","string"]},{"name":"w_isMissing","type":"boolean"}]}]},
+        | {"name":"after","type":["null","columns"]}]}""".stripMargin
+    val fp2 = org.apache.avro.SchemaNormalization.parsingFingerprint64(
+      new org.apache.avro.Schema.Parser().parse(ggSchemaV2))
+
+    val name = "gg-feed-evolve"
+    MessageLog.drop(name)
+    val log = MessageLog.get(name)
+    log.append(ggSchemaJson.getBytes("UTF-8"))
+    log.append(dmlMsg("I", null, row(1, "a")))
+
+    val store = new ParquetUpsertStore(checkpointDir("gg-evolve"), numBuckets = 4)
+    val env = GoldenGateDml.fromFeed(spark, name,
+      initialOffset = GoldenGateFeed.EarliestSentinel)
+    val q = UpsertSink.stream(env, store, checkpointDir("gg-evolve-ckpt"))
+    q.processAllAvailable()
+    assert(store.schemaOf(spark, "ORCL.T").get.fieldNames.toSeq == Seq("id", "v"))
+
+    // batch 2: the regenerated schema + a row written with it
+    log.append(ggSchemaV2.getBytes("UTF-8"))
+    log.append(GoldenGateAvro.encodeWrapper("ORCL.T", fp2,
+      GoldenGateAvro.encodeRecord(ggSchemaV2, Map[String, Any](
+        "table" -> "ORCL.T", "op_type" -> "I", "primary_keys" -> Seq("id"),
+        "before" -> null,
+        "after" -> Map[String, Any]("id" -> 2L, "id_isMissing" -> false,
+          "v" -> "b", "v_isMissing" -> false,
+          "w" -> "extra", "w_isMissing" -> false)))))
+    q.processAllAvailable()
+    q.stop()
+
+    // recorded schema evolved (add-only diff), and the new column's value
+    // landed in the stored row
+    assert(store.schemaOf(spark, "ORCL.T").get.fieldNames.toSeq == Seq("id", "v", "w"))
+    val st = store.snapshot(spark, "ORCL.T")
+      .collect().map(r => r.getString(0) -> r.getMap[String, String](2).toMap)
+      .toMap
+    assert(st.keySet == Set("1", "2"))
+    assert(st("2")("w") == "extra" && !st("1").contains("w"))
+  }
 }
