@@ -105,8 +105,14 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16) extends Serializabl
           val existing = readBuckets(spark, tdir, mapping, touched)
           val merged = CdcApply.latestByKey(
             existing.unionByName(changes), Seq("row_key"), col("version"))
+          // One file per bucket: without the repartition every shuffle
+          // partition writes into every bucket directory it has rows
+          // for — O(shufflePartitions × buckets) small files per batch,
+          // which murders the file listing at scale. Buckets are sized
+          // to a few GB, so one writer per bucket is the right shape.
           merged.select(col("row_key"), col("op"), col("values"),
               col("version"), col("bucket"))
+            .repartition(math.max(touched.size, 1), col("bucket"))
             .write.mode(SaveMode.Overwrite)
             .partitionBy("bucket")
             .parquet(s"$tdir/snap-$batchId")
@@ -144,7 +150,8 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16) extends Serializabl
     readManifest(fs, tdir).foreach { m =>
       val live = readBuckets(spark, tdir, m.buckets, m.buckets.keySet)
         .filter(col("op") =!= graft.model.OpType.Delete)
-      live.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      live.repartition(math.max(m.buckets.size, 1), col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$tdir/snap-$asBatchId")
       val mapping = m.buckets.keySet.map(_ -> s"snap-$asBatchId").toMap
       commitManifest(fs, tdir, asBatchId, Manifest(m.numBuckets, m.schemaJson, mapping))
