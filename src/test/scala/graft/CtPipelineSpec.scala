@@ -51,4 +51,38 @@ class CtPipelineSpec extends SparkSuite {
     assert(st.rows("dbo.a").keySet == Set("1"))
     assert(st.rows("dbo.a")("1")("payload") == "a2")
   }
+
+  test("the same CT feed drives the durable parquet store (cluster-valid sink)") {
+    import graft.sinks.ParquetUpsertStore
+    val feed = "ctp-feed-durable"
+    ChangeTrackingStore.drop(feed)
+    val ct = ChangeTrackingStore.get(feed)
+    ct.setSchema("dbo.a", s1.json)
+    ct.append("dbo.a", "INSERT", 1L, "a")
+    ct.append("dbo.a", "INSERT", 2L, "b")
+
+    val store = new ParquetUpsertStore(checkpointDir("ctp-durable"), numBuckets = 4)
+    val stream = spark.readStream
+      .format(classOf[ChangeFeedProvider].getName)
+      .option("store", feed).option("numPartitions", "2")
+      .option("emitDdl", "true").load()
+    val q = UpsertSink.stream(CtPipeline.toEnvelope(stream), store,
+      checkpointDir("ctp-durable-ckpt"))
+    q.processAllAvailable()
+
+    // mid-stream: evolve schema + mutate — the next batch must merge
+    // against the committed snapshot
+    ct.setSchema("dbo.a", s2.json)
+    ct.append("dbo.a", "UPDATE", 1L, "a2")
+    ct.append("dbo.a", "DELETE", 2L, "b")
+    q.processAllAvailable()
+    q.stop()
+
+    assert(store.schemaOf(spark, "dbo.a").get.fieldNames.contains("extra"))
+    val rows = store.snapshot(spark, "dbo.a")
+      .collect().map(r => r.getString(0) -> r.getMap[String, String](2).toMap)
+      .toMap
+    assert(rows.keySet == Set("1"))
+    assert(rows("1")("payload") == "a2")
+  }
 }
