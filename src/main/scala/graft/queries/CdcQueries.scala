@@ -207,6 +207,30 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Time travel on the durable store: apply the same two-batch change
+    // log as cdc13, then read the snapshot AS OF batch 0 — the state
+    // after only the even-versioned changes. The manifest log retains
+    // every committed batch's full bucket mapping, so this is a metadata
+    // read, not a replay.
+    "cdc16_time_travel" -> ((s, d) => {
+      import graft.sinks.ParquetUpsertStore
+      val ev = Tables.events(s, d)
+      val env = ChangeFeed.wrapDml(ev, "public.events", Seq("user_id"),
+        opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val store = new ParquetUpsertStore(freshDir("cdc16"), numBuckets = 8)
+      store.applyBatch(ChangeFeed.wrapDdl(s, "public.events", ev.schema)
+        .unionByName(env.filter(ver % 2 === 0)), 0L)
+      store.applyBatch(env.filter(ver % 2 === 1), 1L)
+      store.snapshotAt(s, "public.events", batchId = 0L)
+        .select(
+          element_at(col("values"), "user_id").cast("long").as("user_id"),
+          element_at(col("values"), "event_id").cast("long").as("event_id"),
+          col("op"),
+          element_at(col("values"), "value").cast("double").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // SRC1f with real JDBC typing: a change-scan ResultSet (offline
     // fixture over the exact java.sql interfaces) decoded through the
     // DBUtils type tier — every lossy quirk on display: DECIMAL(12,2)→
@@ -421,6 +445,13 @@ object CdcQueries {
          |        ROW_NUMBER() OVER (PARTITION BY user_id
          |          ORDER BY event_id DESC) AS rn
          |      FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "cdc16_time_travel" ->
+      s"""SELECT user_id, event_id, op, value
+         |FROM (SELECT user_id, event_id, $opFromEventSql AS op, value,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY event_id DESC) AS rn
+         |      FROM events WHERE event_id % 2 = 0) t
          |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "cdc14_jdbc_typed_decode" ->
       """SELECT * FROM (VALUES

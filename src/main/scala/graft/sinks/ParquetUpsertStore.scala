@@ -125,10 +125,25 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16) extends Serializabl
 
   /** Live rows of `table` at the latest committed snapshot
     * (tombstones filtered): `row_key, op, values, version`. */
-  def snapshot(spark: SparkSession, table: String): DataFrame = {
+  def snapshot(spark: SparkSession, table: String): DataFrame =
+    snapshotImpl(spark, table, atOrBefore = None)
+
+  /** Time travel: live rows as of committed batch `batchId` — the state
+    * the table converged to after the largest committed batch ≤ that id.
+    * Free by construction: every `manifest-<id>` is retained and each
+    * maps the full bucket set to the snapshot directories holding its
+    * data at that commit (the same manifest-log trick Delta/Iceberg
+    * time travel uses). [[compact]] collapses history — after it, only
+    * ids ≥ the compaction id resolve to pre-compaction-free state. */
+  def snapshotAt(spark: SparkSession, table: String, batchId: Long): DataFrame =
+    snapshotImpl(spark, table, atOrBefore = Some(batchId))
+
+  private def snapshotImpl(spark: SparkSession, table: String,
+                           atOrBefore: Option[Long]): DataFrame = {
     val fs = fileSystem(spark, root)
     val tdir = tableDir(table)
-    val m = readManifest(fs, tdir).getOrElse(Manifest(numBuckets, None, Map.empty))
+    val m = readManifest(fs, tdir, atOrBefore)
+      .getOrElse(Manifest(numBuckets, None, Map.empty))
     readBuckets(spark, tdir, m.buckets, m.buckets.keySet)
       .filter(col("op") =!= graft.model.OpType.Delete)
       .drop("bucket")
@@ -191,14 +206,17 @@ object ParquetUpsertStore {
   private def fileSystem(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Highest-id committed manifest, or None for a table that doesn't exist. */
-  private[sinks] def readManifest(fs: FileSystem, tdir: String): Option[Manifest] = {
+  /** Highest-id committed manifest (optionally capped at `atOrBefore` for
+    * time travel), or None for a table that doesn't exist. */
+  private[sinks] def readManifest(fs: FileSystem, tdir: String,
+                                  atOrBefore: Option[Long] = None): Option[Manifest] = {
     val dir = new Path(tdir)
     val latest =
       try fs.listStatus(dir).iterator
         .map(_.getPath.getName)
         .filter(_.matches("manifest-\\d+"))
         .map(n => n.stripPrefix("manifest-").toLong)
+        .filter(id => atOrBefore.forall(id <= _))
         .foldLeft(Option.empty[Long])((acc, v) => Some(acc.fold(v)(math.max(_, v))))
       catch { case _: java.io.FileNotFoundException => None }
     latest.map { id =>

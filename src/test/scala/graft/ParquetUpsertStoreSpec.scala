@@ -100,6 +100,26 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(st("40")._1("v") == "v40")
   }
 
+  test("snapshotAt time-travels to the state as of an earlier committed batch") {
+    val store = new ParquetUpsertStore(storeDir("travel"), numBuckets = 4)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Insert, 1, 1L, "v" -> "a"),
+      dml(OpType.Insert, 2, 2L, "v" -> "b"))).toDF(), 0L)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Update, 3, 1L, "v" -> "a2"),
+      dml(OpType.Delete, 4, 2L, "v" -> "-"))).toDF(), 1L)
+    // latest: key 2 deleted, key 1 updated
+    assert(state(store).view.mapValues(_._1("v")).toMap == Map("1" -> "a2"))
+    // as of batch 0: both keys live with their original values
+    val at0 = store.snapshotAt(spark, "dbo.t", 0L)
+      .collect().map(r => r.getString(0) -> r.getMap[String, String](2)("v")).toMap
+    assert(at0 == Map("1" -> "a", "2" -> "b"))
+    // an id between commits resolves to the floor commit
+    val at0b = store.snapshotAt(spark, "dbo.t", 0L)
+    assert(store.snapshotAt(spark, "dbo.t", 1L).count() == 1)
+    assert(at0b.count() == 2)
+  }
+
   test("compact folds tombstones out without changing the visible snapshot") {
     val store = new ParquetUpsertStore(storeDir("compact"), numBuckets = 4)
     store.applyBatch(spark.createDataset(Seq(
