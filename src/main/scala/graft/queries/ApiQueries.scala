@@ -198,6 +198,19 @@ object ApiQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // NOT IN with a subquery — Spark plans this as a null-aware anti
+    // join (NullAwareAntiJoin / BroadcastNestedLoop when the build side
+    // may hold NULLs), a distinct physical strategy from q09's left_anti.
+    "q35_null_aware_anti" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v35")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v35")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_v35
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v35
+                                WHERE o_orderstatus = 'P')
+        ORDER BY c_custkey""")
+    }),
+
     // JSON source/sink round-trip, same contract as q33 (dates survive as
     // ISO strings re-typed by the explicit read schema).
     "q34_json_roundtrip" -> ((s, d) => {
@@ -291,6 +304,11 @@ object ApiQueries {
     "q33_csv_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q35_null_aware_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
     "q34_json_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
