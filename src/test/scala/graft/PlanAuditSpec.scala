@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape regression guard: executes every registered query at
+  * sf0.001 and asserts the physical-plan properties the 100 TB design
+  * depends on. A future edit that sneaks a cartesian product, drops a
+  * broadcast, or breaks scan pushdown fails HERE, not in a cluster.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+    }
+  }
+
+  test("dimension joins broadcast; bucketed ANN joins stay equi") {
+    assert(executedPlan("q03_join_broadcast").contains("BroadcastHashJoin"))
+    val vs02 = executedPlan("vs02_knn_bucketed")
+    assert(vs02.contains("BroadcastHashJoin") || vs02.contains("SortMergeJoin"),
+      s"vs02 lost its hash/merge equi-join:\n$vs02")
+    assert(!vs02.contains("BroadcastNestedLoopJoin"),
+      "vs02 degenerated to a nested-loop join")
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val q02 = executedPlan("q02_filter_project")
+    assert(q02.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      q02.contains("PushedFilters: [IsNotNull"),
+      s"q02 scan lost its pushed filters:\n$q02")
+    // projection pruning: the scan must not read every lineitem column
+    assert(!q02.contains("l_comment"),
+      "q02 reads columns its projection never uses")
+  }
+
+  test("scan-aggregation stays inside whole-stage codegen") {
+    // '*(n)' is the WholeStageCodegen stage marker in executed-plan
+    // strings; both aggregates must carry it
+    val q01 = executedPlan("q01_pricing_summary")
+    assert(q01.contains("*(1) HashAggregate") || q01.contains("*(2) HashAggregate"),
+      s"q01's aggregation fell out of codegen:\n$q01")
+  }
+}
