@@ -162,6 +162,27 @@ object TextQueries {
           lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
+
+    // The composed training-data-prep pipeline in one plan: quality gate
+    // (token-count band + stopword presence) → exact dedup (min doc_id
+    // per text) → per-source accounting of what survived. Each stage is
+    // verified alone (ns01/ns02); this proves they compose — one scan,
+    // one dedup shuffle, one agg shuffle, all codegen.
+    "ns11_prep_pipeline" -> ((s, d) => {
+      val t = tokens(col("text"))
+      val gated = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(t).as("n_tokens"),
+          size(filter(t, w => w.isin(stopEn: _*))).as("n_stop"))
+        .filter(col("n_stop") > 0 &&
+          col("n_tokens") >= 20 && col("n_tokens") <= 200)
+      val keep = gated.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      gated.join(keep, Seq("text", "doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens_total"))
+        .orderBy(col("source"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -219,6 +240,21 @@ object TextQueries {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | sha256(text) AS sha, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns11_prep_pipeline" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, text,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    ${stopCountSql(stopEn)} AS n_stop
+         |  FROM documents),
+         |gated AS (
+         |  SELECT * FROM toks
+         |  WHERE n_stop > 0 AND n_tokens BETWEEN 20 AND 200),
+         |keep AS (
+         |  SELECT text, MIN(doc_id) AS doc_id FROM gated GROUP BY text)
+         |SELECT g.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(g.n_tokens) AS BIGINT) AS n_tokens_total
+         |FROM gated g JOIN keep k ON g.text = k.text AND g.doc_id = k.doc_id
+         |GROUP BY g.source ORDER BY g.source""".stripMargin,
     "ns10_token_freq" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
