@@ -76,4 +76,38 @@ class StreamingWindowSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(ids == Set((1L, "first"), (2L, "b"), (3L, "c")))
   }
+
+  test("stream-stream inner join with watermarks and a time-range condition") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val imps = MemoryStream[Ev]
+    // click joins the impression for the same user at most 10 minutes
+    // BEFORE the click — the canonical ad-attribution join; both sides
+    // watermarked so join state expires
+    val j = clicks.toDF()
+      .select($"ts".as("click_ts"), $"user".as("cu"), $"v".as("click_v"))
+      .withWatermark("click_ts", "20 minutes")
+      .join(
+        imps.toDF()
+          .select($"ts".as("imp_ts"), $"user".as("iu"), $"v".as("imp_v"))
+          .withWatermark("imp_ts", "20 minutes"),
+        expr("cu = iu AND click_ts >= imp_ts AND " +
+          "click_ts <= imp_ts + INTERVAL 10 MINUTES"))
+    val q = j.select($"cu", $"imp_v", $"click_v")
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .option("checkpointLocation", checkpointDir("ssjoin"))
+      .outputMode("append").start()
+
+    imps.addData(ev(0, 1, 1.0), ev(30, 2, 2.0))
+    clicks.addData(ev(5, 1, 10.0)) // within 10 min of user 1's impression
+    q.processAllAvailable()
+    clicks.addData(ev(45, 2, 20.0)) // 15 min after user 2's impression → no match
+    clicks.addData(ev(31, 2, 30.0)) // 1 min after → match
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssjoin_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 1.0, 10.0), (2L, 2.0, 30.0)))
+  }
 }
