@@ -173,6 +173,38 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16) extends Serializabl
     }
   }
 
+  /** Drop history: delete manifests with id < `keepFromBatchId` and every
+    * snapshot directory no longer referenced by a retained manifest.
+    * Storage is bounded to the retained commits' working set; time
+    * travel below the floor is gone afterwards (snapshotAt resolves to
+    * an empty table). Run after [[compact]] at the same id to shrink to
+    * a single snapshot directory. Safe ordering: data directories are
+    * deleted only after the manifests referencing them — a concurrent
+    * reader either sees a retained manifest (whose directories survive)
+    * or none. */
+  def vacuum(spark: SparkSession, table: String, keepFromBatchId: Long): Unit = {
+    val fs = fileSystem(spark, root)
+    val tdir = new Path(tableDir(table))
+    val entries =
+      try fs.listStatus(tdir).toSeq
+      catch { case _: java.io.FileNotFoundException => return }
+    val manifestIds = entries.map(_.getPath.getName)
+      .filter(_.matches("manifest-\\d+"))
+      .map(_.stripPrefix("manifest-").toLong)
+    if (manifestIds.isEmpty) return
+    // never drop the newest commit, whatever the floor says
+    val floor = math.min(keepFromBatchId, manifestIds.max)
+    val referenced = manifestIds.filter(_ >= floor).flatMap { id =>
+      readManifest(fs, tableDir(table), Some(id)).toSeq.flatMap(_.buckets.values)
+    }.toSet
+    manifestIds.filter(_ < floor).foreach { id =>
+      fs.delete(new Path(tdir, s"manifest-$id"), false)
+    }
+    entries.map(_.getPath.getName)
+      .filter(n => n.startsWith("snap-") && !referenced.contains(n))
+      .foreach(n => fs.delete(new Path(tdir, n), true))
+  }
+
   private def readBuckets(spark: SparkSession, tdir: String,
                           mapping: Map[Int, String],
                           buckets: Set[Int]): DataFrame = {

@@ -120,6 +120,31 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(at0b.count() == 2)
   }
 
+  test("vacuum bounds storage to retained commits without changing the snapshot") {
+    val dir = storeDir("vacuum")
+    val store = new ParquetUpsertStore(dir, numBuckets = 4)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Insert, 1, 1L, "v" -> "a"),
+      dml(OpType.Insert, 2, 2L, "v" -> "b"))).toDF(), 0L)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Update, 3, 1L, "v" -> "a2"),
+      dml(OpType.Delete, 4, 2L, "v" -> "-"))).toDF(), 1L)
+    store.compact(spark, "dbo.t", asBatchId = 2L)
+    val before = state(store)
+
+    store.vacuum(spark, "dbo.t", keepFromBatchId = 2L)
+    assert(state(store) == before)
+    // exactly one manifest and one snapshot directory survive
+    val names = new java.io.File(dir, "dbo.t").list().toSet
+    assert(names.filter(_.startsWith("manifest-")) == Set("manifest-2"), names)
+    assert(names.filter(_.startsWith("snap-")) == Set("snap-2"), names)
+    // time travel below the retention floor now resolves to an empty table
+    assert(store.snapshotAt(spark, "dbo.t", 0L).count() == 0)
+    // vacuuming past the newest commit keeps it (floor clamps)
+    store.vacuum(spark, "dbo.t", keepFromBatchId = 99L)
+    assert(state(store) == before)
+  }
+
   test("compact folds tombstones out without changing the visible snapshot") {
     val store = new ParquetUpsertStore(storeDir("compact"), numBuckets = 4)
     store.applyBatch(spark.createDataset(Seq(
