@@ -211,6 +211,20 @@ object ApiQueries {
         ORDER BY c_custkey""")
     }),
 
+    // Correlated LATERAL subquery with a per-row LIMIT — top-n-per-group
+    // expressed the SQL way (Catalyst plans the correlation as a lateral
+    // join; the window-function formulation of the same shape is q05).
+    "q36_lateral_topn" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_v36")
+      Tables.region(s, d).createOrReplaceTempView("region_v36")
+      s.sql("""
+        SELECT r_name, t.n_name FROM region_v36,
+        LATERAL (SELECT n_name FROM nation_v36
+                 WHERE n_regionkey = r_regionkey
+                 ORDER BY n_name LIMIT 2) t
+        ORDER BY r_name, n_name""")
+    }),
+
     // JSON source/sink round-trip, same contract as q33 (dates survive as
     // ISO strings re-typed by the explicit read schema).
     "q34_json_roundtrip" -> ((s, d) => {
@@ -309,6 +323,12 @@ object ApiQueries {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+    "q36_lateral_topn" ->
+      """SELECT r_name, t.n_name FROM region,
+        |LATERAL (SELECT n_name FROM nation
+        |         WHERE n_regionkey = r_regionkey
+        |         ORDER BY n_name LIMIT 2) t
+        |ORDER BY r_name, n_name""".stripMargin,
     "q34_json_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -196,6 +196,26 @@ class GoldenGateFlowSpec extends SparkSuite {
     assert(data.kind == "data" && data.fingerprint == fp && data.version == 2)
   }
 
+  test("a data message whose fingerprint never resolved fails with a named error") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[GgMessage]
+    val q = GoldenGateDml.pipeline(in.toDS())
+      .writeStream.format("memory").queryName("gg_unresolved")
+      .option("checkpointLocation", checkpointDir("gg-unres"))
+      .outputMode("append").start()
+    // no schema message ever arrives for fingerprint 424242
+    in.addData(GoldenGateDml.classify(
+      GoldenGateAvro.encodeWrapper("ORCL.T", 424242L,
+        ggPayload("I", null, ggRow(1, "a"))), 1))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(_.contains("no schema registered for fingerprint 424242")),
+      s"got: ${messages(e).mkString(" | ")}")
+    q.stop()
+  }
+
   test("streaming pipeline: bytes → registry → decode → merge/split → envelope, across batches") {
     implicit val ctx = spark.sqlContext
     val fp = org.apache.avro.SchemaNormalization.parsingFingerprint64(
