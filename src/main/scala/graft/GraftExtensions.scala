@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductExpr, MinHashSigExpr, PortableHashExpr, SetJaccardExpr}
+import graft.functions.{DotProductExpr, ExactDistinctLong, HllSketchAgg, MinHashSigExpr, PortableHashExpr, SetJaccardExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   *   - `set_jaccard(arr, arr)` — exact Jaccard of two long-hash sets
   *   - `minhash_sig(arr, k)` — MinHash signature (k literal)
   *   - `dot_product(arr, arr)` — in-order double dot product
+  *   - `hll_distinct(x[, p])` — deterministic HyperLogLog distinct count
+  *     (aggregate; the analyzer wraps the AggregateFunction)
+  *   - `exact_distinct(x)` — exact distinct count of a long column
+  *     (aggregate; the sketch's oracle-side twin)
   *
   * Two entry points: `GraftExtensions` for cluster config
   * (`spark.sql.extensions=graft.GraftExtensions`, applied at session
@@ -37,7 +41,11 @@ object GraftFunctions {
     "portable_hash" -> (es => PortableHashExpr(es.head)),
     "set_jaccard" -> (es => SetJaccardExpr(es.head, es(1))),
     "minhash_sig" -> (es => MinHashSigExpr(es.head, intLit(es(1), "minhash_sig k"))),
-    "dot_product" -> (es => DotProductExpr(es.head, es(1))))
+    "dot_product" -> (es => DotProductExpr(es.head, es(1))),
+    "hll_distinct" -> (es =>
+      if (es.size >= 2) HllSketchAgg(es.head, intLit(es(1), "hll_distinct p"))
+      else HllSketchAgg(es.head)),
+    "exact_distinct" -> (es => ExactDistinctLong(es.head)))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -17,4 +17,19 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(r.getSeq[Long](2).length == 4)
     assert(r.getDouble(3) == 4.0)
   }
+
+  test("registered SQL aggregates resolve and sketch/count correctly") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    (1L to 5000L).map(i => i % 1000).toDF("x").createOrReplaceTempView("agg_v")
+    val r = spark.sql("""
+      SELECT exact_distinct(x) AS exact,
+             hll_distinct(x) AS est,
+             hll_distinct(x, 14) AS est_hi
+      FROM agg_v""").collect().head
+    assert(r.getLong(0) == 1000L)
+    // p=12 → ~1.6% sigma; p=14 tighter
+    assert(math.abs(r.getLong(1) - 1000L) <= 50, s"est=${r.getLong(1)}")
+    assert(math.abs(r.getLong(2) - 1000L) <= 25, s"est_hi=${r.getLong(2)}")
+  }
 }
