@@ -67,60 +67,80 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16) extends Serializabl
       val tables = (dml.select(col("table")).distinct().collect().map(_.getString(0))
         ++ ddlSchemas.keys).distinct
 
-      tables.foreach { t =>
-        val fs = fileSystem(spark, root)
-        val tdir = tableDir(t)
-        val cur = readManifest(fs, tdir)
-        val nb = cur.map(_.numBuckets).getOrElse(numBuckets)
-
-        // evolve the recorded schema on DDL (metadata-only alter)
-        val schemaJson: Option[String] = ddlSchemas.get(t) match {
-          case Some(target) =>
-            val evolved = cur.flatMap(_.schemaJson)
-              .map(j => DataType.fromJson(j).asInstanceOf[StructType]) match {
-              case None => target
-              case Some(live) =>
-                val d = SchemaEvolution.diff(live, target)
-                if (d.isEmpty) live
-                else StructType(live.fields.filterNot(f =>
-                  d.dropped.exists(_.equalsIgnoreCase(f.name))) ++ d.added)
-            }
-            Some(evolved.json)
-          case None => cur.flatMap(_.schemaJson)
-        }
-
-        // Bucket with the MANIFEST's bucket count, not the constructor's:
-        // a store handle opened with a different `numBuckets` must keep
-        // writing buckets consistent with the table's recorded mapping,
-        // or reads would prune to buckets that don't hold the rows.
-        val changes = CdcApply.latestByKey(
-          dml.filter(col("table") === t).drop("table"),
-          Seq("row_key"), col("version"))
-          .withColumn("bucket", pmod(hash(col("row_key")), lit(nb)))
-        val touched = changes.select(col("bucket")).distinct()
-          .collect().map(_.getInt(0)).toSet
-
-        val mapping = cur.map(_.buckets).getOrElse(Map.empty[Int, String])
-        if (touched.nonEmpty) {
-          val existing = readBuckets(spark, tdir, mapping, touched)
-          val merged = CdcApply.latestByKey(
-            existing.unionByName(changes), Seq("row_key"), col("version"))
-          // One file per bucket: without the repartition every shuffle
-          // partition writes into every bucket directory it has rows
-          // for — O(shufflePartitions × buckets) small files per batch,
-          // which murders the file listing at scale. Buckets are sized
-          // to a few GB, so one writer per bucket is the right shape.
-          merged.select(col("row_key"), col("op"), col("values"),
-              col("version"), col("bucket"))
-            .repartition(math.max(touched.size, 1), col("bucket"))
-            .write.mode(SaveMode.Overwrite)
-            .partitionBy("bucket")
-            .parquet(s"$tdir/snap-$batchId")
-        }
-        val newMapping = mapping ++ touched.map(_ -> s"snap-$batchId")
-        commitManifest(fs, tdir, batchId, Manifest(nb, schemaJson, newMapping))
-      }
+      // Tables are independent (own manifest, own snapshot dirs, own
+      // slice of the persisted batch), so their merge jobs run
+      // CONCURRENTLY: a multi-table batch's latency is the slowest
+      // table's, not the sum — the reference's sequential per-table loop
+      // (CTInputDStream.java:124-133) made batch time grow linearly with
+      // table count. Bounded pool; Spark's scheduler interleaves jobs.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(tables.length, 8)))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(tables.toSeq.map(t => Future(applyTable(
+            spark, dml, ddlSchemas, t, batchId)))),
+          Duration.Inf)
+      } finally pool.shutdown()
     } finally batch.unpersist()
+  }
+
+  private def applyTable(spark: SparkSession, dml: DataFrame,
+                     ddlSchemas: Map[String, StructType],
+                     t: String, batchId: Long): Unit = {
+    val fs = fileSystem(spark, root)
+    val tdir = tableDir(t)
+    val cur = readManifest(fs, tdir)
+    val nb = cur.map(_.numBuckets).getOrElse(numBuckets)
+
+    // evolve the recorded schema on DDL (metadata-only alter)
+    val schemaJson: Option[String] = ddlSchemas.get(t) match {
+      case Some(target) =>
+        val evolved = cur.flatMap(_.schemaJson)
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType]) match {
+          case None => target
+          case Some(live) =>
+            val d = SchemaEvolution.diff(live, target)
+            if (d.isEmpty) live
+            else StructType(live.fields.filterNot(f =>
+              d.dropped.exists(_.equalsIgnoreCase(f.name))) ++ d.added)
+        }
+        Some(evolved.json)
+      case None => cur.flatMap(_.schemaJson)
+    }
+
+    // Bucket with the MANIFEST's bucket count, not the constructor's:
+    // a store handle opened with a different `numBuckets` must keep
+    // writing buckets consistent with the table's recorded mapping,
+    // or reads would prune to buckets that don't hold the rows.
+    val changes = CdcApply.latestByKey(
+      dml.filter(col("table") === t).drop("table"),
+      Seq("row_key"), col("version"))
+      .withColumn("bucket", pmod(hash(col("row_key")), lit(nb)))
+    val touched = changes.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+
+    val mapping = cur.map(_.buckets).getOrElse(Map.empty[Int, String])
+    if (touched.nonEmpty) {
+      val existing = readBuckets(spark, tdir, mapping, touched)
+      val merged = CdcApply.latestByKey(
+        existing.unionByName(changes), Seq("row_key"), col("version"))
+      // One file per bucket: without the repartition every shuffle
+      // partition writes into every bucket directory it has rows
+      // for — O(shufflePartitions × buckets) small files per batch,
+      // which murders the file listing at scale. Buckets are sized
+      // to a few GB, so one writer per bucket is the right shape.
+      merged.select(col("row_key"), col("op"), col("values"),
+          col("version"), col("bucket"))
+        .repartition(math.max(touched.size, 1), col("bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$tdir/snap-$batchId")
+    }
+    val newMapping = mapping ++ touched.map(_ -> s"snap-$batchId")
+    commitManifest(fs, tdir, batchId, Manifest(nb, schemaJson, newMapping))
   }
 
   /** Live rows of `table` at the latest committed snapshot

@@ -69,6 +69,25 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(st2("3")._1("extra") == "x")
   }
 
+  test("a multi-table batch merges every table concurrently and correctly") {
+    val store = new ParquetUpsertStore(storeDir("multi"), numBuckets = 4)
+    def rec(table: String, op: String, version: Long, id: Long, v: String) =
+      ChangeRecord.ofDml(Dml(op, table, Seq("id"),
+        s1.json, Map("id" -> id.toString, "v" -> v), version.toString, 0L))
+    val tables = (1 to 6).map(i => s"dbo.t$i")
+    store.applyBatch(spark.createDataset(
+      tables.flatMap(t => Seq(
+        rec(t, OpType.Insert, 1, 1L, s"$t-a"),
+        rec(t, OpType.Insert, 2, 2L, s"$t-b")))).toDF(), 0L)
+    store.applyBatch(spark.createDataset(
+      tables.map(t => rec(t, OpType.Delete, 3, 2L, "-"))).toDF(), 1L)
+    tables.foreach { t =>
+      val st = store.snapshot(spark, t)
+        .collect().map(r => r.getString(0) -> r.getMap[String, String](2)("v")).toMap
+      assert(st == Map("1" -> s"$t-a"), s"table $t: $st")
+    }
+  }
+
   test("replaying a batch id is idempotent") {
     val store = new ParquetUpsertStore(storeDir("replay"), numBuckets = 4)
     val batch = spark.createDataset(Seq(
