@@ -122,6 +122,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph: every document
+    * labeled with the SMALLEST doc id reachable through near-dup edges —
+    * the canonical-representative step of a production dedup pipeline
+    * (pairs say "these two match"; clusters say "keep one of these").
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * edges and keeps the minimum seen; a round is one shuffled equi-join
+    * + one aggregation, and the loop stops at fixpoint. Rounds needed =
+    * graph diameter — near-dup clusters are small and dense, so this
+    * converges in a handful of rounds regardless of corpus size (the
+    * same schema GraphFrames' connectedComponents uses). The per-round
+    * driver check is a 1-row count — loop control, not data movement.
+    *
+    * @param pairs  near-dup pairs with `id_a < id_b` (e.g.
+    *               [[minhashNearDups]] output)
+    * @param ids    one row per document (column `idCol`) — singletons
+    *               label themselves
+    */
+  def componentLabels(pairs: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
+      .persist()
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr"))
+      val next = labels.as("l")
+        .join(prop, col("l.id") === prop("src"), "left_outer")
+        .select(col("l.id").as("id"),
+          least(col("l.component"), coalesce(col("nbr"), col("l.component")))
+            .as("component"))
+        .persist()
+      val improved = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") < col("o.component")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = improved == 0
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash fingerprint per document (over whitespace-token hashes). */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

@@ -211,6 +211,20 @@ object ApiQueries {
         ORDER BY c_custkey""")
     }),
 
+    // Offset window functions: lag/lead with a deterministic tiebroken
+    // frame (the change-delta shape every CDC consumer writes).
+    "q37_lead_lag" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Correlated LATERAL subquery with a per-row LIMIT — top-n-per-group
     // expressed the SQL way (Catalyst plans the correlation as a lateral
     // join; the window-function formulation of the same shape is q05).
@@ -323,6 +337,14 @@ object ApiQueries {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+    "q37_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | LAG(o_totalprice, 1) OVER w AS prev_price,
+        | LEAD(o_totalprice, 1) OVER w AS next_price,
+        | o_totalprice - LAG(o_totalprice, 1) OVER w AS delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q36_lateral_topn" ->
       """SELECT r_name, t.n_name FROM region,
         |LATERAL (SELECT n_name FROM nation

@@ -163,6 +163,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Near-dup CLUSTERS, not just pairs: connected components over the
+    // LSH pair graph, every doc labeled with the smallest reachable doc
+    // id — the canonical-representative step of a dedup pipeline
+    // ("keep one per cluster"). Spark runs iterative min-label
+    // propagation to fixpoint; the oracle states the same transitive
+    // closure as a recursive CTE over the brute-force pair predicate
+    // (LSH == brute force on this corpus is separately verified, ns05).
+    "ns12_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      Dedup.componentLabels(pairs, docs, "doc_id")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The composed training-data-prep pipeline in one plan: quality gate
     // (token-count band + stopword presence) → exact dedup (min doc_id
     // per text) → per-source accounting of what survived. Each stage is
@@ -240,6 +256,20 @@ object TextQueries {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | sha256(text) AS sha, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns12_dedup_clusters" ->
+      s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardSql >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         |SELECT id AS doc_id, MIN(r) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "ns11_prep_pipeline" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, text,

@@ -45,6 +45,17 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("componentLabels propagates the min id transitively across chains") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (one component via transitivity), island 5-6,
+    // singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val labels = Dedup.componentLabels(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
   test("multimodal payload plumbing: stable schema, deterministic stub features") {
     val media = Multimodal.attachPayload(docs, "doc_id", "text", "text/plain")
     assert(media.schema == Multimodal.mediaType)
