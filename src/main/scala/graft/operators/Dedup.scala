@@ -141,9 +141,11 @@ object Dedup {
     *               label themselves
     */
   def componentLabels(pairs: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
-    val spark = pairs.sparkSession
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Cache the pair computation BEFORE the both-directions union reads
+    // it twice — without this the (expensive) candidate join runs twice.
+    val p = pairs.select(col("id_a"), col("id_b")).persist()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
       .persist()
@@ -164,6 +166,7 @@ object Dedup {
       converged = improved == 0
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 
