@@ -74,6 +74,25 @@ class GoldenGateFlowSpec extends SparkSuite {
     assert(parsed == ("oslo", Seq("01", "02")))
   }
 
+  test("transport JSON escapes quotes, backslashes and control characters losslessly") {
+    val sch =
+      """{"type":"record","name":"esc","fields":[
+        | {"name":"r","type":{"type":"record","name":"inner","fields":[
+        |   {"name":"s","type":"string"}]}}]}""".stripMargin
+    val nasty = "a\"b\\c\nd\te\rfg"
+    val cols = GoldenGateAvro.decodeRecord(
+      GoldenGateAvro.encodeRecord(sch, Map(
+        "r" -> Map[String, Any]("s" -> nasty))), sch)
+    // parse the JSON back with Spark and recover the exact original
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types._
+    val back = Seq(cols("r")).toDF("j")
+      .select(from_json(col("j"),
+        StructType(Seq(StructField("s", StringType)))).getField("s"))
+      .as[String].head()
+    assert(back == nasty, s"escaping dropped bytes: ${back.toList} vs ${nasty.toList}")
+  }
+
   test("union branches resolve by runtime value") {
     val uSchema =
       """{"type":"record","name":"u","fields":[

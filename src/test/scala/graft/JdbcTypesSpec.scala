@@ -157,6 +157,27 @@ class JdbcTypesSpec extends AnyFunSuite {
       StructField("id", IntegerType), StructField("amt", DoubleType))))
   }
 
+  test("portable temporals round-trip for arbitrary instants (fixed-seed sweep)") {
+    // property-style sweep with a fixed-seed generator (no scalatestplus
+    // bridge in the offline cache)
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 200).foreach { _ =>
+      val day = rnd.between(-30000L, 30000L)
+      val d = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(day))
+      assert(toPortable(d) == day.toInt, s"date epoch-day $day")
+      val nanoOfDay = rnd.between(0L, 86400L * 1000000000L)
+      val tm = java.sql.Time.valueOf(java.time.LocalTime.ofNanoOfDay(nanoOfDay))
+      // java.sql.Time has second precision; compare at the value it holds
+      assert(toPortable(tm) ==
+        tm.toLocalTime.toNanoOfDay / 1000L, "time micros-of-day")
+      val sec = rnd.between(-2000000000L, 4000000000L)
+      val nanos = rnd.between(0L, 1000000000L)
+      val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec, nanos))
+      assert(toPortable(ts) == sec * 1000000L + nanos / 1000L,
+        s"timestamp micros for $sec.$nanos")
+    }
+  }
+
   test("changeRecords decodes a change scan into envelope DML records") {
     val cols = Seq(
       JdbcFixture.Col("CHANGE_TRACKING_VERSION", "bigint", Types.BIGINT),
