@@ -27,20 +27,40 @@ object Bench {
     Tables.events(spark, sfDir).limit(1).count()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
 
+    // Median-of-3 per query: a single-shot timing is noise-prone (GC,
+    // first-touch page faults, AQE replans), and one bad sample in a
+    // recorded round reads as a phantom 9x regression. A query failure
+    // is a bench failure — no swallowed Throwable masquerading as a
+    // plausible timing.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed ::= name
+            System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> (samples(samples.length / 2), samples.head)
     }
     // One compact JSON line: millisecond precision keeps the whole line
     // short enough to survive output-tail truncation in log captures.
     def f(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val mins = results.map { case (k, (_, mn)) => "\"" + k + "\":" + f(mn) }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"BENCH FAILED queries: ${failed.distinct.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -161,13 +161,25 @@ object Dedup {
         .persist()
       val improved = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.component") < col("o.component")).limit(1).count()
-      labels.unpersist()
+      labels.unpersist(blocking = true)
       labels = next
       converged = improved == 0
     }
-    edges.unpersist()
-    p.unpersist()
-    labels
+    // Hand back an UNPERSISTED plan with truncated lineage: a reliable
+    // checkpoint of the final labels (on a cluster the checkpoint dir is
+    // shared storage — the standard way iterative graph algorithms cut
+    // their round-per-round lineage). Without this the caller either
+    // inherits a stranded cache entry for the life of the session, or an
+    // unpersisted plan that re-runs every propagation round on first use.
+    val spark = labels.sparkSession
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    val out = labels.checkpoint(eager = true)
+    labels.unpersist(blocking = true)
+    edges.unpersist(blocking = true)
+    p.unpersist(blocking = true)
+    out
   }
 
   /** SimHash fingerprint per document (over whitespace-token hashes). */

@@ -56,6 +56,19 @@ class DedupSpec extends SparkSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("componentLabels leaves no persisted RDDs behind and returns a usable plan") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+    val labels = Dedup.componentLabels(pairs, docs, "doc_id")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"componentLabels stranded cached RDDs: $leaked")
+    // the returned plan must be consumable (twice) without recomputing the
+    // fixpoint from a now-unpersisted lineage blowing up
+    val n1 = labels.count()
+    val n2 = labels.filter(col("id") === col("component")).count()
+    assert(n1 == docs.count() && n2 <= n1 && n2 > 0)
+  }
+
   test("multimodal payload plumbing: stable schema, deterministic stub features") {
     val media = Multimodal.attachPayload(docs, "doc_id", "text", "text/plain")
     assert(media.schema == Multimodal.mediaType)
