@@ -48,6 +48,27 @@ object JdbcDiscovery {
     out.result()
   }
 
+  /** Discovery driven by the [[CtSql]] composition tier: composes the
+    * reference's exact catalog statements and runs them through the
+    * caller's statement executors — a live deployment passes
+    * `conn.createStatement().executeQuery` (and a PreparedStatement
+    * binder for the key query's two parameters); offline specs pass a
+    * fixture dispatcher keyed on the SQL text, which pins the composed
+    * strings end-to-end (reference CTInputDStream.java:226-243 discovery,
+    * :195-207 column probe, :209-224 PK probe).
+    *
+    * @param run      executes a parameterless statement
+    * @param runBound executes a statement with positional string binds
+    */
+  def discoverVia(run: String => ResultSet,
+                  runBound: (String, Seq[String]) => ResultSet,
+                  tableWhitelist: Set[String] = Set.empty): Seq[TableInformation] =
+    discoverTables(
+      ctEnabledTables = run(CtSql.ctEnabledTablesSql),
+      columnsOf = (s, t) => run(CtSql.columnProbeSql(s, t)),
+      keyColumnsOf = (s, t) => runBound(CtSql.keyColumnsSql, Seq(s, t)),
+      tableWhitelist = tableWhitelist)
+
   /** Discovery → the per-batch DDL snapshot a [[ChangeTrackingStore]]
     * carries (SRC1a feeding SRC1e): table name → row StructType JSON,
     * typed through the [[JdbcTypes]] tier. */
