@@ -21,15 +21,25 @@ object DmlFlattener {
   val VersionCol = "CHANGE_TRACKING_VERSION"
   val TimestampCol = "CDC_CURRENT_TIMESTAMP"
 
+  /** One typed column per field of `rowSchema`, re-typed out of a
+    * `map<string,string>` column by cast — the single re-typing rule of
+    * the engine, shared by the envelope flatten and the durable store's
+    * typed snapshot ([[graft.sinks.ParquetUpsertStore.snapshotTyped]]).
+    * A key absent from the map (a row written before a DDL added the
+    * column) reads as NULL, exactly like the reference's
+    * schema-evolution posture (CDCKudu.java:78-137). */
+  def typedColumns(values: Column, rowSchema: StructType): Seq[Column] =
+    rowSchema.fields.toSeq.map { f =>
+      values.getItem(f.name).cast(f.dataType).as(f.name)
+    }
+
   /** Flatten `envelope` (schema = Schemas.changeRecordType) to the columns
     * of `rowSchema`. `includeCdcColumns` mirrors the reference's
     * appendColumns config (DMLFlattener.java:130-136).
     */
   def flatten(envelope: DataFrame, rowSchema: StructType,
               includeCdcColumns: Boolean = false): DataFrame = {
-    val valueCols: Seq[Column] = rowSchema.fields.toSeq.map { f =>
-      col("dml.rowsValues").getItem(f.name).cast(f.dataType).as(f.name)
-    }
+    val valueCols: Seq[Column] = typedColumns(col("dml.rowsValues"), rowSchema)
     val cdcCols: Seq[Column] =
       if (!includeCdcColumns) Nil
       else Seq(

@@ -231,6 +231,35 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Typed snapshot through the STORED schema, across a DDL evolution:
+    // batch 0 applies schema v1 + the even-versioned changes, batch 1
+    // applies schema v2 (adds value_sq) + the odd-versioned changes whose
+    // rows carry the new column. snapshotTyped re-types the committed
+    // map<string,string> rows through the manifest's evolved schema, so
+    // rows whose latest change predates the DDL read NULL for value_sq —
+    // the reference's alter-then-write posture (CDCKudu.java:78-137) as a
+    // metadata-only projection.
+    "cdc17_typed_snapshot" -> ((s, d) => {
+      import graft.sinks.ParquetUpsertStore
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val ev = Tables.events(s, d)
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val store = new ParquetUpsertStore(freshDir("cdc17"), numBuckets = 8)
+      val env0 = ChangeFeed.wrapDml(ev, "public.events", Seq("user_id"),
+        opFromEvent, col("event_id"), lit(0L))
+      store.applyBatch(ChangeFeed.wrapDdl(s, "public.events", ev.schema)
+        .unionByName(env0.filter(ver % 2 === 0)), 0L)
+      val evolved = StructType(ev.schema.fields :+ StructField("value_sq", DoubleType))
+      val env1 = ChangeFeed.wrapDml(ev.withColumn("value_sq", col("value") * 2),
+        "public.events", Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
+      store.applyBatch(ChangeFeed.wrapDdl(s, "public.events", evolved)
+        .unionByName(env1.filter(ver % 2 === 1)), 1L)
+      store.snapshotTyped(s, "public.events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("value_sq"))
+        .orderBy(col("user_id"))
+    }),
+
     // SRC1f with real JDBC typing: a change-scan ResultSet (offline
     // fixture over the exact java.sql interfaces) decoded through the
     // DBUtils type tier — every lossy quirk on display: DECIMAL(12,2)→
@@ -452,6 +481,14 @@ object CdcQueries {
          |        ROW_NUMBER() OVER (PARTITION BY user_id
          |          ORDER BY event_id DESC) AS rn
          |      FROM events WHERE event_id % 2 = 0) t
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "cdc17_typed_snapshot" ->
+      s"""SELECT user_id, event_id, event_type, value,
+         | CASE WHEN event_id % 2 = 1 THEN value * 2 END AS value_sq
+         |FROM (SELECT user_id, event_id, event_type, $opFromEventSql AS op, value,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY event_id DESC) AS rn
+         |      FROM events) t
          |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "cdc14_jdbc_typed_decode" ->
       """SELECT * FROM (VALUES

@@ -169,6 +169,20 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16) extends Serializabl
       .drop("bucket")
   }
 
+  /** Typed snapshot: live rows re-typed through the manifest's RECORDED
+    * schema (the last applied DDL, as evolved by [[SchemaEvolution]]) via
+    * the flattener's single re-typing rule — consumers get plain typed
+    * columns instead of the envelope's `map<string,string>`. Rows written
+    * before a DDL added a column read NULL for it; rows whose map still
+    * carries a dropped column lose it by projection — both metadata-only,
+    * no data files rewritten. */
+  def snapshotTyped(spark: SparkSession, table: String): DataFrame = {
+    val schema = schemaOf(spark, table).getOrElse(throw new IllegalStateException(
+      s"table '$table' has no recorded schema — no DDL record has been applied"))
+    snapshot(spark, table)
+      .select(graft.operators.DmlFlattener.typedColumns(col("values"), schema): _*)
+  }
+
   /** Recorded live schema of `table` (from the last applied DDL). */
   def schemaOf(spark: SparkSession, table: String): Option[StructType] =
     readManifest(fileSystem(spark, root), tableDir(table))
