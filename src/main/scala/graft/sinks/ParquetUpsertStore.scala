@@ -44,7 +44,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   * add/drop updates the schema recorded in the manifest without touching
   * data files — strictly cheaper than the reference's alter-and-flush.
   */
-class ParquetUpsertStore(root: String, numBuckets: Int = 16) extends Serializable {
+class ParquetUpsertStore(root: String, numBuckets: Int = 16,
+                         autoCompactManifests: Int = 0) extends Serializable {
   import ParquetUpsertStore._
 
   private def tableDir(table: String): String =
@@ -141,7 +142,25 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16) extends Serializabl
     }
     val newMapping = mapping ++ touched.map(_ -> s"snap-$batchId")
     commitManifest(fs, tdir, batchId, Manifest(nb, schemaJson, newMapping))
+
+    // Auto-compact policy: once the manifest count exceeds the configured
+    // bound, fold this table's buckets into one compaction snapshot AT THE
+    // JUST-COMMITTED batch id (replace-commit). Safe under at-least-once
+    // foreachBatch: a replay of THIS batch merges against the compacted
+    // state and its manifest re-commit is dropped (id exists), and any
+    // older batch's replay commits a lower id that max-id readers never
+    // see — so a folded-out tombstone can never resurface. Time travel to
+    // ids below the compaction point is untouched (older manifests and
+    // their directories stay until vacuum).
+    if (autoCompactManifests > 0 &&
+        manifestCount(fs, tdir) > autoCompactManifests)
+      compact(spark, t, batchId)
   }
+
+  private def manifestCount(fs: FileSystem, tdir: String): Int =
+    try fs.listStatus(new Path(tdir))
+      .count(_.getPath.getName.matches("manifest-\\d+"))
+    catch { case _: java.io.FileNotFoundException => 0 }
 
   /** Live rows of `table` at the latest committed snapshot
     * (tombstones filtered): `row_key, op, values, version`. */
@@ -196,14 +215,22 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16) extends Serializabl
   def compact(spark: SparkSession, table: String, asBatchId: Long): Unit = {
     val fs = fileSystem(spark, root)
     val tdir = tableDir(table)
+    // Compaction output lives in its own `-c` directory so it can never
+    // collide with the batch snapshot `snap-<id>` a batch of the same id
+    // wrote (auto-compact runs at the just-committed batch id).
+    val cdir = s"snap-$asBatchId-c"
     readManifest(fs, tdir).foreach { m =>
+      // Re-compacting an already-compacted id would read and overwrite the
+      // same directory (data loss under lazy evaluation) — no-op instead.
+      if (m.buckets.nonEmpty && m.buckets.values.forall(_ == cdir)) return
       val live = readBuckets(spark, tdir, m.buckets, m.buckets.keySet)
         .filter(col("op") =!= graft.model.OpType.Delete)
       live.repartition(math.max(m.buckets.size, 1), col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-        .parquet(s"$tdir/snap-$asBatchId")
-      val mapping = m.buckets.keySet.map(_ -> s"snap-$asBatchId").toMap
-      commitManifest(fs, tdir, asBatchId, Manifest(m.numBuckets, m.schemaJson, mapping))
+        .parquet(s"$tdir/$cdir")
+      val mapping = m.buckets.keySet.map(_ -> cdir).toMap
+      commitManifest(fs, tdir, asBatchId,
+        Manifest(m.numBuckets, m.schemaJson, mapping), replace = true)
     }
   }
 
@@ -306,9 +333,13 @@ object ParquetUpsertStore {
 
   /** Write manifest-<id> via tmp-file + atomic rename (the commit point).
     * A failed rename means the id is already committed (a replay) — the
-    * content is identical by construction, so it is dropped. */
+    * content is identical by construction, so it is dropped. `replace`
+    * (compaction's re-commit of an existing id) deletes the old manifest
+    * before the rename; the store is single-writer per table, and a
+    * concurrent reader in the brief no-manifest window falls back to the
+    * previous id's consistent state. */
   private[sinks] def commitManifest(fs: FileSystem, tdir: String, id: Long,
-                                    m: Manifest): Unit = {
+                                    m: Manifest, replace: Boolean = false): Unit = {
     val text = new StringBuilder()
       .append("graft-upsert-manifest ").append(m.numBuckets).append('\n')
       .append(m.schemaJson.getOrElse("-")).append('\n')
@@ -318,6 +349,8 @@ object ParquetUpsertStore {
     val tmp = new Path(tdir, s".manifest-$id.tmp")
     val out = fs.create(tmp, true)
     try out.write(text.toString.getBytes(UTF_8)) finally out.close()
-    if (!fs.rename(tmp, new Path(tdir, s"manifest-$id"))) fs.delete(tmp, false)
+    val target = new Path(tdir, s"manifest-$id")
+    if (replace) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
   }
 }

@@ -156,12 +156,68 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     // exactly one manifest and one snapshot directory survive
     val names = new java.io.File(dir, "dbo.t").list().toSet
     assert(names.filter(_.startsWith("manifest-")) == Set("manifest-2"), names)
-    assert(names.filter(_.startsWith("snap-")) == Set("snap-2"), names)
+    assert(names.filter(_.startsWith("snap-")) == Set("snap-2-c"), names)
     // time travel below the retention floor now resolves to an empty table
     assert(store.snapshotAt(spark, "dbo.t", 0L).count() == 0)
     // vacuuming past the newest commit keeps it (floor clamps)
     store.vacuum(spark, "dbo.t", keepFromBatchId = 99L)
     assert(state(store) == before)
+  }
+
+  test("replaying pre-compaction batches after compact+vacuum resurrects nothing") {
+    val store = new ParquetUpsertStore(storeDir("lifecycle"), numBuckets = 4)
+    val b0 = spark.createDataset(Seq(
+      ddl(s1),
+      dml(OpType.Insert, 1, 1L, "v" -> "a"),
+      dml(OpType.Insert, 2, 2L, "v" -> "b"))).toDF()
+    val b1 = spark.createDataset(Seq(
+      dml(OpType.Delete, 3, 1L, "v" -> "-"))).toDF()
+    store.applyBatch(b0, 0L)
+    store.applyBatch(b1, 1L)
+    store.compact(spark, "dbo.t", asBatchId = 2L) // tombstone for key 1 folded out
+    store.vacuum(spark, "dbo.t", keepFromBatchId = 2L)
+    val settled = state(store)
+    assert(settled.keySet == Set("2"))
+
+    // Replay of the batch that INSERTED the now-deleted key (at-least-once
+    // delivery): its manifest commits at a lower id than the compaction
+    // point, so max-id readers never see it — key 1 must not come back.
+    store.applyBatch(b0, 0L)
+    assert(state(store) == settled)
+    // replay of the deleting batch is equally invisible
+    store.applyBatch(b1, 1L)
+    assert(state(store) == settled)
+    // and re-compacting the same id is a no-op, not a self-overwrite
+    store.compact(spark, "dbo.t", asBatchId = 2L)
+    assert(state(store) == settled)
+    // time travel at/after the compaction point still resolves
+    assert(store.snapshotAt(spark, "dbo.t", 2L).count() == 1)
+  }
+
+  test("auto-compact bounds the manifest count and folds tombstones") {
+    val dir = storeDir("autocompact")
+    val store = new ParquetUpsertStore(dir, numBuckets = 4, autoCompactManifests = 3)
+    store.applyBatch(spark.createDataset(Seq(ddl(s1),
+      dml(OpType.Insert, 1, 1L, "v" -> "a"),
+      dml(OpType.Insert, 2, 2L, "v" -> "b"))).toDF(), 0L)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Delete, 10, 2L, "v" -> "-"))).toDF(), 1L)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Update, 20, 1L, "v" -> "a2"))).toDF(), 2L)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Insert, 30, 3L, "v" -> "c"))).toDF(), 3L)
+
+    val st = state(store)
+    assert(st.keySet == Set("1", "3"))
+    assert(st("1")._1("v") == "a2")
+    // batch 3 tripped the policy: its commit replaced by a compacted
+    // manifest at the same id, and the folded state hides the tombstone
+    val names = new java.io.File(dir, "dbo.t").list().toSet
+    assert(names.contains("snap-3-c"), names)
+    // the visible physical rows carry no tombstones after the fold
+    assert(store.snapshotAt(spark, "dbo.t", 3L).count() == 2)
+    // schema recorded by batch 0's DDL survives the replace-commit
+    assert(store.schemaOf(spark, "dbo.t").get.fieldNames.sameElements(Array("id", "v")))
   }
 
   test("compact folds tombstones out without changing the visible snapshot") {
