@@ -108,6 +108,27 @@ object ApiQueries {
         .select(col("c_mktsegment"), col("c_acctbal").as("lower_median"))
         .orderBy(col("c_mktsegment"))
     }),
+    // SQL-standard percentile family (PERCENTILE_CONT / PERCENTILE_DISC,
+    // WITHIN GROUP) with engine-pinned semantics: over the integer-valued
+    // l_quantity at quarter fractions, every interpolation position
+    // p*(n-1) has an exactly-representable fractional part and both
+    // algebraic forms ((a+(b-a)f) vs ((1-f)a+fb)) are exact on small
+    // integers — so cont results are bit-identical across engines and
+    // disc picks an exact element (the q27 lower-median trick,
+    // generalized).
+    "q38_percentile_family" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25_cont"),
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_cont"),
+          expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75_cont"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25_disc"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_disc"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Full outer join (aggregated sides → 1:1 on the key, null-padded
     // where only one side has the nation).
     "q28_full_outer_join" -> ((s, d) => {
@@ -296,6 +317,15 @@ object ApiQueries {
         |  FROM customer) t
         |WHERE rn = (cnt + 1) // 2
         |ORDER BY c_mktsegment""".stripMargin,
+    "q38_percentile_family" ->
+      """SELECT l_returnflag,
+        | percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_cont,
+        | percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_cont,
+        | percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75_cont,
+        | percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_disc,
+        | percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_disc,
+        | percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q28_full_outer_join" ->
       """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
         | c.n_customers, s.n_suppliers

@@ -97,6 +97,25 @@ object StreamQueries {
         .orderBy(col("p_id"))
     }),
 
+    // Stream-stream join in its batch-verifiable form: the ad-attribution
+    // shape of StreamingWindowSpec's watermarked join (each purchase
+    // joined to the clicks in the 10 minutes before it, per user),
+    // emitting the attributed PAIRS. The streaming twin runs the same
+    // condition with watermarks on both sides so join state expires; the
+    // batch plan is the same bucketized equi-join as st08 — never a
+    // nested-loop range join.
+    "st09_stream_stream_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      graft.operators.EventOps.rangeJoin(purchases, clicks, "user_id",
+        "p_ts", "c_ts", windowMicros = 600000000L)
+        .select(col("user_id"), col("p_id"), col("c_id"), col("p_ts"), col("c_ts"))
+        .orderBy(col("p_id"), col("c_id"))
+    }),
+
     // Top-N per group over event time: last 3 events per user.
     "st07_latest_n_per_key" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -175,6 +194,16 @@ object StreamQueries {
          | AND epoch_us(CAST(c.ts AS TIMESTAMP)) < epoch_us(CAST(p.ts AS TIMESTAMP))
          |WHERE p.event_type = 'purchase'
          |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+    "st09_stream_stream_join" ->
+      s"""SELECT p.user_id AS user_id, p.event_id AS p_id, c.event_id AS c_id,
+         | CAST(p.ts AS TIMESTAMP) AS p_ts, CAST(c.ts AS TIMESTAMP) AS c_ts
+         |FROM events p JOIN events c
+         |  ON c.user_id = p.user_id
+         | AND c.event_type = 'click'
+         | AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 600000000
+         | AND epoch_us(CAST(c.ts AS TIMESTAMP)) < epoch_us(CAST(p.ts AS TIMESTAMP))
+         |WHERE p.event_type = 'purchase'
+         |ORDER BY p_id, c_id""".stripMargin,
     "st07_latest_n_per_key" ->
       s"""SELECT user_id, rn, event_id, event_type FROM (
          |  SELECT user_id, event_id, event_type, ROW_NUMBER() OVER (

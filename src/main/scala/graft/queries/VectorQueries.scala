@@ -82,6 +82,28 @@ object VectorQueries {
           k = 3, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // Recall@3 of the IVF index against the exact brute-force neighbors,
+    // per query and per nprobe — the ANN quality claim as an
+    // oracle-gated number instead of an assertion in prose. One brute
+    // pass (broadcast queries, corpus never shuffled) + the two IVF
+    // plans, joined on (query, neighbor); recall = hits/3 in exact
+    // binary thirds on both engines.
+    "vs07_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(qs, emb, k = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      def ivf(nprobe: Int) =
+        Similarity.ivfTopK(qs, emb, "label", k = 3, nprobe = nprobe)
+          .select(lit(nprobe).as("nprobe"), col("query_id"), col("neighbor_id"))
+      ivf(1).unionByName(ivf(2))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("nprobe"), col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .withColumn("recall_at_3", col("n_hit") / lit(3.0))
+        .orderBy(col("nprobe"), col("query_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -186,6 +208,58 @@ object VectorQueries {
          |  FROM cand)
          |SELECT query_id, probe_label, neighbor_id, rank, cos FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "vs07_ivf_recall" ->
+      s"""WITH dims AS (
+         |  SELECT label, r.i AS i,
+         |    CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |  FROM embeddings, range(1, 65) r(i)),
+         |cent AS (
+         |  SELECT label, i, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS c
+         |  FROM dims GROUP BY label, i),
+         |cvec AS (
+         |  SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT query_id, qv, label,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+         |      i -> CAST(qv[i] AS DOUBLE) * cv[i])), (acc, x) -> acc + x) AS score
+         |  FROM q CROSS JOIN cvec),
+         |aranked AS (
+         |  SELECT query_id, qv, label, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, label ASC) AS arnk
+         |  FROM scored),
+         |probes AS (
+         |  SELECT 1 AS nprobe, query_id, qv, label FROM aranked WHERE arnk <= 1
+         |  UNION ALL
+         |  SELECT 2 AS nprobe, query_id, qv, label FROM aranked WHERE arnk <= 2),
+         |cand AS (
+         |  SELECT nprobe, query_id, e.vec_id AS neighbor_id,
+         |    ${cosSql("qv", "e.embedding")} AS cos
+         |  FROM probes JOIN embeddings e ON e.label = probes.label
+         |  WHERE e.vec_id <> query_id),
+         |ivf AS (
+         |  SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT nprobe, query_id, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY nprobe, query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM cand) t WHERE rank <= 3),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, c.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${cosSql("qv", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM q JOIN embeddings c ON c.vec_id <> query_id) t
+         |  WHERE rank <= 3)
+         |SELECT i.nprobe, i.query_id,
+         |  CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) / 3.0 AS recall_at_3
+         |FROM ivf i LEFT JOIN exact e
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY i.nprobe, i.query_id
+         |ORDER BY i.nprobe, i.query_id""".stripMargin,
     "vs04_cosine_neardup" ->
       s"""WITH c AS (SELECT vec_id, embedding,
          |             ${bucketSql("embedding", 4)} AS bucket
