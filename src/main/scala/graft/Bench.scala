@@ -46,17 +46,26 @@ object Bench {
       }.sorted
       name -> (samples(samples.length / 2), samples.head)
     }
-    // One compact JSON line: millisecond precision keeps the whole line
-    // short enough to survive output-tail truncation in log captures.
     def f(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + f(med) }
-      .mkString("{", ",", "}")
-    val mins = results.map { case (k, (_, mn)) => "\"" + k + "\":" + f(mn) }
-      .mkString("{", ",", "}")
+    def qmap(sel: ((Double, Double)) => Double, rs: Iterable[(String, (Double, Double))]) =
+      rs.map { case (k, t) => "\"" + k + "\":" + f(sel(t)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // Line 1: every query's median. Line 2: a SHORT summary (total + the
+    // 10 slowest) that stays intact even when a log capture keeps only
+    // the output tail and truncates line 1's head — the driver's recorded
+    // bench for round 5 had parsed:null for exactly that reason.
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$mins,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":${qmap(_._1, results)},"sf":"$sfDir"}"""
+    val top10 = results.toSeq.sortBy(-_._2._1).take(10)
+    val short =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":${qmap(_._1, top10)},"sf":"$sfDir","note":"top10 of ${results.size}; full set on the previous line"}"""
     println(line)
+    println(short)
+    // complete data (median + min per query) for local archaeology
+    val full =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":${qmap(_._1, results)},"queries_min":${qmap(_._2, results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"BENCH FAILED queries: ${failed.distinct.sorted.mkString(", ")}")
