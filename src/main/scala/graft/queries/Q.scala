@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * drift in the last bits and fail the driver's hash compare. Decimal
   * sums are exact, so the final decimal→double conversion is identical on
   * both sides. Comparisons/sorts on raw doubles are safe (no arithmetic).
+  *
+  * Eager-at-construction queries — do not "fix": the stateful/iterative
+  * shapes (cdc13/cdc16/cdc17 durable-store batches, ns12's
+  * label-propagation fixpoint) necessarily execute work when the query
+  * function is CALLED, not when the returned DataFrame is acted on — a
+  * store merge or a convergence loop cannot be a lazy plan. The driver's
+  * per-query timing therefore includes that setup by design; moving it
+  * out would benchmark a plan that re-reads state nothing wrote.
   */
 object Q {
   type QueryFn = (SparkSession, String) => DataFrame
