@@ -219,10 +219,11 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     // collide with the batch snapshot `snap-<id>` a batch of the same id
     // wrote (auto-compact runs at the just-committed batch id).
     val cdir = s"snap-$asBatchId-c"
-    readManifest(fs, tdir).foreach { m =>
-      // Re-compacting an already-compacted id would read and overwrite the
-      // same directory (data loss under lazy evaluation) — no-op instead.
-      if (m.buckets.nonEmpty && m.buckets.values.forall(_ == cdir)) return
+    // Re-compacting an already-compacted id would read and overwrite the
+    // same directory (data loss under lazy evaluation) — no-op instead.
+    readManifest(fs, tdir)
+      .filterNot(m => m.buckets.nonEmpty && m.buckets.values.forall(_ == cdir))
+      .foreach { m =>
       val live = readBuckets(spark, tdir, m.buckets, m.buckets.keySet)
         .filter(col("op") =!= graft.model.OpType.Delete)
       live.repartition(math.max(m.buckets.size, 1), col("bucket"))
