@@ -179,6 +179,29 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic stratified sampling — the data-mixing step of a
+    // training-data pipeline: each document's keep/drop decision is a
+    // salted portable hash of its id against a per-source rate (here
+    // derived from the source id; in production a mixture-weights map),
+    // so the sample is reproducible across runs, engines, and cluster
+    // sizes — no RNG, no sort, one scan + one agg shuffle at any scale.
+    "ns13_stratified_sample" -> ((s, d) => {
+      val nTok = size(tokens(col("text")))
+      val rate = lit(100) + lit(40) *
+        regexp_extract(col("source"), "\\d+", 0).cast("int")
+      val keep = pmod(portableHash(
+        concat(lit("sample:"), col("doc_id").cast("string"))), lit(1000)) < rate
+      Tables.documents(s, d)
+        .select(col("source"), nTok.as("n_tokens"),
+          keep.as("keep"), rate.as("rate"))
+        .groupBy(col("source"))
+        .agg(max(col("rate")).as("rate_per_mille"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1).otherwise(0)).as("n_kept"),
+          sum(when(col("keep"), col("n_tokens")).otherwise(0)).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // The composed training-data-prep pipeline in one plan: quality gate
     // (token-count band + stopword presence) → exact dedup (min doc_id
     // per text) → per-source accounting of what survived. Each stage is
@@ -256,6 +279,18 @@ object TextQueries {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | sha256(text) AS sha, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns13_stratified_sample" -> {
+      val rateSql = "100 + 40 * CAST(regexp_extract(source, '\\d+', 0) AS INT)"
+      val keepSql =
+        s"(${hashSql("'sample:' || CAST(doc_id AS VARCHAR)")}) % 1000 < $rateSql"
+      s"""SELECT source,
+         | MAX($rateSql) AS rate_per_mille,
+         | COUNT(*) AS n_total,
+         | CAST(SUM(CASE WHEN $keepSql THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(SUM(CASE WHEN $keepSql
+         |   THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
     "ns12_dedup_clusters" ->
       s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |pairs AS (
