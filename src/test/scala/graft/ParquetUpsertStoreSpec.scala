@@ -194,7 +194,29 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(store.snapshotAt(spark, "dbo.t", 2L).count() == 1)
   }
 
-  test("auto-compact bounds the manifest count and folds tombstones") {
+  test("streaming into an auto-compacting store folds state end-to-end") {
+    val dir = storeDir("stream-ac")
+    val store = new ParquetUpsertStore(dir, numBuckets = 4, autoCompactManifests = 2)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ChangeRecord]
+    val q = UpsertSink.stream(in.toDF(), store, checkpointDir("pus-ac"))
+    in.addData(ddl(s1), dml(OpType.Insert, 1, 1L, "v" -> "a"))
+    q.processAllAvailable()
+    in.addData(dml(OpType.Delete, 2, 1L, "v" -> "-"),
+      dml(OpType.Insert, 3, 2L, "v" -> "b"))
+    q.processAllAvailable()
+    in.addData(dml(OpType.Insert, 4, 3L, "v" -> "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(state(store).keySet == Set("2", "3"))
+    // batch 2 tripped the policy (3 manifests > 2): its commit was
+    // replaced by a compacted one and the live working set folded
+    val names = new java.io.File(dir, "dbo.t").list().toSet
+    assert(names.contains("snap-2-c"), names)
+    assert(store.snapshotAt(spark, "dbo.t", 2L).count() == 2) // no tombstone rows
+  }
+
+  test("auto-compact triggers past the manifest bound and folds tombstones") {
     val dir = storeDir("autocompact")
     val store = new ParquetUpsertStore(dir, numBuckets = 4, autoCompactManifests = 3)
     store.applyBatch(spark.createDataset(Seq(ddl(s1),
