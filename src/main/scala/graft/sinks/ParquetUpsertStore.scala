@@ -44,8 +44,19 @@ import java.nio.charset.StandardCharsets.UTF_8
   * add/drop updates the schema recorded in the manifest without touching
   * data files — strictly cheaper than the reference's alter-and-flush.
   */
+/** @param autoCompactManifests when > 0, a batch whose commit leaves more
+  *   than this many manifests triggers a compaction at the just-committed
+  *   batch id (folds the data working set; history manifests remain).
+  * @param autoVacuumRetainBatches when ≥ 0 (and auto-compact fired),
+  *   vacuum to `batchId - retain` right after the compaction — bounds
+  *   manifest count AND storage at the cost of time travel older than
+  *   `retain` batches. Keep it comfortably past the streaming
+  *   checkpoint's replay horizon (any committed-batch replay is already
+  *   shadowed by max-id reads; vacuum only deletes what no retained
+  *   manifest references). */
 class ParquetUpsertStore(root: String, numBuckets: Int = 16,
-                         autoCompactManifests: Int = 0) extends Serializable {
+                         autoCompactManifests: Int = 0,
+                         autoVacuumRetainBatches: Int = -1) extends Serializable {
   import ParquetUpsertStore._
 
   private def tableDir(table: String): String =
@@ -153,8 +164,11 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     // ids below the compaction point is untouched (older manifests and
     // their directories stay until vacuum).
     if (autoCompactManifests > 0 &&
-        manifestCount(fs, tdir) > autoCompactManifests)
+        manifestCount(fs, tdir) > autoCompactManifests) {
       compact(spark, t, batchId)
+      if (autoVacuumRetainBatches >= 0)
+        vacuum(spark, t, keepFromBatchId = batchId - autoVacuumRetainBatches)
+    }
   }
 
   private def manifestCount(fs: FileSystem, tdir: String): Int =

@@ -216,6 +216,27 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(store.snapshotAt(spark, "dbo.t", 2L).count() == 2) // no tombstone rows
   }
 
+  test("auto-compact with auto-vacuum bounds manifests and storage") {
+    val dir = storeDir("autovac")
+    val store = new ParquetUpsertStore(dir, numBuckets = 4,
+      autoCompactManifests = 2, autoVacuumRetainBatches = 0)
+    def one(op: String, v: Long, id: Long) =
+      spark.createDataset(Seq(dml(op, v, id, "v" -> s"v$v"))).toDF()
+    store.applyBatch(spark.createDataset(Seq(ddl(s1),
+      dml(OpType.Insert, 1, 1L, "v" -> "a"))).toDF(), 0L)
+    store.applyBatch(one(OpType.Delete, 2, 1L), 1L)
+    store.applyBatch(one(OpType.Insert, 3, 2L), 2L) // trips compact+vacuum@2
+    store.applyBatch(one(OpType.Insert, 4, 3L), 3L)
+    store.applyBatch(one(OpType.Insert, 5, 4L), 4L) // trips compact+vacuum@4
+    assert(state(store).keySet == Set("2", "3", "4"))
+    val names = new java.io.File(dir, "dbo.t").list().toSet
+    // only the latest compaction's manifest + working set survive
+    assert(names.filter(_.matches("manifest-\\d+")) == Set("manifest-4"), names)
+    assert(names.filter(_.startsWith("snap-")) == Set("snap-4-c"), names)
+    // the folded-out tombstone for key 1 stays gone
+    assert(store.snapshot(spark, "dbo.t").count() == 3)
+  }
+
   test("auto-compact triggers past the manifest bound and folds tombstones") {
     val dir = storeDir("autocompact")
     val store = new ParquetUpsertStore(dir, numBuckets = 4, autoCompactManifests = 3)
