@@ -202,6 +202,25 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // The SCALE-PATH prep pipeline composed end to end: LSH near-dup
+    // clusters → keep one canonical document per cluster (smallest id) →
+    // per-source accounting of what survived. ns11 is the exact-dedup
+    // twin; this is the production path for corpora where exact match is
+    // too strict — every stage is oracle-verified alone (ns05, ns12),
+    // and this row proves the composition.
+    "ns14_neardup_prep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      val labels = Dedup.componentLabels(pairs, docs, "doc_id")
+      docs.join(labels, docs("doc_id") === labels("id"))
+        .filter(col("doc_id") === col("component"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(tokens(col("text")))).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // The composed training-data-prep pipeline in one plan: quality gate
     // (token-count band + stopword presence) → exact dedup (min doc_id
     // per text) → per-source accounting of what survived. Each stage is
@@ -305,6 +324,25 @@ object TextQueries {
          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          |SELECT id AS doc_id, MIN(r) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "ns14_neardup_prep" ->
+      s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardSql >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |comp AS (
+         |  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+         |SELECT source, COUNT(*) AS n_kept,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens
+         |FROM documents JOIN comp USING (doc_id)
+         |WHERE doc_id = component
+         |GROUP BY source ORDER BY source""".stripMargin,
     "ns11_prep_pipeline" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, text,
