@@ -212,9 +212,12 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
         shingleN = 3, k = 64, bands = 16, threshold = 0.8)
-      val labels = Dedup.componentLabels(pairs, docs, "doc_id")
-      docs.join(labels, docs("doc_id") === labels("id"))
-        .filter(col("doc_id") === col("component"))
+      // canonical = label fixpoint rows where id == component: computable
+      // on the labels side alone, so the join probes one row per cluster
+      // instead of the whole corpus
+      val canonical = Dedup.componentLabels(pairs, docs, "doc_id")
+        .filter(col("id") === col("component"))
+      docs.join(canonical, docs("doc_id") === canonical("id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           sum(size(tokens(col("text")))).as("kept_tokens"))
