@@ -108,6 +108,23 @@ object ApiQueries {
         .select(col("c_mktsegment"), col("c_acctbal").as("lower_median"))
         .orderBy(col("c_mktsegment"))
     }),
+    // Unpivot — q19's pivot run in reverse: a wide per-nation metrics
+    // row melts into (nationkey, metric, n) long form. Spark's native
+    // unpivot (melt) against a UNION ALL oracle; null-padded sides of
+    // the full outer join are zero-filled first so both engines melt
+    // identical values.
+    "q39_unpivot" -> ((s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .na.fill(0L, Seq("n_customers", "n_suppliers"))
+        .unpivot(Array(col("nationkey")),
+          Array(col("n_customers"), col("n_suppliers")), "metric", "n")
+        .orderBy(col("nationkey"), col("metric"))
+    }),
+
     // SQL-standard percentile family (PERCENTILE_CONT / PERCENTILE_DISC,
     // WITHIN GROUP) with engine-pinned semantics: over the integer-valued
     // l_quantity at quarter fractions, every interpolation position
@@ -317,6 +334,21 @@ object ApiQueries {
         |  FROM customer) t
         |WHERE rn = (cnt + 1) // 2
         |ORDER BY c_mktsegment""".stripMargin,
+    "q39_unpivot" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1),
+        |w AS (SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |        COALESCE(n_customers, 0) AS n_customers,
+        |        COALESCE(n_suppliers, 0) AS n_suppliers
+        |      FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey)
+        |SELECT nationkey, 'n_customers' AS metric,
+        |  CAST(n_customers AS BIGINT) AS n FROM w
+        |UNION ALL
+        |SELECT nationkey, 'n_suppliers' AS metric,
+        |  CAST(n_suppliers AS BIGINT) AS n FROM w
+        |ORDER BY nationkey, metric""".stripMargin,
     "q38_percentile_family" ->
       """SELECT l_returnflag,
         | percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_cont,
