@@ -108,6 +108,26 @@ object ApiQueries {
         .select(col("c_mktsegment"), col("c_acctbal").as("lower_median"))
         .orderBy(col("c_mktsegment"))
     }),
+    // Temporal scalar family — extraction, interval arithmetic with
+    // month-end clamping, last_day, day differences. Both engines clamp
+    // month addition the same way, and everything is integer/date-typed,
+    // so results are exact.
+    "q40_date_functions" -> ((s, d) => {
+      val dt = col("o_orderdate").cast("date")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        dt.as("odate"),
+        year(dt).as("y"),
+        quarter(dt).as("q"),
+        month(dt).as("m"),
+        dayofmonth(dt).as("dom"),
+        date_add(dt, 45).as("plus45d"),
+        add_months(dt, 2).as("plus2m"),
+        last_day(dt).as("month_end"),
+        datediff(dt, lit("1995-01-01").cast("date")).as("days_since_95"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Unpivot — q19's pivot run in reverse: a wide per-nation metrics
     // row melts into (nationkey, metric, n) long form. Spark's native
     // unpivot (melt) against a UNION ALL oracle; null-padded sides of
@@ -334,6 +354,18 @@ object ApiQueries {
         |  FROM customer) t
         |WHERE rn = (cnt + 1) // 2
         |ORDER BY c_mktsegment""".stripMargin,
+    "q40_date_functions" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        | CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y,
+        | CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q,
+        | CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS m,
+        | CAST(day(CAST(o_orderdate AS DATE)) AS INT) AS dom,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS plus45d,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        |   AS days_since_95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q39_unpivot" ->
       """WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
         |           FROM customer GROUP BY 1),
