@@ -40,6 +40,33 @@ class PlanAuditSpec extends SparkSuite {
       "q02 reads columns its projection never uses")
   }
 
+  test("st09's stream-stream-shaped join pushes type filters and stays equi") {
+    val p = executedPlan("st09_stream_stream_join")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,purchase)"),
+      s"st09 lost its pushed event-type filter:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "st09's range join degenerated from its bucketized equi form")
+  }
+
+  test("ns13's sampling is one scan and one aggregation exchange") {
+    val p = executedPlan("ns13_stratified_sample")
+    // partial + final hash aggregate around a single shuffle (plus the
+    // final orderBy's range exchange) — no join, no extra shuffle. AQE
+    // plan strings repeat the pre-adaptive plan after "== Initial Plan =="
+    // — count exchanges in the final section only.
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("HashAggregate"), s"ns13 lost hash aggregation:\n$p")
+    assert(!finalPlan.contains("Join"), s"ns13 should not join:\n$p")
+    assert(finalPlan.split("Exchange ").length - 1 <= 2,
+      s"ns13 grew extra shuffles:\n$p")
+  }
+
+  test("q38's percentile aggregation aggregates without a join or window") {
+    val p = executedPlan("q38_percentile_family")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q38 should be a pure two-phase aggregation:\n$p")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
