@@ -30,49 +30,70 @@ object Bench {
     // Median-of-3 per query: a single-shot timing is noise-prone (GC,
     // first-touch page faults, AQE replans), and one bad sample in a
     // recorded round reads as a phantom 9x regression. A query failure
-    // is a bench failure — no swallowed Throwable masquerading as a
-    // plausible timing.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // is a bench failure — it exits 1 AND its entry in the JSON is null,
+    // so no elapsed-to-exception duration can masquerade as a timing even
+    // for a parser that misses the exit code. Both emitted lines carry
+    // queries_min beside the medians: min ≪ median on a re-run means the
+    // recording environment was contended, min ≈ median means a real
+    // regression — distinguishable without a second run.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def sample(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            failed ::= name
-            System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+    val results: Map[String, Option[(Double, Double)]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        def sample(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              failed ::= name
+              System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+              None
+          }
         }
-        (System.nanoTime() - t0) / 1e9
+        def samplesOrFail(n: Int): Option[Seq[Double]] = {
+          val ss = Seq.fill(n)(sample())
+          if (ss.contains(None)) None else Some(ss.flatten)
+        }
+        val stats = samplesOrFail(reps).flatMap { first =>
+          // Adaptive re-sampling: when the spread is wide (scheduler jitter
+          // dominates sub-second queries at local[32]), two more samples make
+          // the median robust where it is actually noisy, at no cost where
+          // it is not.
+          val sorted = first.sorted
+          val all =
+            if (reps > 1 && sorted.last > sorted.head * 1.3)
+              samplesOrFail(2).map(extra => (sorted ++ extra).sorted)
+            else Some(sorted)
+          all.map(s => (s(s.length / 2), s.head))
+        }
+        name -> stats
       }
-      var samples = Seq.fill(reps)(sample()).sorted
-      // Adaptive re-sampling: when the spread is wide (scheduler jitter
-      // dominates sub-second queries at local[32]), two more samples make
-      // the median robust where it is actually noisy, at no cost where
-      // it is not.
-      if (reps > 1 && samples.last > samples.head * 1.3)
-        samples = (samples ++ Seq.fill(2)(sample())).sorted
-      name -> (samples(samples.length / 2), samples.head)
-    }
     def f(v: Double): String = "%.3f".format(v)
-    def qmap(sel: ((Double, Double)) => Double, rs: Iterable[(String, (Double, Double))]) =
-      rs.map { case (k, t) => "\"" + k + "\":" + f(sel(t)) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    // Line 1: every query's median. Line 2: a SHORT summary (total + the
-    // 10 slowest) that stays intact even when a log capture keeps only
+    def qmap(sel: ((Double, Double)) => Double,
+             rs: Iterable[(String, Option[(Double, Double)])]) =
+      rs.map { case (k, t) =>
+        "\"" + k + "\":" + t.map(v => f(sel(v))).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
+    def summary(rs: Iterable[(String, Option[(Double, Double)])], note: String) =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,""" +
+        s""""queries":${qmap(_._1, rs)},"queries_min":${qmap(_._2, rs)},"sf":"$sfDir"$note}"""
+    // Line 1: every query's median + min. Line 2: a SHORT summary (total +
+    // the 10 slowest) that stays intact even when a log capture keeps only
     // the output tail and truncates line 1's head — the driver's recorded
     // bench for round 5 had parsed:null for exactly that reason.
-    val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":${qmap(_._1, results)},"sf":"$sfDir"}"""
-    val top10 = results.toSeq.sortBy(-_._2._1).take(10)
-    val short =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":${qmap(_._1, top10)},"sf":"$sfDir","note":"top10 of ${results.size}; full set on the previous line"}"""
+    val line = summary(results, "")
+    val top10: Iterable[(String, Option[(Double, Double)])] =
+      ok.toSeq.sortBy(-_._2._1).take(10).map { case (k, v) => k -> Some(v) }
+    val short = summary(top10,
+      s""","note":"top10 of ${results.size}; full set on the previous line"""")
     println(line)
     println(short)
-    // complete data (median + min per query) for local archaeology
-    val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":${qmap(_._1, results)},"queries_min":${qmap(_._2, results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"BENCH FAILED queries: ${failed.distinct.sorted.mkString(", ")}")

@@ -165,22 +165,47 @@ object Dedup {
       labels = next
       converged = improved == 0
     }
-    // Hand back an UNPERSISTED plan with truncated lineage: a reliable
-    // checkpoint of the final labels (on a cluster the checkpoint dir is
-    // shared storage — the standard way iterative graph algorithms cut
-    // their round-per-round lineage). Without this the caller either
-    // inherits a stranded cache entry for the life of the session, or an
-    // unpersisted plan that re-runs every propagation round on first use.
+    // Hand back an UNPERSISTED plan with truncated lineage: the final
+    // labels are materialized to parquet under the session checkpoint dir
+    // (on a cluster that dir is shared storage — the standard way
+    // iterative graph algorithms cut their round-per-round lineage) and
+    // read back. Without this the caller either inherits a stranded cache
+    // entry for the life of the session, or an unpersisted plan that
+    // re-runs every propagation round on first use. Each call deletes the
+    // previous call's labels directory after the new one is written, so a
+    // long session (or a bench loop) holds at most ONE labels checkpoint
+    // at a time — a result handle from an earlier call is superseded, the
+    // same contract as spark.cleaner checkpoint cleanup.
     val spark = labels.sparkSession
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
-    val out = labels.checkpoint(eager = true)
+    val sc = spark.sparkContext
+    val ckptRoot = sc.getCheckpointDir.getOrElse {
+      // Auto-create a scratch dir ONLY in local mode: on a real cluster a
+      // driver-local file: path is not shared storage and executors could
+      // not read it back — require the operator to place it explicitly.
+      require(sc.isLocal,
+        "componentLabels needs a cluster-visible checkpoint dir: call " +
+          "spark.sparkContext.setCheckpointDir(<shared storage path>)")
+      val d = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+      sc.setCheckpointDir(d)
+      sc.getCheckpointDir.get
+    }
+    val dir = s"$ckptRoot/graft-cc-labels-${labelsSeq.incrementAndGet()}"
+    labels.write.parquet(dir)
+    val out = spark.read.parquet(dir)
     labels.unpersist(blocking = true)
     edges.unpersist(blocking = true)
     p.unpersist(blocking = true)
+    val prev = lastLabelsDir.put(ckptRoot, dir)
+    if (prev != null && prev != dir) {
+      val p0 = new org.apache.hadoop.fs.Path(prev)
+      p0.getFileSystem(sc.hadoopConfiguration).delete(p0, true)
+    }
     out
   }
+
+  private val labelsSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val lastLabelsDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** SimHash fingerprint per document (over whitespace-token hashes). */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -104,6 +104,13 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
                      t: String, batchId: Long): Unit = {
     val fs = fileSystem(spark, root)
     val tdir = tableDir(t)
+    // Refuse to re-apply a batch below the newest commit: a replay of a
+    // committed id is already shadowed by max-id readers, and if vacuum
+    // dropped its manifest, re-creating one on top of the CURRENT mapping
+    // would make time travel at that id return anachronistic data. The
+    // streaming checkpoint only ever replays the newest uncommitted-or-
+    // equal id, so this guard costs nothing on the normal path.
+    if (maxManifestId(fs, tdir).exists(batchId < _)) return
     val cur = readManifest(fs, tdir)
     val nb = cur.map(_.numBuckets).getOrElse(numBuckets)
 
@@ -175,6 +182,14 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     try fs.listStatus(new Path(tdir))
       .count(_.getPath.getName.matches("manifest-\\d+"))
     catch { case _: java.io.FileNotFoundException => 0 }
+
+  private def maxManifestId(fs: FileSystem, tdir: String): Option[Long] =
+    try fs.listStatus(new Path(tdir)).iterator
+      .map(_.getPath.getName)
+      .filter(_.matches("manifest-\\d+"))
+      .map(_.stripPrefix("manifest-").toLong)
+      .foldLeft(Option.empty[Long])((acc, v) => Some(acc.fold(v)(math.max(_, v))))
+    catch { case _: java.io.FileNotFoundException => None }
 
   /** Live rows of `table` at the latest committed snapshot
     * (tombstones filtered): `row_key, op, values, version`. */
@@ -349,10 +364,12 @@ object ParquetUpsertStore {
   /** Write manifest-<id> via tmp-file + atomic rename (the commit point).
     * A failed rename means the id is already committed (a replay) — the
     * content is identical by construction, so it is dropped. `replace`
-    * (compaction's re-commit of an existing id) deletes the old manifest
-    * before the rename; the store is single-writer per table, and a
-    * concurrent reader in the brief no-manifest window falls back to the
-    * previous id's consistent state. */
+    * (compaction's re-commit of an existing id) first moves the live
+    * manifest aside to a `manifest-<id>.old` sidecar (not matching the
+    * committed-manifest name pattern, so readers ignore it) and removes
+    * the sidecar only after the new manifest's rename succeeds — a crash
+    * anywhere in the swap leaves either the new manifest or a recoverable
+    * sidecar, never a window with no manifest content for the id on disk. */
   private[sinks] def commitManifest(fs: FileSystem, tdir: String, id: Long,
                                     m: Manifest, replace: Boolean = false): Unit = {
     val text = new StringBuilder()
@@ -365,7 +382,12 @@ object ParquetUpsertStore {
     val out = fs.create(tmp, true)
     try out.write(text.toString.getBytes(UTF_8)) finally out.close()
     val target = new Path(tdir, s"manifest-$id")
-    if (replace) fs.delete(target, false)
-    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+    if (replace) {
+      val sidecar = new Path(tdir, s"manifest-$id.old")
+      fs.delete(sidecar, false) // stale sidecar from an earlier crashed swap
+      if (fs.exists(target)) fs.rename(target, sidecar)
+      if (fs.rename(tmp, target)) fs.delete(sidecar, false)
+      else { fs.delete(tmp, false); fs.rename(sidecar, target) }
+    } else if (!fs.rename(tmp, target)) fs.delete(tmp, false)
   }
 }

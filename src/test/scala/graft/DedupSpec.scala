@@ -69,6 +69,23 @@ class DedupSpec extends SparkSuite {
     assert(n1 == docs.count() && n2 <= n1 && n2 > 0)
   }
 
+  test("componentLabels keeps at most one labels checkpoint across repeated calls") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    // each call supersedes the previous result handle (same contract as
+    // spark.cleaner checkpoint cleanup), so consume before the next call
+    (1 to 3).foreach { _ =>
+      assert(Dedup.componentLabels(pairs, ids, "doc_id").count() == 3)
+    }
+    val ckpt = new java.io.File(
+      new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+    val labelDirs = Option(ckpt.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("graft-cc-labels-"))
+    assert(labelDirs.length <= 1,
+      s"stale labels checkpoints not cleaned: ${labelDirs.mkString(",")}")
+  }
+
   test("multimodal payload plumbing: stable schema, deterministic stub features") {
     val media = Multimodal.attachPayload(docs, "doc_id", "text", "text/plain")
     assert(media.schema == Multimodal.mediaType)
