@@ -52,9 +52,11 @@ object Bench {
               None
           }
         }
+        // Stop at the first failed sample: a query that dies late would
+        // otherwise burn (reps + 2) full runs before being recorded null.
         def samplesOrFail(n: Int): Option[Seq[Double]] = {
-          val ss = Seq.fill(n)(sample())
-          if (ss.contains(None)) None else Some(ss.flatten)
+          val ss = Iterator.fill(n)(sample()).takeWhile(_.isDefined).toSeq
+          if (ss.length == n) Some(ss.flatten) else None
         }
         val stats = samplesOrFail(reps).flatMap { first =>
           // Adaptive re-sampling: when the spread is wide (scheduler jitter

@@ -171,11 +171,13 @@ object Dedup {
     // iterative graph algorithms cut their round-per-round lineage) and
     // read back. Without this the caller either inherits a stranded cache
     // entry for the life of the session, or an unpersisted plan that
-    // re-runs every propagation round on first use. Each call deletes the
-    // previous call's labels directory after the new one is written, so a
-    // long session (or a bench loop) holds at most ONE labels checkpoint
-    // at a time — a result handle from an earlier call is superseded, the
-    // same contract as spark.cleaner checkpoint cleanup.
+    // re-runs every propagation round on first use. Retention is TWO
+    // generations: the dir just written plus the previous call's, with
+    // anything older deleted — so the handle a caller still holds from
+    // the immediately preceding call stays readable (lazy parquet plans
+    // resolve their files at ACTION time, so deleting the newest-but-one
+    // dir would fail a later count() on a live result), while a long
+    // session or bench loop stays bounded at two label sets on disk.
     val spark = labels.sparkSession
     val sc = spark.sparkContext
     val ckptRoot = sc.getCheckpointDir.getOrElse {
@@ -195,17 +197,22 @@ object Dedup {
     labels.unpersist(blocking = true)
     edges.unpersist(blocking = true)
     p.unpersist(blocking = true)
-    val prev = lastLabelsDir.put(ckptRoot, dir)
-    if (prev != null && prev != dir) {
-      val p0 = new org.apache.hadoop.fs.Path(prev)
+    val evicted = labelsHistory.synchronized {
+      val hist = dir :: labelsHistory.getOrElse(ckptRoot, Nil).filterNot(_ == dir)
+      val (keep, drop) = hist.splitAt(2)
+      labelsHistory(ckptRoot) = keep
+      drop
+    }
+    evicted.foreach { d =>
+      val p0 = new org.apache.hadoop.fs.Path(d)
       p0.getFileSystem(sc.hadoopConfiguration).delete(p0, true)
     }
     out
   }
 
   private val labelsSeq = new java.util.concurrent.atomic.AtomicLong(0)
-  private val lastLabelsDir =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val labelsHistory =
+    scala.collection.mutable.Map.empty[String, List[String]]
 
   /** SimHash fingerprint per document (over whitespace-token hashes). */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -110,7 +110,14 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     // would make time travel at that id return anachronistic data. The
     // streaming checkpoint only ever replays the newest uncommitted-or-
     // equal id, so this guard costs nothing on the normal path.
-    if (maxManifestId(fs, tdir).exists(batchId < _)) return
+    if (maxManifestId(fs, tdir).exists(batchId < _)) {
+      // Observable for a direct programmatic caller committing out of
+      // order — for them this drop is data loss, not a harmless replay.
+      System.err.println(s"ParquetUpsertStore: skipping batch $batchId for " +
+        s"table '$t' — a newer batch is already committed (replay shadowed); " +
+        "direct callers must commit monotonically increasing batch ids")
+      return
+    }
     val cur = readManifest(fs, tdir)
     val nb = cur.map(_.numBuckets).getOrElse(numBuckets)
 
@@ -291,6 +298,13 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     manifestIds.filter(_ < floor).foreach { id =>
       fs.delete(new Path(tdir, s"manifest-$id"), false)
     }
+    // Orphaned replace-swap sidecars below the floor are history too —
+    // readManifest would otherwise resurrect them as manifests on the
+    // next open (they don't match the manifest-\d+ filters above).
+    entries.map(_.getPath.getName)
+      .filter(_.matches("manifest-\\d+\\.old"))
+      .filter(_.stripPrefix("manifest-").stripSuffix(".old").toLong < floor)
+      .foreach(n => fs.delete(new Path(tdir, n), false))
     entries.map(_.getPath.getName)
       .filter(n => n.startsWith("snap-") && !referenced.contains(n))
       .foreach(n => fs.delete(new Path(tdir, n), true))
@@ -334,14 +348,24 @@ object ParquetUpsertStore {
   private[sinks] def readManifest(fs: FileSystem, tdir: String,
                                   atOrBefore: Option[Long] = None): Option[Manifest] = {
     val dir = new Path(tdir)
-    val latest =
-      try fs.listStatus(dir).iterator
-        .map(_.getPath.getName)
-        .filter(_.matches("manifest-\\d+"))
-        .map(n => n.stripPrefix("manifest-").toLong)
-        .filter(id => atOrBefore.forall(id <= _))
-        .foldLeft(Option.empty[Long])((acc, v) => Some(acc.fold(v)(math.max(_, v))))
-      catch { case _: java.io.FileNotFoundException => None }
+    val names =
+      try fs.listStatus(dir).map(_.getPath.getName).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    // Crash recovery for a replace-commit that died between its two
+    // renames: a `manifest-<id>.old` sidecar whose target manifest is
+    // missing IS the manifest for that id — restore it before picking
+    // the latest. Concurrent readers may race on the rename; the loser's
+    // rename fails and the id is visible either way.
+    val restored = names
+      .filter(_.matches("manifest-\\d+\\.old"))
+      .map(_.stripSuffix(".old"))
+      .filter(t => !names.contains(t) &&
+        fs.rename(new Path(dir, t + ".old"), new Path(dir, t)))
+    val latest = (names ++ restored).iterator
+      .filter(_.matches("manifest-\\d+"))
+      .map(n => n.stripPrefix("manifest-").toLong)
+      .filter(id => atOrBefore.forall(id <= _))
+      .foldLeft(Option.empty[Long])((acc, v) => Some(acc.fold(v)(math.max(_, v))))
     latest.map { id =>
       val in = new BufferedReader(new InputStreamReader(
         fs.open(new Path(dir, s"manifest-$id")), UTF_8))
@@ -366,10 +390,13 @@ object ParquetUpsertStore {
     * content is identical by construction, so it is dropped. `replace`
     * (compaction's re-commit of an existing id) first moves the live
     * manifest aside to a `manifest-<id>.old` sidecar (not matching the
-    * committed-manifest name pattern, so readers ignore it) and removes
-    * the sidecar only after the new manifest's rename succeeds — a crash
-    * anywhere in the swap leaves either the new manifest or a recoverable
-    * sidecar, never a window with no manifest content for the id on disk. */
+    * committed-manifest name pattern, so normal reads ignore it) and
+    * removes the sidecar only after the new manifest's rename succeeds.
+    * A crash between the two renames leaves only the sidecar on disk;
+    * [[readManifest]] restores such an orphaned sidecar to its manifest
+    * name on the next open, so the id's content survives the crash (it
+    * is merely invisible until then), and [[vacuum]] deletes sidecars
+    * below its retention floor. */
   private[sinks] def commitManifest(fs: FileSystem, tdir: String, id: Long,
                                     m: Manifest, replace: Boolean = false): Unit = {
     val text = new StringBuilder()

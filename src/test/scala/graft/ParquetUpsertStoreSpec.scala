@@ -164,6 +164,38 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(state(store) == before)
   }
 
+  test("a replace-commit crash between renames is recovered from the sidecar") {
+    val dir = storeDir("crash")
+    val store = new ParquetUpsertStore(dir, numBuckets = 4)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Insert, 1, 1L, "v" -> "a"),
+      dml(OpType.Insert, 2, 2L, "v" -> "b"))).toDF(), 0L)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Delete, 3, 2L, "v" -> "-"))).toDF(), 1L)
+    store.compact(spark, "dbo.t", asBatchId = 1L)
+    val settled = state(store)
+    assert(settled.keySet == Set("1"))
+
+    // Simulate the crash window: the live manifest was moved aside to the
+    // sidecar but the new manifest's rename never happened — the id's only
+    // content on disk is manifest-1.old.
+    val tdir = new java.io.File(dir, "dbo.t")
+    assert(new java.io.File(tdir, "manifest-1")
+      .renameTo(new java.io.File(tdir, "manifest-1.old")))
+    // next open restores the sidecar; the id and its state are back
+    assert(state(store) == settled)
+    assert(new java.io.File(tdir, "manifest-1").exists())
+    assert(!new java.io.File(tdir, "manifest-1.old").exists())
+
+    // a stale sidecar BELOW vacuum's floor is history, not a manifest to
+    // resurrect: vacuum must delete it
+    val fos = new java.io.FileOutputStream(new java.io.File(tdir, "manifest-0.old"))
+    try fos.write("graft-upsert-manifest 4\n-\n".getBytes("UTF-8")) finally fos.close()
+    store.vacuum(spark, "dbo.t", keepFromBatchId = 1L)
+    assert(!new java.io.File(tdir, "manifest-0.old").exists())
+    assert(state(store) == settled)
+  }
+
   test("replaying pre-compaction batches after compact+vacuum resurrects nothing") {
     val store = new ParquetUpsertStore(storeDir("lifecycle"), numBuckets = 4)
     val b0 = spark.createDataset(Seq(
