@@ -33,6 +33,13 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dotProduct(a, b) / (norm(a) * norm(b))
 
+  /** Cosine via the HOF fold — for arrays of ANY numeric element type
+    * (one side is a double-array centroid in trained-IVF scoring;
+    * [[DotProductExpr]] is float-array-specialized). Same fold order and
+    * casts as the oracle's `CAST(x AS DOUBLE)` formulation. */
+  def cosineHof(a: Column, b: Column): Column =
+    dotProductHof(a, b) / (sqrt(dotProductHof(a, a)) * sqrt(dotProductHof(b, b)))
+
   /** Sign-bucket LSH key: bit i set iff element i+1 > 0, over the first
     * `bits` dimensions. Turns ANN search into an equi-join on bucket —
     * the scale path that avoids the all-pairs cross join. */

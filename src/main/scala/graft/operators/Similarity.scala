@@ -95,6 +95,98 @@ object Similarity {
         col("rank"), col("cos"))
   }
 
+  /** Deterministic Lloyd-trained coarse quantizer — the IVF index whose
+    * partitions actually FOLLOW the geometry, unlike [[ivfTopK]]'s
+    * trust-the-label mode (on data whose label column is not a geometric
+    * cluster, label-partitioned IVF has near-random recall; training
+    * fixes that). Returns `(label int, cvec array<double>)`.
+    *
+    * Every step is order-independent so the whole index is
+    * oracle-verifiable across engines:
+    *   - init: the `kCentroids` lowest-`vec_id` embeddings;
+    *   - assignment: argmax COSINE to a centroid, ties to the lower
+    *     label (cosine is scale-invariant, so centroids may live in the
+    *     quantized scale);
+    *   - update: per-dimension mean of floor-quantized values
+    *     (`floor(v·2^20)` summed in exact int64) — deterministic under
+    *     any aggregation order. Empty clusters drop (both engines'
+    *     GROUP BY drops them identically).
+    *
+    * Centroids are collected to the driver after each round (k×dim
+    * doubles — broadcast-scale metadata), truncating plan lineage so
+    * `iters` bounds plan depth, not plan size. At 100 TB, train on a
+    * deterministic sample (e.g. a [[graft.queries.TextQueries]]-style
+    * salted-hash keep) — Lloyd's result only needs representative
+    * density, not every row. */
+  def ivfTrain(corpus: DataFrame, kCentroids: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val quant = 1048576L // 2^20
+    var cent: DataFrame = corpus.filter(col("vec_id") < kCentroids)
+      .select(col("vec_id").cast("int").as("label"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroid(corpus, cent)
+      val dims = assigned
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      val next = dims.groupBy(col("label"), col("i"))
+        .agg((sum(floor(col("v").cast("double") * quant).cast("long"))
+          .cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("c")))),
+          x => x.getField("c")).as("cvec"))
+      cent = next.as[(Int, Seq[Double])].collect().sortBy(_._1)
+        .toSeq.toDF("label", "cvec")
+    }
+    cent
+  }
+
+  /** Argmax-cosine centroid assignment: `(vec_id, embedding, label)`. */
+  private def assignToCentroid(vectors: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("score", cosineHof(col("embedding"), col("cvec")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("label").asc)
+    scored.withColumn("arnk", row_number().over(w)).filter(col("arnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"))
+  }
+
+  /** IVF search against TRAINED centroids ([[ivfTrain]]): the corpus is
+    * assigned once to its final centroid (at scale: one shuffle on the
+    * assigned label, amortized across queries), each query probes its
+    * `nprobe` nearest centroids, candidates meet in an equi-join on the
+    * label — same scale shape as [[ivfTopK]], but with recall that holds
+    * on data whose label column carries no geometry. */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, cent: DataFrame,
+                k: Int, nprobe: Int = 1): DataFrame = {
+    val indexed = assignToCentroid(corpus, cent)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("label").as("probe_label"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wAssign = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("label").asc)
+    val assigned = q.crossJoin(broadcast(cent))
+      .withColumn("score", cosineHof(col("qv"), col("cvec")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("label").as("probe_label"))
+    val cand = indexed.join(broadcast(assigned), Seq("probe_label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("probe_label"), col("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
+  /** Train + search in one call. */
+  def ivfTrainedTopK(queries: DataFrame, corpus: DataFrame, kCentroids: Int,
+                     iters: Int, k: Int, nprobe: Int = 1): DataFrame =
+    ivfSearch(queries, corpus, ivfTrain(corpus, kCentroids, iters), k, nprobe)
+
   /** All corpus pairs with cosine ≥ threshold, via the bucket equi-join
     * (embedding-cosine near-dup detection). */
   def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int): DataFrame = {

@@ -31,6 +31,40 @@ object VectorQueries {
        |            THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)),
        |  (acc, x) -> acc + x)""".stripMargin
 
+  // ---- trained-IVF oracle: Lloyd iterations as generated CTE chain ----
+
+  /** CTEs `cvec0 … cvec$iters` + `assign1 … assign$iters`: the exact SQL
+    * twin of [[Similarity.ivfTrain]] — init from the k lowest vec_ids,
+    * argmax-cosine assignment (ties to lower label), quantized-exact
+    * per-dimension means. Deterministic on both engines because every
+    * fold is in index order and every mean is an int64 sum. */
+  private def ivfTrainCtes(k: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""cvec0 AS (
+         |  SELECT CAST(vec_id AS INT) AS label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings WHERE vec_id < $k)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(s""",
+                   |assign$t AS (
+                   |  SELECT vec_id, embedding, label FROM (
+                   |    SELECT e.vec_id, e.embedding, c.label, ROW_NUMBER() OVER (
+                   |      PARTITION BY e.vec_id
+                   |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.label ASC
+                   |    ) AS arnk
+                   |    FROM embeddings e CROSS JOIN cvec${t - 1} c) s
+                   |  WHERE arnk = 1),
+                   |cvec$t AS (
+                   |  SELECT label, list(c ORDER BY i) AS cv FROM (
+                   |    SELECT label, r.i AS i,
+                   |      CAST(SUM(CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * 1048576)
+                   |        AS BIGINT)) AS DOUBLE) / COUNT(*) AS c
+                   |    FROM assign$t, range(1, 65) r(i) GROUP BY label, r.i) d
+                   |  GROUP BY label)""".stripMargin)
+    }
+    sb.toString
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // Brute-force exact top-10 cosine neighbors for a broadcast query
     // set — the ANN correctness baseline. Corpus is scanned once, never
@@ -96,6 +130,30 @@ object VectorQueries {
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       def ivf(nprobe: Int) =
         Similarity.ivfTopK(qs, emb, "label", k = 3, nprobe = nprobe)
+          .select(lit(nprobe).as("nprobe"), col("query_id"), col("neighbor_id"))
+      ivf(1).unionByName(ivf(2))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("nprobe"), col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .withColumn("recall_at_3", col("n_hit") / lit(3.0))
+        .orderBy(col("nprobe"), col("query_id"))
+    }),
+
+    // Recall@3 of the TRAINED IVF index (deterministic Lloyd, k=8
+    // centroids, 3 rounds) — the quality fix for vs07's finding that
+    // label-partitioned IVF has near-random recall when the label column
+    // carries no geometry (this fixture's labels don't cluster; recall
+    // 0.13/0.30 there vs 0.77/0.93 trained). Same oracle-exact posture:
+    // quantized-exact means, in-order cosine folds, deterministic
+    // tiebreaks.
+    "vs08_ivf_trained_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val cent = Similarity.ivfTrain(emb, kCentroids = 8, iters = 3)
+      val exact = Similarity.bruteForceTopK(qs, emb, k = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      def ivf(nprobe: Int) =
+        Similarity.ivfSearch(qs, emb, cent, k = 3, nprobe = nprobe)
           .select(lit(nprobe).as("nprobe"), col("query_id"), col("neighbor_id"))
       ivf(1).unionByName(ivf(2))
         .join(exact, Seq("query_id", "neighbor_id"), "left_outer")
@@ -238,6 +296,55 @@ object VectorQueries {
          |    ${cosSql("qv", "e.embedding")} AS cos
          |  FROM probes JOIN embeddings e ON e.label = probes.label
          |  WHERE e.vec_id <> query_id),
+         |ivf AS (
+         |  SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT nprobe, query_id, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY nprobe, query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM cand) t WHERE rank <= 3),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, c.vec_id AS neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${cosSql("qv", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM q JOIN embeddings c ON c.vec_id <> query_id) t
+         |  WHERE rank <= 3)
+         |SELECT i.nprobe, i.query_id,
+         |  CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) / 3.0 AS recall_at_3
+         |FROM ivf i LEFT JOIN exact e
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         |GROUP BY i.nprobe, i.query_id
+         |ORDER BY i.nprobe, i.query_id""".stripMargin,
+    "vs08_ivf_trained_recall" ->
+      s"""WITH ${ivfTrainCtes(k = 8, iters = 3)},
+         |indexed AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS cv2, label AS probe_label
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.label, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.label ASC
+         |    ) AS arnk
+         |    FROM embeddings e CROSS JOIN cvec3 c) s
+         |  WHERE arnk = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |aranked AS (
+         |  SELECT query_id, qv, label, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${cosSql("qv", "c.cv")} DESC, label ASC) AS arnk
+         |  FROM q CROSS JOIN cvec3 c),
+         |probes AS (
+         |  SELECT 1 AS nprobe, query_id, qv, label FROM aranked WHERE arnk <= 1
+         |  UNION ALL
+         |  SELECT 2 AS nprobe, query_id, qv, label FROM aranked WHERE arnk <= 2),
+         |cand AS (
+         |  SELECT nprobe, query_id, i.neighbor_id,
+         |    ${cosSql("qv", "i.cv2")} AS cos
+         |  FROM probes p JOIN indexed i ON i.probe_label = p.label
+         |  WHERE i.neighbor_id <> p.query_id),
          |ivf AS (
          |  SELECT nprobe, query_id, neighbor_id FROM (
          |    SELECT nprobe, query_id, neighbor_id, ROW_NUMBER() OVER (

@@ -45,6 +45,34 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("trained IVF recall@3 is bounded: nprobe=2 dominates nprobe=1, mean >= 0.9") {
+    // The index-quality CLAIM as a failing assertion, not just a reported
+    // number (vs08 reports it; this pins it): widening the probe set can
+    // only add candidates — any candidate displacing a true top-3 hit
+    // would itself be in the global top-3 — so per-query recall is
+    // monotone in nprobe; and on the fixture the TRAINED index must
+    // actually work (the label-partitioned form can't: this fixture's
+    // labels carry no geometry, recall ~0.3 there).
+    val qs = emb.filter($"vec_id" < 10)
+    val cent = Similarity.ivfTrain(emb, kCentroids = 8, iters = 3)
+    val exact = Similarity.bruteForceTopK(qs, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(nprobe: Int): Map[Long, Double] =
+      Similarity.ivfSearch(qs, emb, cent, k = 3, nprobe = nprobe)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(ns => ns.count(n => exact(n._1).contains(n._2)) / 3.0)
+        .toMap
+    val r1 = recall(1); val r2 = recall(2)
+    exact.keys.foreach { q =>
+      assert(r2.getOrElse(q, 0.0) >= r1.getOrElse(q, 0.0) - 1e-12,
+        s"query $q: nprobe=2 recall ${r2.get(q)} < nprobe=1 ${r1.get(q)}")
+    }
+    val mean2 = exact.keys.iterator.map(q => r2.getOrElse(q, 0.0)).sum / exact.size
+    assert(mean2 >= 0.9 - 1e-12, s"mean recall@3 at nprobe=2 degraded to $mean2")
+  }
+
   test("componentLabels propagates the min id transitively across chains") {
     import spark.implicits._
     // chain 1-2, 2-3 (one component via transitivity), island 5-6,
