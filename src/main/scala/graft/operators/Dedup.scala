@@ -214,6 +214,36 @@ object Dedup {
   private val labelsHistory =
     scala.collection.mutable.Map.empty[String, List[String]]
 
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one token n-gram with an evaluation/benchmark set — the
+    * n-gram-collision decontamination step of an LLM training-data
+    * pipeline (train/test leakage kills benchmark validity, so this runs
+    * over the full corpus before training).
+    *
+    * Scale shape: the benchmark's DISTINCT n-gram hash set is tiny
+    * relative to the corpus (benchmarks are thousands of documents, the
+    * corpus is billions), so it is aggregated and BROADCAST; the corpus
+    * explodes to (id, gram) rows that meet it in a broadcast hash join —
+    * the corpus is scanned once, and the only shuffle is the final
+    * per-document count. Returns one row per training document:
+    * `(idCol, n_shared_ngrams, contaminated)`.
+    */
+  def contaminationFlags(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int): DataFrame = {
+    // per-doc distinct gram hashes (shingleHashes) → per (id, gram) rows
+    val tg = train.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), n)).as("gram"))
+    val bg = bench.select(explode(shingleHashes(col(textCol), n)).as("gram"))
+      .distinct()
+    val hits = tg.join(broadcast(bg), Seq("gram"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** SimHash fingerprint per document (over whitespace-token hashes). */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

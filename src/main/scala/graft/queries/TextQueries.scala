@@ -224,6 +224,46 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Benchmark decontamination: every training doc (id >= 20) flagged
+    // when it shares any 5-token n-gram with the benchmark set (id < 20
+    // as the eval stand-in). The benchmark's distinct gram hashes are
+    // broadcast; the corpus is scanned once — the standard
+    // n-gram-collision decontamination of an LLM data pipeline.
+    "ns15_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFlags(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget allocation across sources — the data-mixing step that
+    // turns "B tokens, uniform source weights" into per-source
+    // deterministic sampling rates: thr_s = min(1000,
+    // B·1000 / (n_sources · tokens_s)) per-mille, then the ns13
+    // salted-hash keep. All integer arithmetic, so the allocation is
+    // reproducible across engines and cluster sizes; two agg shuffles +
+    // one broadcast join at any scale.
+    "ns16_token_budget_mix" -> ((s, d) => {
+      val budgetTokens = 50000L
+      val nTok = size(tokens(col("text")))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), nTok.as("n_tok"))
+      val stats = base.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("tokens_total"))
+      val rates = stats
+        .crossJoin(broadcast(stats.select(count(lit(1)).as("n_sources"))))
+        .withColumn("thr_per_mille", least(lit(1000L),
+          expr(s"${budgetTokens * 1000L} div (n_sources * tokens_total)")))
+      val keep = pmod(portableHash(
+        concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000)) <
+        col("thr_per_mille")
+      base.join(broadcast(rates), Seq("source"))
+        .groupBy(col("source"), col("tokens_total"), col("thr_per_mille"))
+        .agg(sum(when(keep, 1).otherwise(0)).as("n_kept"),
+          sum(when(keep, col("n_tok")).otherwise(0)).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // The composed training-data-prep pipeline in one plan: quality gate
     // (token-count band + stopword presence) → exact dedup (min doc_id
     // per text) → per-source accounting of what survived. Each stage is
@@ -312,6 +352,48 @@ object TextQueries {
          | CAST(SUM(CASE WHEN $keepSql
          |   THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+    "ns15_decontaminate" -> {
+      val gram5 = "t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_' || t[i+4]"
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    [$gram5 for i in range(1, len(t) - 3)],
+         |    s -> ${hashSql("s")})) AS grams
+         |  FROM toks),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
+         |tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20),
+         |hits AS (
+         |  SELECT tr.doc_id, COUNT(*) AS n_hits
+         |  FROM tr JOIN bench USING (gram) GROUP BY tr.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_shared_ngrams,
+         |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin
+    },
+    "ns16_token_budget_mix" -> {
+      val keepSql =
+        s"(${hashSql("'mix:' || CAST(doc_id AS VARCHAR)")}) % 1000 < thr_per_mille"
+      s"""WITH d AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+         |  FROM documents),
+         |st AS (
+         |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tokens_total
+         |  FROM d GROUP BY source),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM st),
+         |r AS (
+         |  SELECT source, tokens_total,
+         |    LEAST(CAST(1000 AS BIGINT),
+         |      50000000 // (n_sources * tokens_total)) AS thr_per_mille
+         |  FROM st CROSS JOIN n)
+         |SELECT r.source, r.tokens_total, r.thr_per_mille,
+         |  CAST(SUM(CASE WHEN $keepSql THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN $keepSql THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM d JOIN r USING (source)
+         |GROUP BY r.source, r.tokens_total, r.thr_per_mille
+         |ORDER BY r.source""".stripMargin
     },
     "ns12_dedup_clusters" ->
       s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -119,6 +119,27 @@ class DedupSpec extends SparkSuite {
       s"stale labels checkpoints not cleaned: ${labelDirs.mkString(",")}")
   }
 
+  test("contaminationFlags pins n-gram-collision semantics on planted data") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares exactly the 5-gram "beta_gamma_delta_epsilon_zeta"
+      (20L, "x beta gamma delta epsilon zeta y"),
+      // shares tokens but never 5 consecutive ones
+      (21L, "alpha beta gamma x delta epsilon zeta"),
+      // too short to form any 5-gram
+      (22L, "alpha beta"),
+      (23L, "completely different text with nothing shared here")
+    ).toDF("doc_id", "text")
+    val flags = Dedup.contaminationFlags(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(flags(20L) == ((1L, true)),
+      s"doc 20 shares exactly one benchmark 5-gram: ${flags(20L)}")
+    assert(flags(21L) == ((0L, false)), "token overlap without a 5-gram run is clean")
+    assert(flags(22L) == ((0L, false)), "sub-n documents cannot collide")
+    assert(flags(23L) == ((0L, false)))
+  }
+
   test("multimodal payload plumbing: stable schema, deterministic stub features") {
     val media = Multimodal.attachPayload(docs, "doc_id", "text", "text/plain")
     assert(media.schema == Multimodal.mediaType)
