@@ -244,7 +244,7 @@ object TextQueries {
     // reproducible across engines and cluster sizes; two agg shuffles +
     // one broadcast join at any scale.
     "ns16_token_budget_mix" -> ((s, d) => {
-      val budgetTokens = 50000L
+      val budgetTokens = 10000L
       val nTok = size(tokens(col("text")))
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), nTok.as("n_tok"))
@@ -386,7 +386,7 @@ object TextQueries {
          |r AS (
          |  SELECT source, tokens_total,
          |    LEAST(CAST(1000 AS BIGINT),
-         |      50000000 // (n_sources * tokens_total)) AS thr_per_mille
+         |      10000000 // (n_sources * tokens_total)) AS thr_per_mille
          |  FROM st CROSS JOIN n)
          |SELECT r.source, r.tokens_total, r.thr_per_mille,
          |  CAST(SUM(CASE WHEN $keepSql THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
