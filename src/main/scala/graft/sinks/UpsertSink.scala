@@ -68,13 +68,24 @@ class InMemoryStore extends CdcWriter {
     Option(tables.get(table)).map(_.asScala.toMap).getOrElse(Map.empty)
 }
 
-/** Named registry so foreachBatch closures (which serialize) can locate
-  * the store by name inside executors in local mode. */
+/** Named registry for ANY [[CdcWriter]] implementation, so foreachBatch
+  * closures (which serialize) can locate the writer by name inside
+  * executors in local mode; a cluster deployment constructs the client
+  * adapter per executor instead. Unregistered names default to a fresh
+  * [[InMemoryStore]]. */
+object CdcWriters {
+  private val writers = new ConcurrentHashMap[String, CdcWriter]()
+  def register(name: String, w: CdcWriter): Unit = writers.put(name, w)
+  def getOrCreate(name: String): CdcWriter =
+    writers.computeIfAbsent(name, _ => new InMemoryStore)
+  def drop(name: String): Unit = writers.remove(name)
+}
+
+/** InMemoryStore's view of the shared registry (the test/spec default). */
 object InMemoryStore {
-  private val stores = new ConcurrentHashMap[String, InMemoryStore]()
   def get(name: String): InMemoryStore =
-    stores.computeIfAbsent(name, _ => new InMemoryStore)
-  def drop(name: String): Unit = stores.remove(name)
+    CdcWriters.getOrCreate(name).asInstanceOf[InMemoryStore]
+  def drop(name: String): Unit = CdcWriters.drop(name)
 }
 
 /** The sink: applies envelope micro-batches to a [[CdcWriter]].
@@ -106,7 +117,7 @@ object UpsertSink {
       col("dml.changeTrackingVersion").cast("long").as("version"))
 
   def applyBatch(batch: DataFrame, writerName: String): Unit = {
-    val writer = InMemoryStore.get(writerName)
+    val writer = CdcWriters.getOrCreate(writerName)
     // --- DDL phase (few rows: one per table per batch at most) ---
     val ddl = batch.filter(col("ddl").isNotNull)
       .select(col("ddl.table"), col("ddl.schemaJson"))
@@ -125,7 +136,7 @@ object UpsertSink {
     val compacted = CdcApply.latestByKey(dmlProjection(batch),
       Seq("table", "row_key"), col("version"))
     compacted.foreachPartition { rows: Iterator[Row] =>
-      val w = InMemoryStore.get(writerName)
+      val w = CdcWriters.getOrCreate(writerName)
       rows.foreach { r =>
         val (table, op, key) = (r.getString(0), r.getString(1), r.getString(2))
         if (op == graft.model.OpType.Delete) w.delete(table, key)

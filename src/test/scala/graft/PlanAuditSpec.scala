@@ -67,6 +67,26 @@ class PlanAuditSpec extends SparkSuite {
       s"q38 should be a pure two-phase aggregation:\n$p")
   }
 
+  test("ns15's decontamination joins the benchmark grams by broadcast") {
+    // the corpus side must meet the (tiny) benchmark gram set in a
+    // broadcast hash join — a shuffled join here would move the corpus
+    val p = executedPlan("ns15_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ns15 lost the broadcast gram join:\n$p")
+  }
+
+  test("ns16's mixture allocation broadcasts the per-source rates") {
+    val p = executedPlan("ns16_token_budget_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ns16 lost the broadcast rates join:\n$p")
+  }
+
+  test("vs08's trained-IVF candidate join is a broadcast equi-join") {
+    val p = executedPlan("vs08_ivf_trained_recall")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vs08's probe-label join degenerated:\n$p")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it

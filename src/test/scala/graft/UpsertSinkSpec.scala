@@ -55,6 +55,32 @@ class UpsertSinkSpec extends SparkSuite {
     assert(st.rows("dbo.t")("3")("extra") == "x")
   }
 
+  test("a registered EncodedCellStore receives the stream through the byte tier") {
+    import graft.sinks.{CdcWriters, CellCodec, EncodedCellStore}
+    val name = "encoded-sink-spec"
+    val enc = new EncodedCellStore
+    CdcWriters.register(name, enc)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ChangeRecord]
+    val q = UpsertSink.stream(in.toDF(), name, checkpointDir("enc-sink"))
+    in.addData(ddl(s1),
+      dml(OpType.Insert, 1, 1L, "v" -> "a"),
+      dml(OpType.Insert, 2, 2L, "v" -> "b"),
+      dml(OpType.Delete, 3, 2L, "v" -> "b"))
+    q.processAllAvailable()
+    q.stop()
+    CdcWriters.drop(name)
+
+    // the DDL phase recorded the schema, so the surviving row's cells
+    // are TYPED bytes: id encoded per the reference's Bytes.toBytes(long)
+    val rows = enc.encodedRows("dbo.t")
+    assert(rows.keySet == Set("1"), "delete must remove row 2")
+    val cells = rows("1")
+    assert(cells.map(_.column) == Seq("id", "v"))
+    assert(cells(0).value.sameElements(CellCodec.encodeLong(1L)))
+    assert(cells(1).value.sameElements("a".getBytes("UTF-8")))
+  }
+
   test("stream refuses a non-envelope schema with a named-property error") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
