@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Aggregators
+import graft.functions.{Aggregators, ZOrder}
 import graft.operators.Skew
 import org.apache.spark.sql.functions._
 
@@ -164,6 +164,53 @@ object ApiQueries {
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_disc"),
           expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75_disc"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Correlated SCALAR subquery (the TPC-H Q17 shape): per-part average
+    // gates the outer row — Catalyst rewrites the correlation into an
+    // aggregate + join, which is the plan property worth pinning (q23
+    // covers EXISTS; this covers the scalar-aggregate correlation).
+    // Exactness: "qty < 0.2*avg" is stated as "5*qty < avg" (integer
+    // multiply, no 0.2 literal-type divergence across engines), the
+    // average of integer-valued quantities is exact in double under any
+    // summation order, and the money sum is decimal-exact (Q.scala).
+    "q41_scalar_subquery" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+          AS avg_yearly
+        FROM lineitem_v l1
+        WHERE 5 * l1.l_quantity < (
+          SELECT AVG(l2.l_quantity) FROM lineitem_v l2
+          WHERE l2.l_partkey = l1.l_partkey)""")
+    }),
+
+    // Calendar gap-filling — the time-series densification step (missing
+    // days appear as explicit zero rows): bounds → generated date
+    // sequence → left join against the daily aggregate. sequence() is
+    // the generator both engines share (generate_series in DuckDB).
+    "q42_gap_fill" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val cal = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      cal.join(daily, Seq("day"), "left_outer")
+        .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("day"))
+    }),
+
+    // Z-order (Morton) clustering key over two filter dimensions — the
+    // layout primitive for multi-column file/row-group pruning
+    // (SCALE.md): plain integer bit interleaving, oracle-exact. The
+    // write-side use is repartitionByRange(zkey) + sortWithinPartitions
+    // before a parquet write; this query verifies the key itself.
+    "q43_zorder_key" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 400)
+        .select(col("l_orderkey"), col("l_partkey"),
+          ZOrder.zorderKey(col("l_orderkey"), col("l_partkey"), 21).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_partkey"))
     }),
 
     // Full outer join (aggregated sides → 1:1 on the key, null-padded
@@ -331,6 +378,34 @@ object ApiQueries {
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q41_scalar_subquery" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM lineitem l1
+        |WHERE 5 * l1.l_quantity < (
+        |  SELECT AVG(l2.l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    "q42_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY day),
+        |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        |cal AS (
+        |  SELECT CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b)
+        |SELECT cal.day AS day,
+        |  CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM cal LEFT JOIN daily USING (day)
+        |ORDER BY day""".stripMargin,
+    "q43_zorder_key" ->
+      """SELECT l_orderkey, l_partkey,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 21),
+        |    i -> (((CAST(l_orderkey AS BIGINT) >> i) & 1) << (2*i))
+        |       + (((CAST(l_partkey AS BIGINT) >> i) & 1) << (2*i+1)))),
+        |    (acc, x) -> acc + x) AS zkey
+        |FROM lineitem WHERE l_orderkey < 400
+        |ORDER BY zkey, l_orderkey, l_partkey""".stripMargin,
     "q25_typed_imperative_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         | COUNT(*) AS n

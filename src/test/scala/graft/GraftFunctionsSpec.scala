@@ -18,6 +18,29 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(r.getDouble(3) == 4.0)
   }
 
+  test("zorderKey interleaves bits and preserves per-dimension order") {
+    import graft.functions.ZOrder.zorderKey
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (255L, 255L))
+      .toDF("x", "y")
+      .select($"x", $"y", zorderKey($"x", $"y", 8).as("z"))
+    val z = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // hand-computed Morton codes: x bits at even positions, y at odd
+    assert(z((0L, 0L)) == 0L)
+    assert(z((1L, 0L)) == 1L)
+    assert(z((0L, 1L)) == 2L)
+    assert(z((1L, 1L)) == 3L)
+    assert(z((2L, 3L)) == (4L + 2L + 8L)) // x=10b -> bit2=0,bit3=1... = 0b1110
+    assert(z((255L, 255L)) == 65535L)
+    // monotone in each dimension with the other fixed — the locality
+    // property range-partitioning by z relies on
+    val line = (0L to 63L).map(v => (v, 7L)).toDF("x", "y")
+      .select(zorderKey($"x", $"y", 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(line == line.sorted && line.distinct.length == line.length,
+      "z must be strictly increasing in x at fixed y")
+  }
+
   test("registered SQL aggregates resolve and sketch/count correctly") {
     import spark.implicits._
     GraftFunctions.register(spark)
