@@ -187,6 +187,61 @@ object Similarity {
                      iters: Int, k: Int, nprobe: Int = 1): DataFrame =
     ivfSearch(queries, corpus, ivfTrain(corpus, kCentroids, iters), k, nprobe)
 
+  /** Scalar-quantized (SQ8) ANN: the memory-compression search path for
+    * corpora whose float32 embeddings don't fit the page cache — 4×
+    * smaller vectors scanned in pass 1, full precision touched only for
+    * the shortlist.
+    *
+    *   1. per-dimension min/max over the corpus (one agg; broadcast);
+    *   2. each corpus vector quantized to 8-bit codes
+    *      `floor((v-min)/(max-min)·255)` and DEQUANTIZED to the bucket
+    *      lower edge — all order-independent arithmetic, so the codes
+    *      are oracle-verifiable (a constant dimension dequantizes to
+    *      itself);
+    *   3. pass 1 ranks by approximate dot(query, dequantized) and keeps
+    *      `k·overfetch` candidates per query;
+    *   4. pass 2 re-joins the shortlist to the full-precision corpus by
+    *      id and rescores exact cosine for the final top-k.
+    *
+    * At 100 TB the quantized table is what pass 1 scans (store it as its
+    * own column/file family); the full-precision re-join touches
+    * `k·overfetch` rows per query. Recall loss only occurs when the
+    * quantization error reorders candidates across the overfetch
+    * boundary — the spec pins recall vs brute force on the fixture. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              overfetch: Int = 4): DataFrame = {
+    val dims = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), col("v").cast("double").as("v"))
+    val st = dims.groupBy(col("i"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val dq = dims.join(broadcast(st), Seq("i"))
+      .withColumn("d", when(col("mx") === col("mn"), col("mn"))
+        .otherwise(col("mn") + least(lit(255.0), greatest(lit(0.0),
+          floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 255)))
+          * (col("mx") - col("mn")) / 255))
+      .groupBy(col("vec_id"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("d")))),
+        x => x.getField("d")).as("dqv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val approx = dq.select(col("vec_id").as("neighbor_id"), col("dqv"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ascore", dotProductHof(col("qv"), col("dqv")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("neighbor_id").asc)
+    val cand = approx.withColumn("arnk", row_number().over(w1))
+      .filter(col("arnk") <= k * overfetch)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val rescored = cand.join(c, Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** All corpus pairs with cosine ≥ threshold, via the bucket equi-join
     * (embedding-cosine near-dup detection). */
   def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int): DataFrame = {

@@ -162,6 +162,17 @@ object VectorQueries {
         .withColumn("recall_at_3", col("n_hit") / lit(3.0))
         .orderBy(col("nprobe"), col("query_id"))
     }),
+
+    // SQ8 scalar-quantized search: pass 1 ranks on 8-bit dequantized
+    // codes (what a 100 TB store would actually scan — 4× smaller),
+    // pass 2 rescores only the k·overfetch shortlist at full precision.
+    // All quantization arithmetic is order-independent, so codes,
+    // shortlist, and final ranks hash-match the oracle exactly.
+    "vs09_sq8_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.sq8TopK(emb.filter(col("vec_id") < 10), emb, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -367,6 +378,37 @@ object VectorQueries {
          |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
          |GROUP BY i.nprobe, i.query_id
          |ORDER BY i.nprobe, i.query_id""".stripMargin,
+    "vs09_sq8_search" ->
+      s"""WITH dims AS (
+         |  SELECT vec_id, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, 65) r(i)),
+         |st AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM dims GROUP BY i),
+         |dq AS (
+         |  SELECT vec_id, list(CASE WHEN mx = mn THEN mn
+         |    ELSE mn + LEAST(255.0, GREATEST(0.0,
+         |      FLOOR((v - mn) / (mx - mn) * 255))) * (mx - mn) / 255
+         |    END ORDER BY i) AS dqv
+         |  FROM dims JOIN st USING (i) GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |approx AS (
+         |  SELECT query_id, qv, d.vec_id AS neighbor_id,
+         |    ${dotSql("qv", "d.dqv")} AS ascore
+         |  FROM dq d CROSS JOIN q WHERE d.vec_id <> query_id),
+         |cand AS (
+         |  SELECT query_id, qv, neighbor_id FROM (
+         |    SELECT query_id, qv, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ascore DESC, neighbor_id ASC) AS arnk
+         |    FROM approx) t WHERE arnk <= 12),
+         |rescored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qv", "c.embedding")} AS cos
+         |  FROM cand JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM rescored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "vs04_cosine_neardup" ->
       s"""WITH c AS (SELECT vec_id, embedding,
          |             ${bucketSql("embedding", 4)} AS bucket

@@ -119,6 +119,22 @@ class DedupSpec extends SparkSuite {
       s"stale labels checkpoints not cleaned: ${labelDirs.mkString(",")}")
   }
 
+  test("SQ8 quantized search recall@3 vs brute force >= 0.9") {
+    // 8-bit quantization error is far below typical neighbor gaps, and
+    // pass 2 rescores the overfetched shortlist at full precision — on
+    // the fixture recall is 1.0; the bound catches a quantizer
+    // regression (wrong scale, wrong clamp, reordered fold).
+    val qs = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(qs, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sq8 = Similarity.sq8TopK(qs, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val hits = sq8.count { case (q, n) => exact(q).contains(n) }
+    assert(hits >= (0.9 * sq8.length).toInt,
+      s"SQ8 recall degraded: $hits/${sq8.length}")
+  }
+
   test("contaminationFlags pins n-gram-collision semantics on planted data") {
     import spark.implicits._
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
