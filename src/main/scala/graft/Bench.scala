@@ -36,6 +36,38 @@ object Bench {
     // queries_min beside the medians: min ≪ median on a re-run means the
     // recording environment was contended, min ≈ median means a real
     // regression — distinguishable without a second run.
+    // Contention calibration: a fixed CPU-bound workload (32 threads ×
+    // a deterministic xorshift loop) whose solo wall-time on this
+    // machine is stable run-to-run. If the recording environment runs
+    // anything else concurrently, this number inflates proportionally —
+    // so a reader can tell "the machine was busy" (calib high, all
+    // queries uniformly slow) from "a query regressed" (calib normal)
+    // WITHOUT a clean re-run. Recorded before and after the query loop.
+    def calibrate(): Double = {
+      val threads = 32
+      val t0 = System.nanoTime()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val tasks = (0 until threads).map { t =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = {
+              var x = 88172645463325252L + t
+              var i = 0
+              while (i < 60000000) {
+                x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+                i += 1
+              }
+              x
+            }
+          })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // discarded: JIT warmup of the calibration loop itself
+    val calibPre = calibrate()
+
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     var failed = List.empty[String]
     val results: Map[String, Option[(Double, Double)]] =
@@ -80,8 +112,10 @@ object Bench {
       }.mkString("{", ",", "}")
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
+    val calibPost = calibrate()
     def summary(rs: Iterable[(String, Option[(Double, Double)])], note: String) =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,""" +
+        s""""calib":[${f(calibPre)},${f(calibPost)}],""" +
         s""""queries":${qmap(_._1, rs)},"queries_min":${qmap(_._2, rs)},"sf":"$sfDir"$note}"""
     // Line 1: every query's median + min. Line 2: a SHORT summary (total +
     // the 10 slowest) that stays intact even when a log capture keeps only
