@@ -207,6 +207,30 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Point lookup on the durable store: the bucket layout turned into
+    // read pruning — the keys are hashed driver-side with the write
+    // path's hash, only their bucket directories are opened, and the
+    // row_key IN filter rides to the parquet scan (spec asserts the
+    // directory skip + partition filter; this row gates the VALUES).
+    "cdc18_point_lookup" -> ((s, d) => {
+      import graft.sinks.ParquetUpsertStore
+      val ev = Tables.events(s, d)
+      val env = ChangeFeed.wrapDml(ev, "public.events", Seq("user_id"),
+        opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val store = new ParquetUpsertStore(freshDir("cdc18"), numBuckets = 8)
+      store.applyBatch(ChangeFeed.wrapDdl(s, "public.events", ev.schema)
+        .unionByName(env.filter(ver % 2 === 0)), 0L)
+      store.applyBatch(env.filter(ver % 2 === 1), 1L)
+      store.lookup(s, "public.events", (3L to 9L).map(_.toString))
+        .select(
+          element_at(col("values"), "user_id").cast("long").as("user_id"),
+          element_at(col("values"), "event_id").cast("long").as("event_id"),
+          col("op"),
+          element_at(col("values"), "value").cast("double").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Time travel on the durable store: apply the same two-batch change
     // log as cdc13, then read the snapshot AS OF batch 0 — the state
     // after only the even-versioned changes. The manifest log retains
@@ -475,6 +499,14 @@ object CdcQueries {
          |          ORDER BY event_id DESC) AS rn
          |      FROM events) t
          |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "cdc18_point_lookup" ->
+      s"""SELECT user_id, event_id, op, value
+         |FROM (SELECT user_id, event_id, $opFromEventSql AS op, value,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY event_id DESC) AS rn
+         |      FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE' AND user_id BETWEEN 3 AND 9
+         |ORDER BY user_id""".stripMargin,
     "cdc16_time_travel" ->
       s"""SELECT user_id, event_id, op, value
          |FROM (SELECT user_id, event_id, $opFromEventSql AS op, value,

@@ -238,6 +238,26 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
       .select(graft.operators.DmlFlattener.typedColumns(col("values"), schema): _*)
   }
 
+  /** Point lookup: live rows for exactly `keys`, reading ONLY the
+    * buckets those keys hash to — the store's bucket layout turned into
+    * read pruning. A lookup of k keys on a 100 TB table opens at most
+    * `min(k, numBuckets)` bucket directories instead of scanning the
+    * table; the in-bucket `row_key IN (...)` filter is pushed to the
+    * parquet scan. The bucket ids are computed driver-side with the SAME
+    * hash the write path uses (Spark's Murmur3 with the `hash()` default
+    * seed), evaluated on literals — no job, no scan. */
+  def lookup(spark: SparkSession, table: String, keys: Seq[String]): DataFrame = {
+    val fs = fileSystem(spark, root)
+    val tdir = tableDir(table)
+    val m = readManifest(fs, tdir)
+      .getOrElse(Manifest(numBuckets, None, Map.empty))
+    val buckets = keys.map(k => bucketOf(k, m.numBuckets)).toSet
+    readBuckets(spark, tdir, m.buckets, buckets)
+      .filter(col("row_key").isin(keys: _*))
+      .filter(col("op") =!= graft.model.OpType.Delete)
+      .drop("bucket")
+  }
+
   /** Recorded live schema of `table` (from the last applied DDL). */
   def schemaOf(spark: SparkSession, table: String): Option[StructType] =
     readManifest(fileSystem(spark, root), tableDir(table))
@@ -342,6 +362,17 @@ object ParquetUpsertStore {
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Driver-side twin of the write path's `pmod(hash(row_key), nb)`:
+    * Spark's `hash()` is Murmur3 with seed 42, so evaluating the same
+    * expression on a literal yields the bucket without running a job. */
+  private[graft] def bucketOf(key: String, nb: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        StringType)), 42).eval(null).asInstanceOf[Int]
+    ((h % nb) + nb) % nb
+  }
 
   /** Highest-id committed manifest (optionally capped at `atOrBefore` for
     * time travel), or None for a table that doesn't exist. */

@@ -164,6 +164,42 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(state(store) == before)
   }
 
+  test("point lookup reads only the buckets its keys hash to") {
+    val store = new ParquetUpsertStore(storeDir("lookup"), numBuckets = 8)
+    store.applyBatch(spark.createDataset(
+      (1L to 64L).map(i => dml(OpType.Insert, i, i, "v" -> s"val$i"))).toDF(), 0L)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Delete, 100, 7L, "v" -> "-"))).toDF(), 1L)
+
+    val keys = Seq("3", "7", "12")
+    val got = store.lookup(spark, "dbo.t", keys)
+    // values match the full snapshot filtered to the same keys
+    // (including the tombstoned key 7 being absent)
+    val expect = store.snapshot(spark, "dbo.t")
+      .filter(org.apache.spark.sql.functions.col("row_key").isin(keys: _*))
+    assert(got.collect().map(_.getString(0)).sorted.toSeq == Seq("12", "3"))
+    assert(got.collect().map(r => (r.getString(0), r.getMap[String, String](2)("v"))).toSet
+      == expect.collect().map(r => (r.getString(0), r.getMap[String, String](2)("v"))).toSet)
+    // snapshot-directory pruning: a lookup whose keys' buckets all live
+    // in snap-0 must not even LIST snap-1 (inputFiles reflects the
+    // pre-partition-pruning file listing, so a skipped directory is
+    // visible here)
+    val wantBuckets = keys.map(k => ParquetUpsertStore.bucketOf(k, 8)).toSet
+    val b7 = ParquetUpsertStore.bucketOf("7", 8)
+    val snap0Keys = Seq("3", "12").filter(k =>
+      ParquetUpsertStore.bucketOf(k, 8) != b7)
+    val pruned = store.lookup(spark, "dbo.t", snap0Keys)
+    assert(pruned.inputFiles.forall(!_.contains("snap-1")),
+      "lookup listed a snapshot directory none of its buckets live in")
+    // partition-level pruning: the scan carries a bucket partition
+    // filter, so within a listed directory only the hashed buckets'
+    // files are read (the executed plan records the filter)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"lookup scan lost its bucket partition filter:\n$plan")
+    assert(wantBuckets.size <= keys.size)
+  }
+
   test("a replace-commit crash between renames is recovered from the sidecar") {
     val dir = storeDir("crash")
     val store = new ParquetUpsertStore(dir, numBuckets = 4)
