@@ -213,6 +213,44 @@ object ApiQueries {
         .orderBy(col("zkey"), col("l_orderkey"), col("l_partkey"))
     }),
 
+    // Double-nested IN subqueries with HAVING (the TPC-H Q20 shape):
+    // part filter nested inside a grouped supplier filter nested inside
+    // the outer aggregate — two levels of Catalyst's IN-to-semi-join
+    // rewrite in one plan. Quantity sums stay in double: integer-valued
+    // summands are exact under any order, so no decimal cast is needed
+    // for the HAVING comparison.
+    "q44_nested_subqueries" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v44")
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT s_nationkey, COUNT(*) AS n_supp
+        FROM supplier_v
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem_v44 l
+          WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part_v WHERE p_name LIKE '%widget%')
+          GROUP BY l_suppkey
+          HAVING SUM(l_quantity) > 2000)
+        GROUP BY s_nationkey ORDER BY s_nationkey""")
+    }),
+
+    // IGNORE NULLS window carry-forward (fill-forward): the latest
+    // purchase value seen so far per user rides along every event — the
+    // standard last-observation-carried-forward shape, exercising the
+    // ignoreNulls variant of last() over a running frame.
+    "q45_fill_forward" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          last(col("pv"), ignoreNulls = true).over(w).as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Full outer join (aggregated sides → 1:1 on the key, null-padded
     // where only one side has the nation).
     "q28_full_outer_join" -> ((s, d) => {
@@ -398,6 +436,24 @@ object ApiQueries {
         |  CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders
         |FROM cal LEFT JOIN daily USING (day)
         |ORDER BY day""".stripMargin,
+    "q44_nested_subqueries" ->
+      """SELECT s_nationkey, COUNT(*) AS n_supp
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem l
+        |  WHERE l.l_partkey IN (
+        |    SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |  GROUP BY l_suppkey
+        |  HAVING SUM(l_quantity) > 2000)
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q45_fill_forward" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q43_zorder_key" ->
       """SELECT l_orderkey, l_partkey,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 21),

@@ -37,6 +37,20 @@ object StreamQueries {
         .orderBy(col("win_start"))
     }),
 
+    // Spark's NATIVE session_window operator (st03 is the hand-rolled
+    // island form; this is the built-in): gap-merged per-user sessions,
+    // window end = last event + gap. An event exactly at the previous
+    // window's end starts a NEW session (merge requires strict overlap)
+    // — the oracle's break condition is >= to match.
+    "st10_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+          col("user_id"), col("n"))
+        .orderBy(col("user_id"), col("win_start"))
+    }),
+
     // Gap sessionization (30-minute inactivity gap): per-session rollup.
     "st03_sessionize" -> ((s, d) => {
       EventOps.sessionize(Tables.events(s, d), col("user_id"), col("ts"),
@@ -136,6 +150,25 @@ object StreamQueries {
          | COUNT(*) AS n,
          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "st10_session_window" ->
+      s"""WITH e AS (SELECT user_id, $tsSql AS ts FROM events),
+         |m AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM e),
+         |s AS (
+         |  SELECT user_id, ts, SUM(brk) OVER (
+         |    PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM m)
+         |SELECT MIN(ts) AS win_start,
+         |  MAX(ts) + INTERVAL 30 MINUTE AS win_end,
+         |  user_id, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM s GROUP BY user_id, sess
+         |ORDER BY user_id, win_start""".stripMargin,
     "st02_sliding_window" ->
       s"""WITH b AS (
          |  SELECT TIMESTAMP '1970-01-01 00:00:00'
