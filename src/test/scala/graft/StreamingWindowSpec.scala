@@ -54,6 +54,37 @@ class StreamingWindowSpec extends SparkSuite {
       ("2024-01-01 10:10:00.0", 1L, 4.0)))
   }
 
+  test("watermarked session_window merges within the gap and closes on watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window($"ts", "10 minutes").as("w"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("start"), $"w.end".as("end"), $"user", $"n")
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .option("checkpointLocation", checkpointDir("sess-wm"))
+      .outputMode("append").start()
+
+    // user 1: events at 10:01 and 10:08 (gap 7 < 10 min → one session
+    // spanning [10:01, 10:18)); user 2: a singleton at 10:02
+    in.addData(ev(1, 1, 1.0), ev(8, 1, 1.0), ev(2, 2, 1.0))
+    q.processAllAvailable()
+    // advance the watermark past every session end so both close:
+    // sessions end at 10:18/10:12; watermark must exceed them
+    in.addData(Ev(java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_out").collect().map(r =>
+      (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      ("2024-01-01 10:01:00.0", "2024-01-01 10:18:00.0", 1L, 2L),
+      ("2024-01-01 10:02:00.0", "2024-01-01 10:12:00.0", 2L, 1L)),
+      s"got $rows")
+  }
+
   test("streaming exact dedup drops at-least-once replays within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Keyed]
