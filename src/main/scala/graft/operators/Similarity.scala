@@ -242,6 +242,73 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Product-quantized (PQ) ANN — the compression tier below SQ8: the
+    * embedding is split into `numSub` sub-vectors, each encoded as the id
+    * of its nearest codeword in a per-subspace codebook, so a vector
+    * stores as `numSub` small ints (e.g. 64 float32 dims → 8 bytes, 32×)
+    * and pass 1 scores against codebook reconstructions.
+    *
+    * Deterministic end-to-end, so the whole index is oracle-verifiable:
+    *   - codebook: the sub-vectors of the `kCodes` lowest-`vec_id`
+    *     corpus rows (a deterministic sample — at scale a trained
+    *     codebook slots in the same way [[ivfTrain]] does for IVF);
+    *   - encode: argmin L2 to a codeword, computed as an index-ordered
+    *     fold of exact double ops (ties to the lower code id);
+    *   - search: pass 1 ranks dot(query, reconstruction) and keeps
+    *     `k·overfetch` per query; pass 2 rescores the shortlist against
+    *     the full-precision corpus — same overfetch-then-rescore shape
+    *     as [[sq8TopK]].
+    *
+    * At 100 TB: the codebook is `numSub·kCodes` sub-vectors (broadcast
+    * metadata), encoding is one corpus scan against it, and pass 1 scans
+    * the codes table (32× smaller than the raw embeddings) — the
+    * full-precision table is touched only for `k·overfetch` rows per
+    * query. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, numSub: Int, kCodes: Int,
+             k: Int, overfetch: Int = 4): DataFrame = {
+    val subDim = (size(col("embedding")) / numSub).cast("int")
+    def subVectors(df: DataFrame) = df
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("m", explode(sequence(lit(0), lit(numSub - 1))))
+      .select(col("vec_id"), col("m"), transform(
+        slice(col("embedding"), col("m") * subDim + 1, subDim),
+        x => x.cast("double")).as("sv"))
+    val cb = subVectors(corpus.filter(col("vec_id") < kCodes))
+      .select(col("vec_id").cast("int").as("code"), col("m"), col("sv").as("cb"))
+    val enc = subVectors(corpus)
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("l2", aggregate(
+        zip_with(col("sv"), col("cb"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x))
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("l2").asc, col("code").asc)
+    val codes = enc.withColumn("crnk", row_number().over(wEnc))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+    val recon = codes.join(broadcast(cb), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("cb")))),
+        x => x.getField("cb"))).as("rv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val approx = recon.select(col("vec_id").as("neighbor_id"), col("rv"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ascore", dotProductHof(col("qv"), col("rv")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("neighbor_id").asc)
+    val cand = approx.withColumn("arnk", row_number().over(w1))
+      .filter(col("arnk") <= k * overfetch)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val rescored = cand.join(c, Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** All corpus pairs with cosine ≥ threshold, via the bucket equi-join
     * (embedding-cosine near-dup detection). */
   def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int): DataFrame = {

@@ -231,6 +231,38 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // The durable store surfaced as a named Spark data source: the same
+    // two-batch change log, read back through
+    // spark.read.format("graft-upsert") with a row_key IN predicate.
+    // The filter is pushed to the relation, which turns it into the
+    // store's driver-side bucket pruning (only the keys' bucket
+    // directories are opened) while Spark re-applies it above the scan —
+    // pruning can never change results, and this row gates the values.
+    "cdc19_source_read" -> ((s, d) => {
+      import graft.sinks.ParquetUpsertStore
+      val ev = Tables.events(s, d)
+      val env = ChangeFeed.wrapDml(ev, "public.events", Seq("user_id"),
+        opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val dir = freshDir("cdc19")
+      val store = new ParquetUpsertStore(dir, numBuckets = 8)
+      store.applyBatch(ChangeFeed.wrapDdl(s, "public.events", ev.schema)
+        .unionByName(env.filter(ver % 2 === 0)), 0L)
+      env.filter(ver % 2 === 1)
+        .write.format("graft-upsert").mode("append")
+        .option("path", dir).option("table", "public.events")
+        .option("batchId", "1").save()
+      s.read.format("graft-upsert")
+        .option("path", dir).option("table", "public.events").load()
+        .filter(col("row_key").isin((3L to 9L).map(_.toString): _*))
+        .select(
+          element_at(col("values"), "user_id").cast("long").as("user_id"),
+          element_at(col("values"), "event_id").cast("long").as("event_id"),
+          col("op"),
+          element_at(col("values"), "value").cast("double").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Time travel on the durable store: apply the same two-batch change
     // log as cdc13, then read the snapshot AS OF batch 0 — the state
     // after only the even-versioned changes. The manifest log retains
@@ -500,6 +532,14 @@ object CdcQueries {
          |      FROM events) t
          |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "cdc18_point_lookup" ->
+      s"""SELECT user_id, event_id, op, value
+         |FROM (SELECT user_id, event_id, $opFromEventSql AS op, value,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY event_id DESC) AS rn
+         |      FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE' AND user_id BETWEEN 3 AND 9
+         |ORDER BY user_id""".stripMargin,
+    "cdc19_source_read" ->
       s"""SELECT user_id, event_id, op, value
          |FROM (SELECT user_id, event_id, $opFromEventSql AS op, value,
          |        ROW_NUMBER() OVER (PARTITION BY user_id

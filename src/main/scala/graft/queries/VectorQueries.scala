@@ -173,6 +173,17 @@ object VectorQueries {
       Similarity.sq8TopK(emb.filter(col("vec_id") < 10), emb, k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // PQ product-quantized search (8 subspaces × 16 codewords): vectors
+    // stored as 8 code ids, pass 1 scores codebook reconstructions, pass
+    // 2 rescores the k·overfetch shortlist exactly. Codebook, codes and
+    // ranks are all deterministic → hash-gated like vs09.
+    "vs10_pq_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
+          numSub = 8, kCodes = 16, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -395,6 +406,49 @@ object VectorQueries {
          |  SELECT query_id, qv, d.vec_id AS neighbor_id,
          |    ${dotSql("qv", "d.dqv")} AS ascore
          |  FROM dq d CROSS JOIN q WHERE d.vec_id <> query_id),
+         |cand AS (
+         |  SELECT query_id, qv, neighbor_id FROM (
+         |    SELECT query_id, qv, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ascore DESC, neighbor_id ASC) AS arnk
+         |    FROM approx) t WHERE arnk <= 12),
+         |rescored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qv", "c.embedding")} AS cos
+         |  FROM cand JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM rescored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "vs10_pq_search" ->
+      s"""WITH sub AS (
+         |  SELECT vec_id, r.m AS m,
+         |    list_transform(list_slice(embedding, r.m * 8 + 1, r.m * 8 + 8),
+         |      x -> CAST(x AS DOUBLE)) AS sv
+         |  FROM embeddings, range(0, 8) r(m)),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, m, sv AS cb
+         |       FROM sub WHERE vec_id < 16),
+         |enc AS (
+         |  SELECT s.vec_id, s.m, cb.code,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |      j -> (s.sv[j] - cb.cb[j]) * (s.sv[j] - cb.cb[j]))),
+         |      (acc, x) -> acc + x) AS l2
+         |  FROM sub s JOIN cb ON s.m = cb.m),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id, m ORDER BY l2 ASC, code ASC) AS crnk
+         |    FROM enc) t WHERE crnk = 1),
+         |recon AS (
+         |  SELECT codes.vec_id, flatten(list(cb.cb ORDER BY codes.m)) AS rv
+         |  FROM codes JOIN cb ON codes.m = cb.m AND codes.code = cb.code
+         |  GROUP BY codes.vec_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |approx AS (
+         |  SELECT query_id, qv, r.vec_id AS neighbor_id,
+         |    ${dotSql("qv", "r.rv")} AS ascore
+         |  FROM recon r CROSS JOIN q WHERE r.vec_id <> query_id),
          |cand AS (
          |  SELECT query_id, qv, neighbor_id FROM (
          |    SELECT query_id, qv, neighbor_id, ROW_NUMBER() OVER (

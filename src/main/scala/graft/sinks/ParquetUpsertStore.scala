@@ -231,10 +231,12 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     * before a DDL added a column read NULL for it; rows whose map still
     * carries a dropped column lose it by projection — both metadata-only,
     * no data files rewritten. */
-  def snapshotTyped(spark: SparkSession, table: String): DataFrame = {
-    val schema = schemaOf(spark, table).getOrElse(throw new IllegalStateException(
-      s"table '$table' has no recorded schema — no DDL record has been applied"))
-    snapshot(spark, table)
+  def snapshotTyped(spark: SparkSession, table: String,
+                    atOrBefore: Option[Long] = None): DataFrame = {
+    val schema = schemaOf(spark, table, atOrBefore).getOrElse(
+      throw new IllegalStateException(
+        s"table '$table' has no recorded schema — no DDL record has been applied"))
+    snapshotImpl(spark, table, atOrBefore)
       .select(graft.operators.DmlFlattener.typedColumns(col("values"), schema): _*)
   }
 
@@ -246,10 +248,11 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     * parquet scan. The bucket ids are computed driver-side with the SAME
     * hash the write path uses (Spark's Murmur3 with the `hash()` default
     * seed), evaluated on literals — no job, no scan. */
-  def lookup(spark: SparkSession, table: String, keys: Seq[String]): DataFrame = {
+  def lookup(spark: SparkSession, table: String, keys: Seq[String],
+             atOrBefore: Option[Long] = None): DataFrame = {
     val fs = fileSystem(spark, root)
     val tdir = tableDir(table)
-    val m = readManifest(fs, tdir)
+    val m = readManifest(fs, tdir, atOrBefore)
       .getOrElse(Manifest(numBuckets, None, Map.empty))
     val buckets = keys.map(k => bucketOf(k, m.numBuckets)).toSet
     readBuckets(spark, tdir, m.buckets, buckets)
@@ -258,9 +261,11 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
       .drop("bucket")
   }
 
-  /** Recorded live schema of `table` (from the last applied DDL). */
-  def schemaOf(spark: SparkSession, table: String): Option[StructType] =
-    readManifest(fileSystem(spark, root), tableDir(table))
+  /** Recorded live schema of `table` (from the last applied DDL at or
+    * before `atOrBefore`, latest when unbounded). */
+  def schemaOf(spark: SparkSession, table: String,
+               atOrBefore: Option[Long] = None): Option[StructType] =
+    readManifest(fileSystem(spark, root), tableDir(table), atOrBefore)
       .flatMap(_.schemaJson)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
 

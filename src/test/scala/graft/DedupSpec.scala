@@ -135,6 +135,23 @@ class DedupSpec extends SparkSuite {
       s"SQ8 recall degraded: $hits/${sq8.length}")
   }
 
+  test("PQ product-quantized search recall@3 vs brute force is bounded") {
+    // a 16-codeword × 8-subspace codebook is a coarse reconstruction, so
+    // unlike SQ8 the pass-1 shortlist CAN miss true neighbors — the
+    // bound catches an encoder regression (wrong slice arithmetic, wrong
+    // argmin tiebreak, reordered fold), not a recall promise
+    val qs = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(qs, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.pqTopK(qs, emb, numSub = 8, kCodes = 16, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(pq.length == 30, "3 neighbors per query expected")
+    val hits = pq.count { case (q, n) => exact(q).contains(n) }
+    assert(hits >= (0.6 * pq.length).toInt,
+      s"PQ recall degraded: $hits/${pq.length}")
+  }
+
   test("contaminationFlags pins n-gram-collision semantics on planted data") {
     import spark.implicits._
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
