@@ -239,6 +239,29 @@ object ApiQueries {
     // purchase value seen so far per user rides along every event — the
     // standard last-observation-carried-forward shape, exercising the
     // ignoreNulls variant of last() over a running frame.
+    // TPC-H Q20's signature decorrelation shape: a correlated scalar
+    // subquery NESTED INSIDE an IN subquery (suppliers who shipped the
+    // maximum-quantity line of some bolt part). Catalyst rewrites the
+    // inner scalar to an aggregated left join and the IN to a semi join
+    // — two decorrelations stacked. Integer equality throughout, so no
+    // FP tolerance is needed anywhere.
+    "q46_in_with_corr_scalar" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v46")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v46")
+      Tables.part(s, d).createOrReplaceTempView("part_v46")
+      s.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier_v46
+        WHERE s_suppkey IN (
+          SELECT l1.l_suppkey FROM lineitem_v46 l1
+          WHERE l1.l_partkey IN (
+            SELECT p_partkey FROM part_v46 WHERE p_name LIKE '%bolt%')
+          AND l1.l_quantity = (
+            SELECT MAX(l2.l_quantity) FROM lineitem_v46 l2
+            WHERE l2.l_partkey = l1.l_partkey))
+        ORDER BY s_suppkey""")
+    }),
+
     "q45_fill_forward" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -446,6 +469,17 @@ object ApiQueries {
         |  GROUP BY l_suppkey
         |  HAVING SUM(l_quantity) > 2000)
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q46_in_with_corr_scalar" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM lineitem l1
+        |  WHERE l1.l_partkey IN (
+        |    SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        |  AND l1.l_quantity = (
+        |    SELECT MAX(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
     "q45_fill_forward" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END

@@ -269,6 +269,29 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
       .flatMap(_.schemaJson)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
 
+  /** Materialize the typed snapshot as a Z-order-clustered parquet
+    * directory — the serving/export layout (Delta's OPTIMIZE ZORDER BY,
+    * as a one-shot write): rows are range-partitioned and sorted on the
+    * interleaved key of two typed columns, so every file and row group
+    * covers a small rectangle in (x, y) and parquet min/max stats prune
+    * scans filtered on EITHER dimension. The store's own bucket layout
+    * is untouched (it is keyed for point lookups, not range scans); this
+    * is the path a downstream analytical consumer reads. Content is
+    * exactly [[snapshotTyped]] — layout is the only difference. */
+  def exportZOrdered(spark: SparkSession, table: String, outDir: String,
+                     xCol: String, yCol: String, bits: Int = 20,
+                     numFiles: Int = 8): Unit = {
+    val zk = graft.functions.ZOrder.zorderKey(
+      coalesce(col(xCol).cast("long"), lit(0L)),
+      coalesce(col(yCol).cast("long"), lit(0L)), bits)
+    snapshotTyped(spark, table)
+      .withColumn("__zk", zk)
+      .repartitionByRange(numFiles, col("__zk"))
+      .sortWithinPartitions(col("__zk"))
+      .drop("__zk")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
   /** Fold all buckets into one snapshot directory and drop tombstones.
     * Run only past the streaming checkpoint's replay horizon: once a
     * tombstone is gone, a replay of the batch that deleted it must never

@@ -346,4 +346,46 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     val raw = store.snapshot(spark, "dbo.t") // already filters, so check dirs
     assert(raw.count() == 1)
   }
+
+  test("exportZOrdered clusters the typed snapshot on both dimensions") {
+    val s3 = StructType(Seq(
+      StructField("id", LongType), StructField("x", LongType),
+      StructField("y", LongType)))
+    def dml3(i: Long) = ChangeRecord.ofDml(Dml(OpType.Insert, "dbo.t",
+      Seq("id"), s3.json, Map("id" -> i.toString,
+        "x" -> (i % 16).toString, "y" -> (i / 16).toString), i.toString, 0L))
+    val store = new ParquetUpsertStore(storeDir("zorder"), numBuckets = 4)
+    store.applyBatch(spark.createDataset(
+      ChangeRecord.ofDdl(Ddl("dbo.t", s3.json)) +: (0L until 256L).map(dml3)
+    ).toDF(), 0L)
+
+    val out = checkpointDir("zorder-out")
+    store.exportZOrdered(spark, "dbo.t", out, "x", "y", bits = 8, numFiles = 8)
+
+    // content is exactly the typed snapshot — layout is the only change
+    val got = spark.read.parquet(out).orderBy("id").collect().toSeq
+    val want = store.snapshotTyped(spark, "dbo.t").orderBy("id").collect().toSeq
+    assert(got == want)
+
+    // clustering: every file's (x, y) bounding rectangle is a small
+    // patch of the 16×16 grid, never a full-width stripe — that bounded
+    // min/max footprint is precisely what lets parquet row-group stats
+    // prune scans filtered on either dimension. A contiguous z-range of
+    // ≤ half the grid is confined to at most two adjacent quadrants
+    // (area ≤ 128); an unclustered write would put near-global spans
+    // (area → 256) in every file.
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+    assert(files.length > 1, "expected a multi-file clustered layout")
+    files.foreach { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(org.apache.spark.sql.functions.min("x"),
+          org.apache.spark.sql.functions.max("x"),
+          org.apache.spark.sql.functions.min("y"),
+          org.apache.spark.sql.functions.max("y")).head()
+      val area = (r.getLong(1) - r.getLong(0) + 1) * (r.getLong(3) - r.getLong(2) + 1)
+      assert(area <= 128,
+        s"file ${f.getName} covers area $area of the 256-cell grid — not clustered")
+    }
+  }
 }
