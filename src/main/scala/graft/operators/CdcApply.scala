@@ -52,6 +52,30 @@ object CdcApply {
       lit("' in row-key derivation"))))
       .otherwise(value.cast("string"))
 
+  /** Slowly-changing-dimension type-2 history from a change log: every
+    * INSERT/UPDATE becomes a versioned dimension row whose validity window
+    * is [its version, the next change's version) — a DELETE contributes no
+    * row but still closes its predecessor's window. The reference's sinks
+    * only ever converge to the latest state (CDCTableUtil.java:72-96);
+    * keeping the full history is the natural warehouse-side extension once
+    * the change log is a DataFrame.
+    *
+    * At scale this is the same single hash-shuffle as [[latestByKey]]: one
+    * window over the key, `lead` for the closing version, a filter. No
+    * join, no second shuffle; AQE handles skewed keys.
+    */
+  def scd2History(changes: DataFrame, keys: Seq[String], opCol: Column,
+                  version: Column, tieBreak: Column*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((version.asc +: tieBreak.map(_.asc)): _*)
+    changes
+      .withColumn("valid_from", version)
+      .withColumn("valid_to", lead(version, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull
+        && opCol =!= graft.model.OpType.Delete)
+      .filter(opCol =!= graft.model.OpType.Delete)
+  }
+
   /** The reference's row-key derivation: PK *names* sorted lexically, and
     * the corresponding values joined with ':' in that name order
     * (reference CDCTableUtil.java:98-105 — `primaryKeys.stream().sorted()`

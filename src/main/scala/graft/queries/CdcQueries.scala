@@ -431,6 +431,21 @@ object CdcQueries {
         .orderBy(col("version"), col("op"), col("id"))
     }),
 
+    // SCD type-2 dimension history from the change log: each I/U change
+    // becomes a dimension row valid over [version, next change's version);
+    // DELETEs emit nothing but close the prior row's window. One window
+    // over one key shuffle — the warehouse-side complement of cdc04's
+    // latest-state law (reference sinks only keep latest,
+    // CDCTableUtil.java:72-96).
+    "cdc20_scd2_history" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("op", opFromEvent)
+      CdcApply.scd2History(ev, Seq("user_id"), col("op"),
+        col("event_id"))
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("is_current"), col("op"), col("value"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // SRC1b materialized Spark-side: CHANGETABLE(CHANGES) ⋈ base on PK —
     // latest change per key in a version window, outer-joined to the base
     // table for current attributes (missing base row ⇒ deleted).
@@ -591,6 +606,16 @@ object CdcQueries {
         |  (CAST(1 AS BIGINT), 'ann', CAST(99.25 AS DOUBLE), 'DELETE', CAST(5 AS BIGINT))
         |) AS v(id, name, bal, op, version)
         |ORDER BY version, op, id""".stripMargin,
+    "cdc20_scd2_history" ->
+      s"""SELECT user_id, valid_from, valid_to,
+         | (valid_to IS NULL) AS is_current, op, value
+         |FROM (SELECT user_id, event_id AS valid_from,
+         |        LEAD(event_id) OVER (PARTITION BY user_id
+         |          ORDER BY event_id) AS valid_to,
+         |        $opFromEventSql AS op, value
+         |      FROM events) t
+         |WHERE op <> 'DELETE'
+         |ORDER BY user_id, valid_from""".stripMargin,
     "cdc11_changes_join_base" ->
       s"""SELECT user_id, version, op, c_name
          |FROM (SELECT user_id, event_id AS version, $opFromEventSql AS op,

@@ -82,4 +82,28 @@ class CdcFlowSpec extends SparkSuite {
       .as[(Long, String)].collect().toSet
     assert(back == Set((1L, "x"), (2L, "y")))
   }
+
+  test("scd2History keeps full versioned history; DELETE closes but emits nothing") {
+    val changes = Seq(
+      dml(OpType.Insert, 1, 1L, "alice", 10.5),
+      dml(OpType.Update, 4, 1L, "alice2", 11.0),
+      dml(OpType.Insert, 2, 2L, "bob", 20.0),
+      dml(OpType.Delete, 5, 2L, "bob", 20.0),
+      dml(OpType.Insert, 3, 3L, "carol", 30.25)).toDS().toDF()
+    val flat = DmlFlattener.flatten(changes, rowSchema, includeCdcColumns = true)
+    val hist = CdcApply.scd2History(flat, Seq("id"),
+      col(DmlFlattener.OpTypeCol), col(DmlFlattener.VersionCol).cast("long"))
+      .select($"id", $"name", $"valid_from", $"valid_to", $"is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(hist == Set(
+      (1L, "alice", 1L, 4L, false),   // superseded by the v4 update
+      (1L, "alice2", 4L, -1L, true),  // open + current
+      (2L, "bob", 2L, 5L, false),     // window closed by the DELETE
+      (3L, "carol", 3L, -1L, true)))
+    // the deleted key contributes no open row
+    assert(!hist.exists { case (id, _, _, to, cur) => id == 2L && (to == -1L || cur) })
+  }
 }
