@@ -431,6 +431,31 @@ object CdcQueries {
         .orderBy(col("version"), col("op"), col("id"))
     }),
 
+    // CDC of the store itself: the diff between two committed snapshots
+    // as an I/U/D change feed, computed from the manifest log — only
+    // buckets REMAPPED between the two commits are read (spec asserts
+    // the pruning; this row gates the records). Same two-batch change
+    // log as cdc16: the diff from batch 0 to batch 1 is exactly what the
+    // odd-versioned changes did to the live state.
+    "cdc21_snapshot_diff" -> ((s, d) => {
+      import graft.sinks.ParquetUpsertStore
+      val ev = Tables.events(s, d)
+      val env = ChangeFeed.wrapDml(ev, "public.events", Seq("user_id"),
+        opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val store = new ParquetUpsertStore(freshDir("cdc21"), numBuckets = 8)
+      store.applyBatch(ChangeFeed.wrapDdl(s, "public.events", ev.schema)
+        .unionByName(env.filter(ver % 2 === 0)), 0L)
+      store.applyBatch(env.filter(ver % 2 === 1), 1L)
+      store.diff(s, "public.events", fromBatchId = 0L, toBatchId = 1L)
+        .select(
+          element_at(col("values"), "user_id").cast("long").as("user_id"),
+          col("diff_op"),
+          element_at(col("values"), "event_id").cast("long").as("event_id"),
+          element_at(col("values"), "value").cast("double").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // SCD type-2 dimension history from the change log: each I/U change
     // becomes a dimension row valid over [version, next change's version);
     // DELETEs emit nothing but close the prior row's window. One window
@@ -606,6 +631,31 @@ object CdcQueries {
         |  (CAST(1 AS BIGINT), 'ann', CAST(99.25 AS DOUBLE), 'DELETE', CAST(5 AS BIGINT))
         |) AS v(id, name, bal, op, version)
         |ORDER BY version, op, id""".stripMargin,
+    "cdc21_snapshot_diff" ->
+      s"""WITH s0 AS (
+         |  SELECT user_id, event_id, value
+         |  FROM (SELECT user_id, event_id, $opFromEventSql AS op, value,
+         |          ROW_NUMBER() OVER (PARTITION BY user_id
+         |            ORDER BY event_id DESC) AS rn
+         |        FROM events WHERE event_id % 2 = 0) t
+         |  WHERE rn = 1 AND op <> 'DELETE'),
+         |s1 AS (
+         |  SELECT user_id, event_id, value
+         |  FROM (SELECT user_id, event_id, $opFromEventSql AS op, value,
+         |          ROW_NUMBER() OVER (PARTITION BY user_id
+         |            ORDER BY event_id DESC) AS rn
+         |        FROM events) t
+         |  WHERE rn = 1 AND op <> 'DELETE')
+         |SELECT COALESCE(s1.user_id, s0.user_id) AS user_id,
+         |  CASE WHEN s0.user_id IS NULL THEN 'INSERT'
+         |       WHEN s1.user_id IS NULL THEN 'DELETE'
+         |       ELSE 'UPDATE' END AS diff_op,
+         |  COALESCE(s1.event_id, s0.event_id) AS event_id,
+         |  COALESCE(s1.value, s0.value) AS value
+         |FROM s0 FULL OUTER JOIN s1 ON s0.user_id = s1.user_id
+         |WHERE s0.user_id IS NULL OR s1.user_id IS NULL
+         |   OR s0.event_id <> s1.event_id
+         |ORDER BY user_id""".stripMargin,
     "cdc20_scd2_history" ->
       s"""SELECT user_id, valid_from, valid_to,
          | (valid_to IS NULL) AS is_current, op, value

@@ -261,6 +261,46 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
       .drop("bucket")
   }
 
+  /** Change feed between two committed snapshots: the I/U/D records that
+    * transform the live state at `fromBatchId` into the live state at
+    * `toBatchId` — CDC of the store itself (Delta's CHANGE DATA FEED
+    * shape, computed from the manifest log instead of stored change
+    * files). Manifest-pruned: a bucket whose directory mapping is
+    * IDENTICAL in both manifests cannot have changed, so only buckets
+    * remapped between the two commits are read — a diff across one batch
+    * on a 100 TB table reads that batch's touched buckets twice, not the
+    * table. Value-level semantics: a row re-written with byte-identical
+    * values is not a change. */
+  def diff(spark: SparkSession, table: String,
+           fromBatchId: Long, toBatchId: Long): DataFrame = {
+    val fs = fileSystem(spark, root)
+    val tdir = tableDir(table)
+    def manifest(id: Long) = readManifest(fs, tdir, Some(id))
+      .getOrElse(Manifest(numBuckets, None, Map.empty))
+    val mFrom = manifest(fromBatchId)
+    val mTo = manifest(toBatchId)
+    val changed = (mFrom.buckets.keySet ++ mTo.buckets.keySet)
+      .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b))
+    def live(m: Manifest, tag: String) =
+      readBuckets(spark, tdir, m.buckets, changed)
+        .filter(col("op") =!= graft.model.OpType.Delete)
+        .select(col("row_key"), col("values").as(s"values_$tag"),
+          col("version").as(s"version_$tag"))
+    // MapType is not directly comparable; sorted entry arrays are.
+    val sameValues = array_sort(map_entries(col("values_from"))) ===
+      array_sort(map_entries(col("values_to")))
+    live(mFrom, "from").join(live(mTo, "to"), Seq("row_key"), "full_outer")
+      .withColumn("diff_op",
+        when(col("values_from").isNull, graft.model.OpType.Insert)
+          .when(col("values_to").isNull, graft.model.OpType.Delete)
+          .when(sameValues, lit(null))
+          .otherwise(graft.model.OpType.Update))
+      .filter(col("diff_op").isNotNull)
+      .select(col("row_key"), col("diff_op"),
+        coalesce(col("values_to"), col("values_from")).as("values"),
+        col("version_from"), col("version_to"))
+  }
+
   /** Recorded live schema of `table` (from the last applied DDL at or
     * before `atOrBefore`, latest when unbounded). */
   def schemaOf(spark: SparkSession, table: String,

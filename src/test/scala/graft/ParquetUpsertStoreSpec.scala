@@ -200,6 +200,49 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(wantBuckets.size <= keys.size)
   }
 
+  test("diff between two commits emits I/U/D and reads only remapped buckets") {
+    val store = new ParquetUpsertStore(storeDir("diff"), numBuckets = 4)
+    store.applyBatch(spark.createDataset(
+      (1L to 16L).map(i => dml(OpType.Insert, i, i, "v" -> s"a$i"))).toDF(), 0L)
+    // batch 1 touches exactly one bucket: update + delete two co-bucketed
+    // keys, insert a new key hashing to the same bucket
+    val byBucket = (1L to 16L).groupBy(i => ParquetUpsertStore.bucketOf(i.toString, 4))
+    val (b, keys) = byBucket.maxBy(_._2.size)
+    val (k1, k2) = (keys.head, keys(1))
+    val kNew = (100L to 200L)
+      .find(i => ParquetUpsertStore.bucketOf(i.toString, 4) == b).get
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Update, 100, k1, "v" -> "upd"),
+      dml(OpType.Delete, 101, k2, "v" -> "-"),
+      dml(OpType.Insert, 102, kNew, "v" -> "new"))).toDF(), 1L)
+
+    val d = store.diff(spark, "dbo.t", fromBatchId = 0L, toBatchId = 1L)
+    val got = d.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getMap[String, String](2)("v")))
+      .toSet
+    // unchanged keys sharing bucket b are read but filtered by value
+    // equality; the deleted key reports its before-image values
+    assert(got == Set(
+      (k1.toString, OpType.Update, "upd"),
+      (k2.toString, OpType.Delete, s"a$k2"),
+      (kNew.toString, OpType.Insert, "new")))
+
+    // pruning: both sides' scans carry a partition filter pinning the
+    // bucket column to exactly the one remapped bucket
+    val planStr = d.queryExecution.executedPlan.toString
+    val pinned = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r
+      .findAllIn(planStr).toSeq
+    assert(pinned.nonEmpty, s"diff scans lost their bucket filters:\n$planStr")
+    val literals = "= (\\d+)\\)".r
+    pinned.foreach { seg =>
+      val vals = literals.findAllMatchIn(seg).map(_.group(1).toInt).toSet
+      assert(vals == Set(b), s"diff scanned buckets $vals, expected {$b}: $seg")
+    }
+
+    // self-diff and adjacent-identical diff are empty
+    assert(store.diff(spark, "dbo.t", 1L, 1L).isEmpty)
+  }
+
   test("a replace-commit crash between renames is recovered from the sidecar") {
     val dir = storeDir("crash")
     val store = new ParquetUpsertStore(dir, numBuckets = 4)
