@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductExpr, ExactDistinctLong, HllSketchAgg, MinHashSigExpr, PortableHashExpr, SetJaccardExpr}
+import graft.functions.{BottomK, DotProductExpr, ExactDistinctLong, HllSketchAgg, MinHashSigExpr, PortableHashExpr, SetJaccardExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -45,7 +45,8 @@ object GraftFunctions {
     "hll_distinct" -> (es =>
       if (es.size >= 2) HllSketchAgg(es.head, intLit(es(1), "hll_distinct p"))
       else HllSketchAgg(es.head)),
-    "exact_distinct" -> (es => ExactDistinctLong(es.head)))
+    "exact_distinct" -> (es => ExactDistinctLong(es.head)),
+    "bottom_k" -> (es => BottomK(es.head, es(1), intLit(es(2), "bottom_k k"))))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

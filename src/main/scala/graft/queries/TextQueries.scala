@@ -284,6 +284,26 @@ object TextQueries {
           sum(col("n_tokens")).as("n_tokens_total"))
         .orderBy(col("source"))
     }),
+
+    // Deterministic k-per-group sampling via the bounded bottom-k
+    // aggregate: the k docs with the smallest salted portable hash per
+    // source. Unlike the window form (q05 — shuffles every row to sort
+    // it), the heap aggregate ships at most k pairs per (partition,
+    // group) into the final shuffle: at 100 TB the shuffle carries the
+    // sample, not the corpus. No RNG — the same rows come back on any
+    // cluster size, and the oracle replays the pick exactly.
+    "ns17_bottomk_sample" -> ((s, d) => {
+      val h = graft.functions.TextFunctions.portableHash(
+        concat(lit("bk:"), col("doc_id").cast("string")))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), h.as("h"))
+        .groupBy(col("source"))
+        .agg(graft.functions.BottomK.bottomK(col("h"), col("doc_id"), 5)
+          .as("picks"))
+        .select(col("source"), explode(col("picks")).as("p"))
+        .select(col("source"), col("p.h").as("h"), col("p.id").as("doc_id"))
+        .orderBy(col("source"), col("h"), col("doc_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -451,5 +471,15 @@ object TextQueries {
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns17_bottomk_sample" -> {
+      val h = hashSql("'bk:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT source, h, doc_id
+         |FROM (SELECT source, doc_id, $h AS h,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY $h, doc_id) AS rn
+         |      FROM documents) t
+         |WHERE rn <= 5
+         |ORDER BY source, h, doc_id""".stripMargin
+    },
   )
 }

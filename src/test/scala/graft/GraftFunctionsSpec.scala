@@ -55,4 +55,36 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(math.abs(r.getLong(1) - 1000L) <= 50, s"est=${r.getLong(1)}")
     assert(math.abs(r.getLong(2) - 1000L) <= 25, s"est_hi=${r.getLong(2)}")
   }
+
+  test("bottom_k equals the window form across partial/merge boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    // SQL name resolves and needs a literal k
+    val viaSql = spark.sql(
+      "SELECT bottom_k(x, x, 2) AS p FROM VALUES (5L), (1L), (3L) AS t(x)")
+      .select(explode($"p.h")).as[Long].collect().toSeq
+    assert(viaSql == Seq(1L, 3L))
+    // ties on the sort key (h = i % 7) force the payload tie-break; 16
+    // input partitions force real partial buffers + serialize/merge
+    val df = (1L to 500L).map(i => (s"g${i % 3}", i % 7, i))
+      .toDF("g", "h", "id").repartition(16)
+    val agg = df.groupBy($"g")
+      .agg(graft.functions.BottomK.bottomK($"h", $"id", 4).as("p"))
+      .select($"g", explode($"p").as("p"))
+      .select($"g", $"p.h", $"p.id")
+    val win = df.withColumn("rn",
+        row_number().over(Window.partitionBy($"g").orderBy($"h", $"id")))
+      .filter($"rn" <= 4).select($"g", $"h", $"id")
+    val a = agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = win.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == w)
+    assert(a.size == 12) // 3 groups × k=4
+    // k larger than the group returns the whole group, sorted
+    val small = Seq(("g", 5L, 1L), ("g", 3L, 2L)).toDF("g", "h", "id")
+      .groupBy($"g").agg(graft.functions.BottomK.bottomK($"h", $"id", 10).as("p"))
+      .select(explode($"p").as("p")).select($"p.h").as[Long].collect().toSeq
+    assert(small == Seq(3L, 5L))
+  }
 }
