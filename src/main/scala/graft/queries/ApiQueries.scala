@@ -274,6 +274,25 @@ object ApiQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Bloom-pruned semi join: a bloom over the selective dim keys
+    // pre-filters the fact side BEFORE the join shuffle; the real semi
+    // join then discards false positives, so the result is exactly the
+    // plain semi join's while the fact shuffle carries only probable
+    // matches. The explicit, always-on form of Spark's runtime
+    // row-level filtering — the native expression codegens straight
+    // into BloomFilter.mightContainLong.
+    "q47_bloom_prune_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.operators.BloomPrune.semiJoin(
+        Tables.lineitem(s, d), col("l_orderkey"), urgent, col("o_orderkey"),
+        expectedItems = 100000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sumd2(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Full outer join (aggregated sides → 1:1 on the key, null-padded
     // where only one side has the nation).
     "q28_full_outer_join" -> ((s, d) => {
@@ -439,6 +458,13 @@ object ApiQueries {
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q47_bloom_prune_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q41_scalar_subquery" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
         |  AS avg_yearly

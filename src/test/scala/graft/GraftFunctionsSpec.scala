@@ -56,6 +56,31 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(math.abs(r.getLong(2) - 1000L) <= 25, s"est_hi=${r.getLong(2)}")
   }
 
+  test("bloom-pruned semi join equals the plain semi join and filters pre-shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // spark.range (not a local Seq): ConvertToLocalRelation would fold a
+    // filter over a LocalRelation at optimization time and hide it
+    val fact = spark.range(1L, 2001L)
+      .select($"id".as("k"), ($"id" % 17).as("v")).repartition(8)
+    val dim = (1L to 2000L).filter(_ % 50 == 0).map(i => Tuple1(i)).toDF("dk")
+    val pruned = graft.operators.BloomPrune.semiJoin(
+      fact, $"k", dim, $"dk", expectedItems = 100L)
+    val plain = fact.join(dim, $"k" === $"dk", "left_semi")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      plain.collect().map(_.getLong(0)).sorted.toSeq)
+    // the bloom test sits in the fact-side scan stage, before the join
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom filter missing from the physical plan:\n$plan")
+    // no false negatives by construction; interpreted eval agrees with codegen
+    val bf = dim.stat.bloomFilter($"dk", 100L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val e = graft.functions.BloomMightContainExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(1050L), bos.toByteArray)
+    assert(e.eval(null) == true) // 1050 = 21*50 is a dim key
+  }
+
   test("bottom_k equals the window form across partial/merge boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
