@@ -87,6 +87,33 @@ class PlanAuditSpec extends SparkSuite {
       s"vs08's probe-label join degenerated:\n$p")
   }
 
+  test("cdc20's SCD2 build is one window over one shuffle, no join") {
+    val p = executedPlan("cdc20_scd2_history")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("Window"), s"cdc20 lost its window:\n$p")
+    assert(!finalPlan.contains("Join"), s"cdc20 should not join:\n$p")
+  }
+
+  test("ns17's bottom-k sample aggregates partially — no window, no sort of the corpus") {
+    val p = executedPlan("ns17_bottomk_sample")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ObjectHashAggregate") &&
+      finalPlan.contains("partial_bottom_k"),
+      s"ns17 lost its partial bottom-k aggregation:\n$p")
+    assert(!finalPlan.contains("Window"), s"ns17 regressed to a window sort:\n$p")
+  }
+
+  test("q47's bloom test filters the fact side before its semi join") {
+    val p = executedPlan("q47_bloom_prune_join")
+    assert(p.contains("bloom_might_contain"), s"q47 lost the bloom filter:\n$p")
+    assert(p.contains("LeftSemi"), s"q47 lost the verifying semi join:\n$p")
+    // the bloom must appear on the fact scan's Filter, i.e. before any join
+    val joinIdx = p.indexOf("Join")
+    val bloomIdx = p.indexOf("bloom_might_contain")
+    assert(bloomIdx > joinIdx, // plan prints top-down: filter is BELOW the join
+      s"q47's bloom filter is not under the join:\n$p")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
