@@ -456,6 +456,50 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Incremental view maintenance from the diff feed: a per-group
+    // aggregate over snapshot 0 is advanced to snapshot 1's value by
+    // applying the I/U/D diff records as additions and RETRACTIONS
+    // (values_prev carries the before-image for UPDATE/DELETE, so a row
+    // that moved groups is subtracted from its old group and added to
+    // its new one). The oracle recomputes the batch-1 aggregate from
+    // scratch — proving delta maintenance ≡ full recompute. At 100 TB
+    // this is the difference between rescanning the table and reading
+    // one batch's touched buckets.
+    "cdc22_incremental_agg" -> ((s, d) => {
+      import graft.sinks.ParquetUpsertStore
+      val ev = Tables.events(s, d)
+      val env = ChangeFeed.wrapDml(ev, "public.events", Seq("user_id"),
+        opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val store = new ParquetUpsertStore(freshDir("cdc22"), numBuckets = 8)
+      store.applyBatch(ChangeFeed.wrapDdl(s, "public.events", ev.schema)
+        .unionByName(env.filter(ver % 2 === 0)), 0L)
+      store.applyBatch(env.filter(ver % 2 === 1), 1L)
+      def grp(values: org.apache.spark.sql.Column) =
+        element_at(values, "event_type").as("event_type")
+      def v(values: org.apache.spark.sql.Column) =
+        element_at(values, "value").cast("decimal(18,2)")
+      val agg0 = store.snapshotAt(s, "public.events", 0L)
+        .groupBy(grp(col("values")))
+        .agg(count(lit(1)).as("n0"), sum(v(col("values"))).as("s0"))
+      val dff = store.diff(s, "public.events", 0L, 1L)
+      val delta = dff.filter(col("diff_op") =!= "DELETE")
+        .select(grp(col("values")), lit(1L).as("dn"), v(col("values")).as("dv"))
+        .unionByName(dff.filter(col("diff_op") =!= "INSERT")
+          .select(grp(col("values_prev")), lit(-1L).as("dn"),
+            (-v(col("values_prev"))).as("dv")))
+        .groupBy(col("event_type"))
+        .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+      agg0.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("s0"), lit(0).cast("decimal(18,2)")) +
+            coalesce(col("dv"), lit(0).cast("decimal(18,2)")))
+            .cast("double").as("sum_value"))
+        .filter(col("n") > 0)
+        .orderBy(col("event_type"))
+    }),
+
     // SCD type-2 dimension history from the change log: each I/U change
     // becomes a dimension row valid over [version, next change's version);
     // DELETEs emit nothing but close the prior row's window. One window
@@ -631,6 +675,16 @@ object CdcQueries {
         |  (CAST(1 AS BIGINT), 'ann', CAST(99.25 AS DOUBLE), 'DELETE', CAST(5 AS BIGINT))
         |) AS v(id, name, bal, op, version)
         |ORDER BY version, op, id""".stripMargin,
+    "cdc22_incremental_agg" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM (SELECT event_type, value,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY event_id DESC) AS rn,
+         |        $opFromEventSql AS op
+         |      FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "cdc21_snapshot_diff" ->
       s"""WITH s0 AS (
          |  SELECT user_id, event_id, value

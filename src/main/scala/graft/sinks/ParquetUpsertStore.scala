@@ -298,6 +298,7 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
       .filter(col("diff_op").isNotNull)
       .select(col("row_key"), col("diff_op"),
         coalesce(col("values_to"), col("values_from")).as("values"),
+        col("values_from").as("values_prev"),
         col("version_from"), col("version_to"))
   }
 

@@ -227,6 +227,16 @@ class ParquetUpsertStoreSpec extends SparkSuite {
       (k2.toString, OpType.Delete, s"a$k2"),
       (kNew.toString, OpType.Insert, "new")))
 
+    // retraction support: UPDATE/DELETE carry the before-image in
+    // values_prev (for downstream incremental view maintenance);
+    // INSERT has none
+    val prev = d.collect()
+      .map(r => r.getString(1) -> Option(r.getMap[String, String](3)).map(_("v")))
+      .toMap
+    assert(prev(OpType.Update).contains(s"a$k1"))
+    assert(prev(OpType.Delete).contains(s"a$k2"))
+    assert(prev(OpType.Insert).isEmpty)
+
     // pruning: both sides' scans carry a partition filter pinning the
     // bucket column to exactly the one remapped bucket
     val planStr = d.queryExecution.executedPlan.toString
