@@ -166,6 +166,33 @@ object ApiQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Sketch quantiles — the 100 TB percentile path: percentile_approx
+    // (Greenwald-Khanna summaries behind a partial-aggregable
+    // TypedImperativeAggregate) instead of q38's exact form, which must
+    // sort each group. The GK guarantee is a RANK bound (error ≤
+    // n/accuracy), so the gate recomputes the approx value's rank
+    // in-plan: #(x < v) ≤ (0.5+ε)·n and #(x ≤ v) ≥ (0.5−ε)·n, emitted
+    // as a boolean the oracle pins TRUE — an index regression fails the
+    // hash compare, not just a spec. p50_exact rides along for the
+    // value-level gate.
+    "q48_approx_quantiles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(100)).as("p50_approx"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("p50_exact"))
+      li.join(broadcast(ap), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("p50_exact"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < col("p50_approx"), 1).otherwise(0)).as("n_lt"),
+          sum(when(col("l_quantity") <= col("p50_approx"), 1).otherwise(0)).as("n_le"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (col("n_lt") <= lit(0.515) * col("n") &&
+            col("n_le") >= lit(0.485) * col("n")).as("approx_rank_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Correlated SCALAR subquery (the TPC-H Q17 shape): per-part average
     // gates the outer row — Catalyst rewrites the correlation into an
     // aggregate + join, which is the plan property worth pinning (q23
@@ -458,6 +485,11 @@ object ApiQueries {
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q48_approx_quantiles" ->
+      """SELECT l_returnflag,
+        | percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_exact,
+        | TRUE AS approx_rank_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q47_bloom_prune_join" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
