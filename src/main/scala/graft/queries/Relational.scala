@@ -161,6 +161,22 @@ object Relational {
         .orderBy(col("nationkey"))
     }),
 
+    // Multiset (ALL) set-op semantics: duplicates are preserved by
+    // COUNT, not collapsed — Spark plans these as aggregate+generate
+    // (sum of per-side counts), no join. Aggregated to per-key
+    // multiplicities so the result stays order-insensitive.
+    "q49_set_ops_all" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.exceptAll(su).groupBy(col("nationkey")).agg(count(lit(1)).as("n_except_all"))
+        .join(c.intersectAll(su).groupBy(col("nationkey"))
+          .agg(count(lit(1)).as("n_intersect_all")), Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+        .orderBy(col("nationkey"))
+    }),
+
     // Hierarchical aggregates: ROLLUP / CUBE (one pass, Expand-based).
     "q13_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -316,6 +332,20 @@ object Relational {
     "q12_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q49_set_ops_all" ->
+      """WITH ea AS (
+        |  SELECT nationkey, COUNT(*) AS n_except_all FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    EXCEPT ALL SELECT s_nationkey FROM supplier) t GROUP BY nationkey),
+        |ia AS (
+        |  SELECT nationkey, COUNT(*) AS n_intersect_all FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    INTERSECT ALL SELECT s_nationkey FROM supplier) t GROUP BY nationkey)
+        |SELECT COALESCE(ea.nationkey, ia.nationkey) AS nationkey,
+        |  COALESCE(n_except_all, 0) AS n_except_all,
+        |  COALESCE(n_intersect_all, 0) AS n_intersect_all
+        |FROM ea FULL OUTER JOIN ia ON ea.nationkey = ia.nationkey
+        |ORDER BY nationkey""".stripMargin,
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

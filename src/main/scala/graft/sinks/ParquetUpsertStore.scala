@@ -43,6 +43,15 @@ import java.nio.charset.StandardCharsets.UTF_8
   * the live values travel as the envelope's map<string,string>, so a DDL
   * add/drop updates the schema recorded in the manifest without touching
   * data files — strictly cheaper than the reference's alter-and-flush.
+  *
+  * Concurrency contract: ONE writer per table — the streaming sink's
+  * micro-batch sequence (this matches the reference, whose sinks are fed
+  * by a single streaming query). Replays of the same batch id from any
+  * number of restarts are safe (idempotent commit, failed rename = noop),
+  * but two LIVE writers interleaving different batch ids could each merge
+  * against a base missing the other's commit — the store has no
+  * optimistic-conflict retry. Readers need no coordination at any
+  * parallelism: they see the highest committed manifest atomically.
   */
 /** @param autoCompactManifests when > 0, a batch whose commit leaves more
   *   than this many manifests triggers a compaction at the just-committed

@@ -253,6 +253,56 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(store.diff(spark, "dbo.t", 1L, 1L).isEmpty)
   }
 
+  test("a diff-maintained aggregate equals full recompute after every streamed batch") {
+    val sdir = storeDir("ivm")
+    val store = new ParquetUpsertStore(sdir, numBuckets = 4)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ChangeRecord]
+    val q = UpsertSink.stream(in.toDF(), store, checkpointDir("pus-ivm"))
+
+    // maintained state: group (id % 3) → (count, sum of id), advanced
+    // ONLY from diff records — never recomputed from the table
+    var maintained = Map.empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    var lastId = -1L
+    def advance(): Unit = {
+      val maxId = new java.io.File(sdir, "dbo.t").list()
+        .filter(_.matches("manifest-\\d+"))
+        .map(_.stripPrefix("manifest-").toLong).max
+      store.diff(spark, "dbo.t", lastId, maxId).collect().foreach { r =>
+        val now = Option(r.getMap[String, String](2)).map(_.toMap)
+        val prev = Option(r.getMap[String, String](3)).map(_.toMap)
+        def apply(m: Map[String, String], sign: Long): Unit = {
+          val g = (m("id").toLong % 3).toString
+          val (c, s) = maintained(g)
+          maintained += g -> (c + sign, s + sign * m("id").toLong)
+        }
+        r.getString(1) match {
+          case OpType.Insert => apply(now.get, 1L)
+          case OpType.Delete => apply(prev.get, -1L)
+          case OpType.Update => apply(prev.get, -1L); apply(now.get, 1L)
+        }
+      }
+      lastId = maxId
+      val expect = state(store).keys
+        .map(_.toLong).groupBy(id => (id % 3).toString)
+        .map { case (g, ids) => g -> (ids.size.toLong, ids.sum) }
+      assert(maintained.filter(_._2._1 > 0) == expect,
+        s"maintained aggregate diverged at batch $maxId")
+    }
+
+    in.addData((1L to 30L).map(i => dml(OpType.Insert, i, i, "v" -> s"a$i")): _*)
+    q.processAllAvailable(); advance()
+    // churn: update a third, delete a few, insert new keys
+    in.addData((1L to 30L by 3).map(i => dml(OpType.Update, 100 + i, i, "v" -> "u"))
+      ++ Seq(2L, 5L, 8L).map(i => dml(OpType.Delete, 200 + i, i, "v" -> "-"))
+      ++ (31L to 36L).map(i => dml(OpType.Insert, 300 + i, i, "v" -> s"n$i")): _*)
+    q.processAllAvailable(); advance()
+    // a batch that only deletes (groups can drain to zero)
+    in.addData((31L to 36L).map(i => dml(OpType.Delete, 400 + i, i, "v" -> "-")): _*)
+    q.processAllAvailable(); advance()
+    q.stop()
+  }
+
   test("a replace-commit crash between renames is recovered from the sidecar") {
     val dir = storeDir("crash")
     val store = new ParquetUpsertStore(dir, numBuckets = 4)
