@@ -253,6 +253,36 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(store.diff(spark, "dbo.t", 1L, 1L).isEmpty)
   }
 
+  test("diff is exactly the delta: state0 + diff == state1 on randomized change logs") {
+    for (seed <- Seq(7, 42, 1789)) {
+      val rnd = new scala.util.Random(seed)
+      val ops = Array(OpType.Insert, OpType.Update, OpType.Delete)
+      val log = (1L to 60L).map { version =>
+        dml(ops(rnd.nextInt(3)), version, rnd.nextInt(20).toLong,
+          "v" -> s"s$seed-v$version")
+      }
+      val store = new ParquetUpsertStore(storeDir(s"diffprop-$seed"), numBuckets = 4)
+      val (b0, b1) = log.partition(_.dml.get.changeTrackingVersion.toLong <= 30L)
+      store.applyBatch(spark.createDataset(b0).toDF(), 0L)
+      store.applyBatch(spark.createDataset(b1).toDF(), 1L)
+
+      val state0 = store.snapshotAt(spark, "dbo.t", 0L).collect()
+        .map(r => r.getString(0) -> r.getMap[String, String](2)("v")).toMap
+      val state1 = store.snapshot(spark, "dbo.t").collect()
+        .map(r => r.getString(0) -> r.getMap[String, String](2)("v")).toMap
+
+      var applied = state0
+      store.diff(spark, "dbo.t", 0L, 1L).collect().foreach { r =>
+        val key = r.getString(0)
+        r.getString(1) match {
+          case OpType.Delete => applied -= key
+          case _ => applied += key -> r.getMap[String, String](2)("v")
+        }
+      }
+      assert(applied == state1, s"seed $seed: diff did not transform state0 into state1")
+    }
+  }
+
   test("a diff-maintained aggregate equals full recompute after every streamed batch") {
     val sdir = storeDir("ivm")
     val store = new ParquetUpsertStore(sdir, numBuckets = 4)
