@@ -284,6 +284,12 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
            fromBatchId: Long, toBatchId: Long): DataFrame = {
     val fs = fileSystem(spark, root)
     val tdir = tableDir(table)
+    // A fromBatchId below the vacuum floor would resolve to an empty
+    // manifest and mis-report every live row as INSERT — refuse instead.
+    val floor = readFloor(fs, tdir)
+    require(fromBatchId >= floor,
+      s"diff fromBatchId=$fromBatchId is below table '$table' retention floor " +
+        s"$floor — that history was vacuumed; re-seed from a full snapshot")
     def manifest(id: Long) = readManifest(fs, tdir, Some(id))
       .getOrElse(Manifest(numBuckets, None, Map.empty))
     val mFrom = manifest(fromBatchId)
@@ -396,6 +402,16 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     manifestIds.filter(_ < floor).foreach { id =>
       fs.delete(new Path(tdir, s"manifest-$id"), false)
     }
+    // Record the retention floor so history readers (diff) can refuse
+    // instead of silently resolving a vacuumed id to an empty table.
+    // Monotone: never lowered by a later vacuum with a smaller floor.
+    val newFloor = math.max(floor, readFloor(fs, tableDir(table)))
+    val tmp = new Path(tdir, ".vacuum-floor.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(newFloor.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(new Path(tdir, "vacuum-floor"), false)
+    fs.rename(tmp, new Path(tdir, "vacuum-floor"))
     // Orphaned replace-swap sidecars below the floor are history too —
     // readManifest would otherwise resurrect them as manifests on the
     // next open (they don't match the manifest-\d+ filters above).
@@ -440,6 +456,15 @@ object ParquetUpsertStore {
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The table's vacuum retention floor: history below this batch id has
+    * been deleted. Long.MinValue when never vacuumed (or no table). */
+  private[sinks] def readFloor(fs: FileSystem, tdir: String): Long =
+    try {
+      val in = new BufferedReader(new InputStreamReader(
+        fs.open(new Path(tdir, "vacuum-floor")), UTF_8))
+      try in.readLine().trim.toLong finally in.close()
+    } catch { case _: java.io.IOException => Long.MinValue }
 
   /** Driver-side twin of the write path's `pmod(hash(row_key), nb)`:
     * Spark's `hash()` is Murmur3 with seed 42, so evaluating the same

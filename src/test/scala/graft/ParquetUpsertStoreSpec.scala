@@ -159,6 +159,14 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(names.filter(_.startsWith("snap-")) == Set("snap-2-c"), names)
     // time travel below the retention floor now resolves to an empty table
     assert(store.snapshotAt(spark, "dbo.t", 0L).count() == 0)
+    // diff REFUSES a vacuumed fromBatchId instead of mis-reporting every
+    // live row as INSERT against a silently-empty base
+    val e = intercept[IllegalArgumentException] {
+      store.diff(spark, "dbo.t", fromBatchId = 0L, toBatchId = 2L)
+    }
+    assert(e.getMessage.contains("retention floor"))
+    // at/above the floor the diff still answers (self-diff: empty)
+    assert(store.diff(spark, "dbo.t", 2L, 2L).isEmpty)
     // vacuuming past the newest commit keeps it (floor clamps)
     store.vacuum(spark, "dbo.t", keepFromBatchId = 99L)
     assert(state(store) == before)
