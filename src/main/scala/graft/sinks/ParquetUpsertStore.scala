@@ -348,6 +348,39 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
+  /** Re-bucket the table to `newNumBuckets` — the lifecycle operation
+    * for a table that outgrew (or over-provisioned) its bucket sizing:
+    * buckets should stay at a few GB, and a table that grew 100× since
+    * creation needs proportionally more of them. One full rewrite into
+    * `snap-<asBatchId>-r` under the NEW hash, committed at `asBatchId`;
+    * every later batch and read picks the new count up from the
+    * manifest (the write path always buckets with the manifest's count,
+    * never the constructor's). Unlike [[compact]], tombstones are
+    * preserved, so replay safety is unchanged and no checkpoint-horizon
+    * caveat applies. History manifests keep their own bucket counts —
+    * time travel and diff across the boundary stay correct (a diff
+    * spanning it reads everything: every bucket was remapped). */
+  def rebucket(spark: SparkSession, table: String, newNumBuckets: Int,
+               asBatchId: Long): Unit = {
+    require(newNumBuckets > 0, s"newNumBuckets must be positive, got $newNumBuckets")
+    val fs = fileSystem(spark, root)
+    val tdir = tableDir(table)
+    readManifest(fs, tdir)
+      .filterNot(_.numBuckets == newNumBuckets) // no-op if already sized
+      .foreach { m =>
+        val rdir = s"snap-$asBatchId-r"
+        readBuckets(spark, tdir, m.buckets, m.buckets.keySet)
+          .drop("bucket")
+          .withColumn("bucket", pmod(hash(col("row_key")), lit(newNumBuckets)))
+          .repartition(newNumBuckets, col("bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(s"$tdir/$rdir")
+        val mapping = (0 until newNumBuckets).map(_ -> rdir).toMap
+        commitManifest(fs, tdir, asBatchId,
+          Manifest(newNumBuckets, m.schemaJson, mapping), replace = true)
+      }
+  }
+
   /** Fold all buckets into one snapshot directory and drop tombstones.
     * Run only past the streaming checkpoint's replay horizon: once a
     * tombstone is gone, a replay of the batch that deleted it must never

@@ -261,6 +261,37 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(store.diff(spark, "dbo.t", 1L, 1L).isEmpty)
   }
 
+  test("rebucket re-hashes the table; later batches and lookups honor the new count") {
+    val dir = storeDir("rebucket")
+    val store = new ParquetUpsertStore(dir, numBuckets = 2)
+    store.applyBatch(spark.createDataset(
+      (1L to 32L).map(i => dml(OpType.Insert, i, i, "v" -> s"a$i"))).toDF(), 0L)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Delete, 100, 5L, "v" -> "-"))).toDF(), 1L)
+    val before = state(store)
+
+    store.rebucket(spark, "dbo.t", newNumBuckets = 8, asBatchId = 2L)
+    assert(state(store) == before, "rebucket changed the visible snapshot")
+    // tombstones survive (unlike compact): a replay of the delete batch
+    // id is shadowed, and the tombstone still wins over stale data
+    assert(!state(store).contains("5"))
+
+    // a later batch buckets with the NEW count from the manifest
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Insert, 200, 99L, "v" -> "new"))).toDF(), 3L)
+    assert(state(store)("99")._1("v") == "new")
+
+    // point lookup prunes with the new count and still finds the rows
+    val got = store.lookup(spark, "dbo.t", Seq("7", "99"))
+    assert(got.collect().map(_.getString(0)).sorted.toSeq == Seq("7", "99"))
+    assert(got.inputFiles.forall(f => f.contains("snap-2-r") || f.contains("snap-3")),
+      "lookup read a pre-rebucket snapshot directory")
+
+    // diff across the rebucket boundary is still value-correct
+    val d = store.diff(spark, "dbo.t", 2L, 3L).collect()
+    assert(d.map(r => (r.getString(0), r.getString(1))).toSeq == Seq("99" -> OpType.Insert))
+  }
+
   test("diff is exactly the delta: state0 + diff == state1 on randomized change logs") {
     for (seed <- Seq(7, 42, 1789)) {
       val rnd = new scala.util.Random(seed)
