@@ -292,6 +292,23 @@ object TextQueries {
     // group) into the final shuffle: at 100 TB the shuffle carries the
     // sample, not the corpus. No RNG — the same rows come back on any
     // cluster size, and the oracle replays the pick exactly.
+    // The multimodal tier composed into the ANN tier: payload-attach →
+    // per-partition feature decode (the mapInPandas-shaped stub; at
+    // deploy time the codec call replaces FakeDecoder) → brute-force
+    // cosine top-k over the decoded embeddings. Fully oracle-gated: the
+    // fake decode is deterministic byte math, so DuckDB replays it
+    // (64-bit wrap in HUGEINT; the documents fixture is ASCII, so
+    // codepoints == UTF-8 bytes), and the cosine tier is vs01's.
+    "ns18_multimodal_ann" -> ((s, d) => {
+      import graft.operators.{Multimodal, Similarity}
+      val media = Multimodal.attachPayload(
+        Tables.documents(s, d), "doc_id", "text", "text/plain")
+      val feats = Multimodal.extractFeatures(media, dim = 4).toDF()
+        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      Similarity.bruteForceTopK(feats.filter(col("vec_id") < 3), feats, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "ns17_bottomk_sample" -> ((s, d) => {
       val h = graft.functions.TextFunctions.portableHash(
         concat(lit("bk:"), col("doc_id").cast("string")))
@@ -471,6 +488,45 @@ object TextQueries {
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns18_multimodal_ann" -> {
+      // FakeDecoder replica: fold the UTF-8 bytes (== codepoints for the
+      // ASCII fixture) through h ← h·31 + b wrapped to 64 bits (HUGEINT
+      // residue), then per-dimension k = javaMod(h·(2i+1)+i, 1000) with
+      // the signed-view correction (2^64 ≡ 616 mod 1000), f = k/1000 as
+      // REAL. The cosine/rank tier mirrors the vs01 oracle.
+      val fold =
+        """list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+          |    list_transform(range(1, length(text) + 1),
+          |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+          |  (acc, c) -> (acc * 31 + c) % 18446744073709551616)""".stripMargin
+      def feat(i: Int) =
+        s"""CAST(((((hu * ${2 * i + 1} + $i) % 18446744073709551616) % 1000)
+           |  - CASE WHEN ((hu * ${2 * i + 1} + $i) % 18446744073709551616)
+           |         >= 9223372036854775808 THEN 616 ELSE 0 END
+           |  + 1000) % 1000 / 1000.0 AS REAL)""".stripMargin
+      def dot(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+           |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+           |  (acc, x) -> acc + x)""".stripMargin
+      val cos = s"${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))"
+      s"""WITH h AS (SELECT doc_id, $fold AS hu FROM documents),
+         |f AS (SELECT doc_id AS vec_id,
+         |        [${feat(0)}, ${feat(1)}, ${feat(2)}, ${feat(3)}] AS embedding
+         |      FROM h),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM f WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM f),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $cos AS cos
+         |  FROM c JOIN q ON query_id <> neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "ns17_bottomk_sample" -> {
       val h = hashSql("'bk:' || CAST(doc_id AS VARCHAR)")
       s"""SELECT source, h, doc_id
