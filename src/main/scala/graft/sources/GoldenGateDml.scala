@@ -188,9 +188,28 @@ object GoldenGateDml {
       .map { case (offset, bytes) => classify(bytes, offset) })
   }
 
+  /** [[classify]], but malformed bytes become a `deadletter` message
+    * instead of failing the task. The reference kills the stream on the
+    * first undecodable message (GoldenGateKafka.java:208-237 lets the
+    * Avro exception propagate); at production volume one corrupt record
+    * must not stop a 100 TB pipeline — route [[deadLetters]] to a
+    * quarantine sink and keep consuming. The payload rides base64 with
+    * its offset so the quarantined original is fully recoverable. */
+  def classifySafe(bytes: Array[Byte], version: Long): GgMessage =
+    try classify(bytes, version)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        GgMessage("deadletter", 0L,
+          java.util.Base64.getEncoder.encodeToString(bytes), version)
+    }
+
+  /** The quarantine side of [[classifySafe]]. */
+  def deadLetters(msgs: Dataset[GgMessage]): Dataset[GgMessage] =
+    msgs.filter(_.kind == "deadletter")
+
   def pipeline(msgs: Dataset[GgMessage]): DataFrame = {
     import msgs.sparkSession.implicits._
-    val live = msgs.filter(_.kind != "ignore")
+    val live = msgs.filter(m => m.kind != "ignore" && m.kind != "deadletter")
     val ddl: DataFrame = live.filter(_.kind == "schema")
       .map(m => ChangeRecord.ofDdl(ddlOf(m.payload))).toDF()
     val dml: DataFrame = StatefulOps.resolveSchemas(live)

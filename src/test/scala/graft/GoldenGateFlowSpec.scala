@@ -215,6 +215,31 @@ class GoldenGateFlowSpec extends SparkSuite {
     assert(data.kind == "data" && data.fingerprint == fp && data.version == 2)
   }
 
+  test("classifySafe quarantines malformed bytes; the pipeline survives and stays complete") {
+    val fp = org.apache.avro.SchemaNormalization.parsingFingerprint64(
+      new org.apache.avro.Schema.Parser().parse(ggSchemaJson))
+    val garbage = Array[Byte](0x13, 0x37, -1, -2, -3)
+    val raw: Seq[Array[Byte]] = Seq(
+      ggSchemaJson.getBytes("UTF-8"),
+      garbage, // corrupt record mid-stream
+      GoldenGateAvro.encodeWrapper("ORCL.T", fp, ggPayload("I", null, ggRow(1, "a"))))
+    // strict classify (the reference posture) dies on the corrupt record
+    intercept[Exception] { GoldenGateDml.classify(garbage, 1) }
+    val msgs = raw.zipWithIndex.map { case (b, i) =>
+      GoldenGateDml.classifySafe(b, i.toLong)
+    }
+    val ds = spark.createDataset(msgs)(
+      org.apache.spark.sql.Encoders.product[graft.streaming.StatefulOps.GgMessage])
+    // the good records still flow end-to-end
+    val out = GoldenGateDml.pipeline(ds)
+      .filter(org.apache.spark.sql.functions.col("dml").isNotNull).collect()
+    assert(out.length == 1)
+    // the quarantined original is byte-recoverable with its offset
+    val dead = GoldenGateDml.deadLetters(ds).collect()
+    assert(dead.length == 1 && dead.head.version == 1L)
+    assert(java.util.Base64.getDecoder.decode(dead.head.payload).toSeq == garbage.toSeq)
+  }
+
   test("a data message whose fingerprint never resolved fails with a named error") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[GgMessage]
