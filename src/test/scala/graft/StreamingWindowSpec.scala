@@ -85,6 +85,33 @@ class StreamingWindowSpec extends SparkSuite {
       s"got $rows")
   }
 
+  test("the custom bottom_k aggregate runs inside a watermarked streaming window") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // k smallest user ids per closed 10-minute window, via the bounded
+    // heap aggregate — custom TypedImperativeAggregates must survive the
+    // streaming partial/merge/state round-trip, not just batch
+    val agg = in.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(graft.functions.BottomK.bottomK($"user", $"user", 3).as("picks"))
+      .select($"w.start".as("start"), transform($"picks", p => p("id")).as("ids"))
+    val q = agg.writeStream.format("memory").queryName("bk_out")
+      .option("checkpointLocation", checkpointDir("bk-stream"))
+      .outputMode("append").start()
+
+    in.addData(ev(1, 9, 0), ev(2, 4, 0), ev(3, 7, 0), ev(4, 2, 0), ev(5, 11, 0))
+    in.addData(ev(6, 5, 0)) // same window, later batch: state must merge
+    in.addData(ev(21, 1, 0)) // watermark past 10:10 → first window closes
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("bk_out").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getSeq[Long](1).toSeq).toMap
+    assert(rows("2024-01-01 10:00:00.0") == Seq(2L, 4L, 5L),
+      s"bottom_k state did not merge across micro-batches: $rows")
+  }
+
   test("streaming exact dedup drops at-least-once replays within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Keyed]
