@@ -456,6 +456,48 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // THE FLAGSHIP PATH IN THE GATE: the full reference pipeline —
+    // CT-enabled source database (simulator; no SQL Server is reachable
+    // offline) → DSv2 micro-batch source with admission control →
+    // per-batch DDL snapshot → envelope assembly → streaming upsert into
+    // the durable store → typed-read of the converged state. Previously
+    // spec-only (CtPipelineSpec/EndToEndCdcSpec); this row puts it under
+    // the DuckDB oracle. The simulator is seeded deterministically from
+    // the events fixture in event_id order (the driver-side loop fills
+    // the SOURCE DATABASE — it is the test double's ingest, not part of
+    // the measured pipeline); maxBatchSize forces multiple micro-batches
+    // so cross-batch merges are exercised, and the convergence law makes
+    // batch boundaries irrelevant to the result.
+    "cdc23_ct_pipeline_e2e" -> ((s, d) => {
+      import graft.sinks.{ParquetUpsertStore, UpsertSink}
+      import graft.sources.{ChangeFeedProvider, ChangeTrackingStore}
+      import graft.streaming.CtPipeline
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val feed = "cdc23-feed"
+      ChangeTrackingStore.drop(feed)
+      val ct = ChangeTrackingStore.get(feed)
+      ct.setSchema("public.events", StructType(Seq(
+        StructField("key", LongType), StructField("payload", StringType))).json)
+      Tables.events(s, d)
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          opFromEvent, col("event_type"))
+        .orderBy(col("event_id")).collect()
+        .foreach(r => ct.append("public.events", r.getString(2), r.getLong(1),
+          s"${r.getLong(0)}:${r.getString(3)}"))
+      val store = new ParquetUpsertStore(freshDir("cdc23"), numBuckets = 8)
+      val stream = s.readStream.format(classOf[ChangeFeedProvider].getName)
+        .option("store", feed).option("numPartitions", "4")
+        .option("maxBatchSize", "4000").option("emitDdl", "true").load()
+      val q = UpsertSink.stream(CtPipeline.toEnvelope(stream), store,
+        freshDir("cdc23-ckpt"))
+      q.processAllAvailable()
+      q.stop()
+      store.snapshot(s, "public.events")
+        .select(element_at(col("values"), "key").cast("long").as("key"),
+          element_at(col("values"), "payload").as("payload"))
+        .orderBy(col("key"))
+    }),
+
     // Incremental view maintenance from the diff feed: a per-group
     // aggregate over snapshot 0 is advanced to snapshot 1's value by
     // applying the I/U/D diff records as additions and RETRACTIONS
@@ -675,6 +717,15 @@ object CdcQueries {
         |  (CAST(1 AS BIGINT), 'ann', CAST(99.25 AS DOUBLE), 'DELETE', CAST(5 AS BIGINT))
         |) AS v(id, name, bal, op, version)
         |ORDER BY version, op, id""".stripMargin,
+    "cdc23_ct_pipeline_e2e" ->
+      s"""SELECT user_id AS key,
+         | CAST(event_id AS VARCHAR) || ':' || event_type AS payload
+         |FROM (SELECT user_id, event_id, event_type, $opFromEventSql AS op,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY event_id DESC) AS rn
+         |      FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE'
+         |ORDER BY key""".stripMargin,
     "cdc22_incremental_agg" ->
       s"""SELECT event_type, COUNT(*) AS n,
          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
