@@ -498,6 +498,63 @@ object CdcQueries {
         .orderBy(col("key"))
     }),
 
+    // The SRC2 twin of cdc23: the full GoldenGate path — Kafka-shaped
+    // message log (schema announcement + Avro-wrapped before/after DMLs)
+    // → classify → fingerprint registry → decode/normalize → envelope →
+    // streaming upsert into the durable store — gated end to end. The
+    // trail is built deterministically from the events fixture
+    // (user_id < 50 bounds the driver-side Avro encoding; it seeds the
+    // TRANSPORT, not the measured pipeline); message offsets are the
+    // change versions, monotone in event order.
+    "cdc24_gg_pipeline_e2e" -> ((s, d) => {
+      import graft.sinks.{ParquetUpsertStore, UpsertSink}
+      import graft.sources.{GoldenGateAvro => GG, GoldenGateDml, GoldenGateFeed, MessageLog}
+      val schemaJson =
+        """{"type":"record","name":"EVENTS","namespace":"ORCL","fields":[
+          | {"name":"table","type":"string"},
+          | {"name":"op_type","type":"string"},
+          | {"name":"primary_keys","type":{"type":"array","items":"string"}},
+          | {"name":"before","type":["null",{"type":"record","name":"columns","fields":[
+          |   {"name":"id","type":"long"},{"name":"id_isMissing","type":"boolean"},
+          |   {"name":"p","type":["null","string"]},{"name":"p_isMissing","type":"boolean"}]}]},
+          | {"name":"after","type":["null","columns"]}]}""".stripMargin
+      val fp = org.apache.avro.SchemaNormalization.parsingFingerprint64(
+        new org.apache.avro.Schema.Parser().parse(schemaJson))
+      def img(id: Long, p: String) = Map[String, Any](
+        "id" -> id, "id_isMissing" -> false, "p" -> p, "p_isMissing" -> false)
+      def msg(op: String, before: Any, after: Any) =
+        GG.encodeWrapper("ORCL.EVENTS", fp, GG.encodeRecord(schemaJson,
+          Map[String, Any]("table" -> "ORCL.EVENTS", "op_type" -> op,
+            "primary_keys" -> Seq("id"), "before" -> before, "after" -> after)))
+      val feed = "cdc24-feed"
+      MessageLog.drop(feed)
+      val log = MessageLog.get(feed)
+      log.append(schemaJson.getBytes("UTF-8"))
+      Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          opFromEvent, col("event_type"))
+        .orderBy(col("event_id")).collect()
+        .foreach { r =>
+          val p = s"${r.getLong(0)}:${r.getString(3)}"
+          r.getString(2) match {
+            case "INSERT" => log.append(msg("I", null, img(r.getLong(1), p)))
+            case "UPDATE" => log.append(msg("U", img(r.getLong(1), "prev"),
+              img(r.getLong(1), p)))
+            case _ => log.append(msg("D", img(r.getLong(1), p), null))
+          }
+        }
+      val store = new ParquetUpsertStore(freshDir("cdc24"), numBuckets = 8)
+      val env = GoldenGateDml.fromFeed(s, feed,
+        initialOffset = GoldenGateFeed.EarliestSentinel, maxBatchSize = 1500L)
+      val q = UpsertSink.stream(env, store, freshDir("cdc24-ckpt"))
+      q.processAllAvailable()
+      q.stop()
+      store.snapshot(s, "ORCL.EVENTS")
+        .select(element_at(col("values"), "id").cast("long").as("key"),
+          element_at(col("values"), "p").as("payload"))
+        .orderBy(col("key"))
+    }),
+
     // Incremental view maintenance from the diff feed: a per-group
     // aggregate over snapshot 0 is advanced to snapshot 1's value by
     // applying the I/U/D diff records as additions and RETRACTIONS
@@ -717,6 +774,15 @@ object CdcQueries {
         |  (CAST(1 AS BIGINT), 'ann', CAST(99.25 AS DOUBLE), 'DELETE', CAST(5 AS BIGINT))
         |) AS v(id, name, bal, op, version)
         |ORDER BY version, op, id""".stripMargin,
+    "cdc24_gg_pipeline_e2e" ->
+      s"""SELECT user_id AS key,
+         | CAST(event_id AS VARCHAR) || ':' || event_type AS payload
+         |FROM (SELECT user_id, event_id, event_type, $opFromEventSql AS op,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY event_id DESC) AS rn
+         |      FROM events WHERE user_id < 50) t
+         |WHERE rn = 1 AND op <> 'DELETE'
+         |ORDER BY key""".stripMargin,
     "cdc23_ct_pipeline_e2e" ->
       s"""SELECT user_id AS key,
          | CAST(event_id AS VARCHAR) || ':' || event_type AS payload
