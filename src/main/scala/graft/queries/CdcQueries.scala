@@ -478,16 +478,19 @@ object CdcQueries {
       val ct = ChangeTrackingStore.get(feed)
       ct.setSchema("public.events", StructType(Seq(
         StructField("key", LongType), StructField("payload", StringType))).json)
-      Tables.events(s, d)
+      val rows = Tables.events(s, d)
         .select(col("event_id").cast("long"), col("user_id").cast("long"),
           opFromEvent, col("event_type"))
         .orderBy(col("event_id")).collect()
-        .foreach(r => ct.append("public.events", r.getString(2), r.getLong(1),
-          s"${r.getLong(0)}:${r.getString(3)}"))
+      rows.foreach(r => ct.append("public.events", r.getString(2), r.getLong(1),
+        s"${r.getLong(0)}:${r.getString(3)}"))
       val store = new ParquetUpsertStore(freshDir("cdc23"), numBuckets = 8)
+      // ~3 micro-batches at ANY scale factor: cross-batch merges are
+      // exercised without per-batch overhead dominating the run
       val stream = s.readStream.format(classOf[ChangeFeedProvider].getName)
         .option("store", feed).option("numPartitions", "4")
-        .option("maxBatchSize", "4000").option("emitDdl", "true").load()
+        .option("maxBatchSize", (rows.length / 3 + 1).toString)
+        .option("emitDdl", "true").load()
       val q = UpsertSink.stream(CtPipeline.toEnvelope(stream), store,
         freshDir("cdc23-ckpt"))
       q.processAllAvailable()
