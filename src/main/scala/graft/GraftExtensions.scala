@@ -46,7 +46,9 @@ object GraftFunctions {
       if (es.size >= 2) HllSketchAgg(es.head, intLit(es(1), "hll_distinct p"))
       else HllSketchAgg(es.head)),
     "exact_distinct" -> (es => ExactDistinctLong(es.head)),
-    "bottom_k" -> (es => BottomK(es.head, es(1), intLit(es(2), "bottom_k k"))))
+    "bottom_k" -> (es => BottomK(es.head, es(1), intLit(es(2), "bottom_k k"))),
+    "heavy_hitters" -> (es => graft.functions.SpaceSavingTopK(es.head,
+      intLit(es(1), "heavy_hitters capacity"), intLit(es(2), "heavy_hitters k"))))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

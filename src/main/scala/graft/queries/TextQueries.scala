@@ -292,6 +292,24 @@ object TextQueries {
     // group) into the final shuffle: at 100 TB the shuffle carries the
     // sample, not the corpus. No RNG — the same rows come back on any
     // cluster size, and the oracle replays the pick exactly.
+    // Heavy hitters via the SpaceSaving sketch — the fixed-memory form
+    // of ns10's exact token ranking: partials keep `capacity` counters
+    // per partition, so the shuffle is O(partitions × capacity) at any
+    // vocabulary size. The fixture vocabulary fits the capacity, so the
+    // sketch is exact here and sits under ns10's oracle law; the
+    // approximate regime's guarantees (upper bounds, guaranteed
+    // presence above n/capacity) are spec-pinned.
+    "ns19_heavy_hitters" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .agg(graft.functions.SpaceSavingTopK
+          .heavyHitters(col("token"), capacity = 4096, k = 20).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("token"), col("h.est").as("n"),
+          col("h.err").as("err"))
+        .orderBy(col("n").desc, col("token").asc)
+    }),
+
     // The multimodal tier composed into the ANN tier: payload-attach →
     // per-partition feature decode (the mapInPandas-shaped stub; at
     // deploy time the codec call replaces FakeDecoder) → brute-force
@@ -488,6 +506,10 @@ object TextQueries {
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns19_heavy_hitters" ->
+      """SELECT token, COUNT(*) AS n, CAST(0 AS BIGINT) AS err FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "ns18_multimodal_ann" -> {
       // FakeDecoder replica: fold the UTF-8 bytes (== codepoints for the
       // ASCII fixture) through h ← h·31 + b wrapped to 64 bits (HUGEINT

@@ -81,6 +81,43 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(e.eval(null) == true) // 1050 = 21*50 is a dim key
   }
 
+  test("SpaceSaving heavy hitters: exact when capacity suffices, bounded when it doesn't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // zipf-ish stream: item i appears 2^(8-i) times for i in 1..8, plus
+    // 40 singleton stragglers; 16 partitions force partial merges
+    val data = (1 to 8).flatMap(i => Seq.fill(1 << (8 - i))(s"hh$i")) ++
+      (1 to 40).map(i => s"rare$i")
+    val df = data.map(Tuple1(_)).toDF("w").repartition(16)
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    // capacity > distincts → exact, zero error
+    val exact = df.agg(graft.functions.SpaceSavingTopK
+        .heavyHitters($"w", capacity = 64, k = 8).as("hh"))
+      .select(explode($"hh").as("h")).select($"h.item", $"h.est", $"h.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exact.map(x => x._1 -> x._2).toMap ==
+      (1 to 8).map(i => s"hh$i" -> (1L << (8 - i))).toMap)
+    assert(exact.forall(_._3 == 0L))
+
+    // tight capacity → every estimate is an upper bound within err, and
+    // every item above n/capacity is reported
+    val n = data.size.toLong
+    val cap = 12
+    val approx = df.agg(graft.functions.SpaceSavingTopK
+        .heavyHitters($"w", capacity = cap, k = cap).as("hh"))
+      .select(explode($"hh").as("h")).select($"h.item", $"h.est", $"h.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    approx.foreach { case (item, est, err) =>
+      val t = truth.getOrElse(item, 0L)
+      assert(est >= t, s"$item: est $est below true $t")
+      assert(est - err <= t, s"$item: lower bound ${est - err} above true $t")
+    }
+    val reported = approx.map(_._1).toSet
+    truth.filter(_._2 > n / cap).keys.foreach(h =>
+      assert(reported.contains(h), s"guaranteed heavy hitter $h missing"))
+  }
+
   test("bottom_k equals the window form across partial/merge boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
