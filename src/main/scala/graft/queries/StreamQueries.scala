@@ -51,6 +51,25 @@ object StreamQueries {
         .orderBy(col("user_id"), col("win_start"))
     }),
 
+    // Stream-static join — the CDC-enrichment shape SURVEY §2.3
+    // declares: the change stream joins a BROADCAST static dimension
+    // (no stream state, no shuffle of the stream beyond the windowed
+    // agg), then aggregates per window × dimension attribute. Unmatched
+    // stream rows survive with a NULL dimension (left outer). The
+    // streaming twin (MemoryStream + watermark + the same join) runs in
+    // StreamingWindowSpec.
+    "st11_stream_static_join" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      Tables.events(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"), "left_outer")
+        .groupBy(window(col("ts"), "1 hour").as("w"),
+          col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("nationkey"), col("n"))
+        .orderBy(col("win_start"), col("nationkey").asc_nulls_first)
+    }),
+
     // Gap sessionization (30-minute inactivity gap): per-session rollup.
     "st03_sessionize" -> ((s, d) => {
       EventOps.sessionize(Tables.events(s, d), col("user_id"), col("ts"),
@@ -150,6 +169,11 @@ object StreamQueries {
          | COUNT(*) AS n,
          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "st11_stream_static_join" ->
+      s"""SELECT date_trunc('hour', $tsSql) AS win_start,
+         | c_nationkey AS nationkey, COUNT(*) AS n
+         |FROM events LEFT JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY win_start, nationkey NULLS FIRST""".stripMargin,
     "st10_session_window" ->
       s"""WITH e AS (SELECT user_id, $tsSql AS ts FROM events),
          |m AS (

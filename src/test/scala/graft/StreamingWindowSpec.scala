@@ -85,6 +85,31 @@ class StreamingWindowSpec extends SparkSuite {
       s"got $rows")
   }
 
+  test("stream-static join enriches the stream against a broadcast dimension") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust", "tier")
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "5 minutes")
+      .join(broadcast(dim), $"user" === $"cust", "left_outer")
+      .groupBy(window($"ts", "10 minutes").as("w"), $"tier")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("start"), $"tier", $"n")
+    val q = agg.writeStream.format("memory").queryName("ss_out")
+      .option("checkpointLocation", checkpointDir("ss-join"))
+      .outputMode("append").start()
+
+    in.addData(ev(1, 1, 0), ev(2, 1, 0), ev(3, 2, 0), ev(4, 9, 0)) // 9 unmatched
+    in.addData(ev(21, 1, 0)) // watermark closes the first window
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ss_out").collect()
+      .map(r => (if (r.isNullAt(1)) "-" else r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows == Map("gold" -> 2L, "silver" -> 1L, "-" -> 1L),
+      s"stream-static enrichment wrong: $rows")
+  }
+
   test("the custom bottom_k aggregate runs inside a watermarked streaming window") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
