@@ -48,7 +48,11 @@ case class SpaceSavingTopK(
     if (buf.isEmpty) 0L else buf.valuesIterator.map(_._1).min
 
   /** Evict the minimum-estimate counter (deterministic tie-break on the
-    * item so partial aggregation is reproducible) and return its est. */
+    * item so partial aggregation is reproducible) and return its est.
+    * O(capacity) scan per eviction — the textbook Stream-Summary bucket
+    * list would make this O(1); at the capacities this engine uses
+    * (≤ ~10^4) and with evictions only firing once a buffer is full,
+    * the scan is not the bottleneck (the row decode is). */
   private def evictMin(buf: Buf): Long = {
     val (item, (est, _)) = buf.minBy { case (i, (e, _)) => (e, i) }
     buf.remove(item)

@@ -114,6 +114,29 @@ class PlanAuditSpec extends SparkSuite {
       s"q47's bloom filter is not under the join:\n$p")
   }
 
+  test("ns19's heavy hitters aggregate partially with no per-token shuffle rows") {
+    val p = executedPlan("ns19_heavy_hitters")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ObjectHashAggregate") &&
+      finalPlan.contains("partial_heavy_hitters"),
+      s"ns19 lost its partial sketch aggregation:\n$p")
+    assert(!finalPlan.contains("Window"), s"ns19 must not sort the token stream:\n$p")
+  }
+
+  test("q48's rank gate joins the tiny percentile table by broadcast") {
+    val p = executedPlan("q48_approx_quantiles")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q48's per-group percentile join degenerated:\n$p")
+  }
+
+  test("st11's dimension join broadcasts; the stream side never shuffles for it") {
+    val p = executedPlan("st11_stream_static_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"st11 lost the broadcast dimension join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"st11 shuffled the stream side for the dim join:\n$p")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
