@@ -375,7 +375,11 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
           .repartition(newNumBuckets, col("bucket"))
           .write.mode(SaveMode.Overwrite).partitionBy("bucket")
           .parquet(s"$tdir/$rdir")
-        val mapping = (0 until newNumBuckets).map(_ -> rdir).toMap
+        // empty table → no bucket dirs were written; see compact
+        val mapping =
+          if (hasBucketDirs(fs, s"$tdir/$rdir"))
+            (0 until newNumBuckets).map(_ -> rdir).toMap
+          else Map.empty[Int, String]
         commitManifest(fs, tdir, asBatchId,
           Manifest(newNumBuckets, m.schemaJson, mapping), replace = true)
       }
@@ -402,11 +406,24 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
       live.repartition(math.max(m.buckets.size, 1), col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$tdir/$cdir")
-      val mapping = m.buckets.keySet.map(_ -> cdir).toMap
+      // A fully-tombstoned table folds to ZERO rows: the write then
+      // leaves no bucket directories and a later schema-less parquet
+      // read of the dir would fail — commit an empty mapping instead
+      // (readBuckets resolves that to the empty snapshot schema).
+      val mapping =
+        if (hasBucketDirs(fs, s"$tdir/$cdir"))
+          m.buckets.keySet.map(_ -> cdir).toMap
+        else Map.empty[Int, String]
       commitManifest(fs, tdir, asBatchId,
         Manifest(m.numBuckets, m.schemaJson, mapping), replace = true)
     }
   }
+
+  /** True iff `dir` holds at least one `bucket=` partition directory —
+    * i.e. the preceding write actually materialized rows. */
+  private def hasBucketDirs(fs: FileSystem, dir: String): Boolean =
+    try fs.listStatus(new Path(dir)).exists(_.getPath.getName.startsWith("bucket="))
+    catch { case _: java.io.FileNotFoundException => false }
 
   /** Drop history: delete manifests with id < `keepFromBatchId` and every
     * snapshot directory no longer referenced by a retained manifest.

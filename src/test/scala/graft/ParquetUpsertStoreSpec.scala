@@ -261,6 +261,26 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(store.diff(spark, "dbo.t", 1L, 1L).isEmpty)
   }
 
+  test("compacting or rebucketing a fully-tombstoned table stays readable") {
+    val store = new ParquetUpsertStore(storeDir("empty-fold"), numBuckets = 4)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Insert, 1, 1L, "v" -> "a"),
+      dml(OpType.Insert, 2, 2L, "v" -> "b"))).toDF(), 0L)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Delete, 3, 1L, "v" -> "-"),
+      dml(OpType.Delete, 4, 2L, "v" -> "-"))).toDF(), 1L)
+    // compaction folds every row away — the snapshot must read as empty,
+    // not die on a schema-less parquet directory
+    store.compact(spark, "dbo.t", asBatchId = 2L)
+    assert(store.snapshot(spark, "dbo.t").isEmpty)
+    store.rebucket(spark, "dbo.t", newNumBuckets = 8, asBatchId = 3L)
+    assert(store.snapshot(spark, "dbo.t").isEmpty)
+    // and the table comes back to life on the next batch
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Insert, 5, 9L, "v" -> "back"))).toDF(), 4L)
+    assert(state(store).keySet == Set("9"))
+  }
+
   test("rebucket re-hashes the table; later batches and lookups honor the new count") {
     val dir = storeDir("rebucket")
     val store = new ParquetUpsertStore(dir, numBuckets = 2)
