@@ -4,6 +4,7 @@ import graft.functions.{BottomK, DotProductExpr, ExactDistinctLong, HllSketchAgg
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{LongType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Registers graft's native expressions under SQL names so `spark.sql`
@@ -37,6 +38,19 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(es: Seq[Expression], n: Int, name: String): Unit =
+    if (es.size != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${es.size}")
+
+  // SQL callers get the same coercions the Column helpers apply — the
+  // aggregates' update paths cast their inputs (Long/UTF8String), so an
+  // un-coerced INT or numeric column would pass analysis and then throw
+  // ClassCastException on executors.
+  private def asLong(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+  private def asString(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, StringType)
+
   val definitions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "portable_hash" -> (es => PortableHashExpr(es.head)),
     "set_jaccard" -> (es => SetJaccardExpr(es.head, es(1))),
@@ -46,9 +60,12 @@ object GraftFunctions {
       if (es.size >= 2) HllSketchAgg(es.head, intLit(es(1), "hll_distinct p"))
       else HllSketchAgg(es.head)),
     "exact_distinct" -> (es => ExactDistinctLong(es.head)),
-    "bottom_k" -> (es => BottomK(es.head, es(1), intLit(es(2), "bottom_k k"))),
-    "heavy_hitters" -> (es => graft.functions.SpaceSavingTopK(es.head,
-      intLit(es(1), "heavy_hitters capacity"), intLit(es(2), "heavy_hitters k"))))
+    "bottom_k" -> (es => { arity(es, 3, "bottom_k")
+      BottomK(asLong(es.head), asLong(es(1)), intLit(es(2), "bottom_k k")) }),
+    "heavy_hitters" -> (es => { arity(es, 3, "heavy_hitters")
+      graft.functions.SpaceSavingTopK(asString(es.head),
+        intLit(es(1), "heavy_hitters capacity"),
+        intLit(es(2), "heavy_hitters k")) }))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -27,15 +27,20 @@ import java.io.ByteArrayOutputStream
 object BloomPrune {
 
   /** `fact` rows whose `factKey` appears in `dim`'s `dimKey` — semantics
-    * of `fact SEMI JOIN dim`, physically bloom-pruned before the shuffle. */
+    * of `fact SEMI JOIN dim`, physically bloom-pruned before the shuffle.
+    * Keys must be integral (both sides are cast to long for the bloom so
+    * build and probe hash identically — a raw string key would be
+    * inserted as bytes but probed as long, silently dropping matches). */
   def semiJoin(fact: DataFrame, factKey: Column, dim: DataFrame, dimKey: Column,
                expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bf = dim.stat.bloomFilter(dimKey.cast("long"), expectedItems, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     val mightContain = ColumnBridge.column(BloomMightContainExpr(
       ColumnBridge.expression(factKey.cast("long")), bos.toByteArray))
+    // no distinct on the dim side: left_semi output is independent of
+    // right-side duplicates, and the aggregate would only add a shuffle
     fact.filter(mightContain)
-      .join(dim.select(dimKey).distinct(), factKey === dimKey, "left_semi")
+      .join(dim.select(dimKey), factKey === dimKey, "left_semi")
   }
 }

@@ -284,12 +284,16 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
            fromBatchId: Long, toBatchId: Long): DataFrame = {
     val fs = fileSystem(spark, root)
     val tdir = tableDir(table)
-    // A fromBatchId below the vacuum floor would resolve to an empty
-    // manifest and mis-report every live row as INSERT — refuse instead.
+    // An endpoint below the vacuum floor would resolve to an empty
+    // manifest and mis-report every live row (as INSERT for a vacuumed
+    // `from`, as DELETE for a vacuumed `to`) — refuse instead. The
+    // floor is the smallest manifest id that survived the last vacuum.
     val floor = readFloor(fs, tdir)
-    require(fromBatchId >= floor,
-      s"diff fromBatchId=$fromBatchId is below table '$table' retention floor " +
-        s"$floor — that history was vacuumed; re-seed from a full snapshot")
+    Seq("fromBatchId" -> fromBatchId, "toBatchId" -> toBatchId).foreach {
+      case (what, id) => require(id >= floor,
+        s"diff $what=$id is below table '$table' retention floor $floor — " +
+          "that history was vacuumed; re-seed from a full snapshot")
+    }
     def manifest(id: Long) = readManifest(fs, tdir, Some(id))
       .getOrElse(Manifest(numBuckets, None, Map.empty))
     val mFrom = manifest(fromBatchId)
@@ -449,19 +453,34 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     val referenced = manifestIds.filter(_ >= floor).flatMap { id =>
       readManifest(fs, tableDir(table), Some(id)).toSeq.flatMap(_.buckets.values)
     }.toSet
-    manifestIds.filter(_ < floor).foreach { id =>
+    // Record the retention floor BEFORE deleting anything, so history
+    // readers (diff) refuse vacuumed ids instead of silently resolving
+    // them to an empty table. The floor is the SMALLEST manifest id
+    // that will survive — an id below it may have existed and been
+    // deleted, so resolving it is unsafe even when it sits above the
+    // requested keepFromBatchId (vacuum(2) over manifests {0,1,3}
+    // retains only {3}: id 2 resolves to nothing). Monotone: never
+    // lowered by a later vacuum. Crash ordering: a crash after this
+    // write refuses a little too much (floor recorded, deletions
+    // incomplete) — never too little; readFloor also falls back to the
+    // tmp file if the crash lands between the delete and rename here.
+    // A vacuum that deletes nothing creates no new unsafety — leave the
+    // floor alone (raising it would wrongly refuse bootstrap diffs on a
+    // table whose history is fully intact).
+    val toDelete = manifestIds.filter(_ < floor)
+    if (toDelete.nonEmpty) {
+      val minRetained = manifestIds.filter(_ >= floor).min
+      val newFloor = math.max(minRetained, readFloor(fs, tableDir(table)))
+      val tmp = new Path(tdir, ".vacuum-floor.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(newFloor.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(new Path(tdir, "vacuum-floor"), false)
+      fs.rename(tmp, new Path(tdir, "vacuum-floor"))
+    }
+    toDelete.foreach { id =>
       fs.delete(new Path(tdir, s"manifest-$id"), false)
     }
-    // Record the retention floor so history readers (diff) can refuse
-    // instead of silently resolving a vacuumed id to an empty table.
-    // Monotone: never lowered by a later vacuum with a smaller floor.
-    val newFloor = math.max(floor, readFloor(fs, tableDir(table)))
-    val tmp = new Path(tdir, ".vacuum-floor.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(newFloor.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(new Path(tdir, "vacuum-floor"), false)
-    fs.rename(tmp, new Path(tdir, "vacuum-floor"))
     // Orphaned replace-swap sidecars below the floor are history too —
     // readManifest would otherwise resurrect them as manifests on the
     // next open (they don't match the manifest-\d+ filters above).
@@ -507,14 +526,21 @@ object ParquetUpsertStore {
   private def fileSystem(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The table's vacuum retention floor: history below this batch id has
-    * been deleted. Long.MinValue when never vacuumed (or no table). */
-  private[sinks] def readFloor(fs: FileSystem, tdir: String): Long =
-    try {
-      val in = new BufferedReader(new InputStreamReader(
-        fs.open(new Path(tdir, "vacuum-floor")), UTF_8))
-      try in.readLine().trim.toLong finally in.close()
-    } catch { case _: java.io.IOException => Long.MinValue }
+  /** The table's vacuum retention floor: the smallest manifest id that
+    * survived the last vacuum — ids below it may have been deleted.
+    * Long.MinValue when never vacuumed (or no table). Falls back to the
+    * writer's tmp file so a crash between vacuum's delete and rename
+    * cannot silently disarm the floor. */
+  private[sinks] def readFloor(fs: FileSystem, tdir: String): Long = {
+    def read(name: String): Option[Long] =
+      try {
+        val in = new BufferedReader(new InputStreamReader(
+          fs.open(new Path(tdir, name)), UTF_8))
+        try Some(in.readLine().trim.toLong) finally in.close()
+      } catch { case _: java.io.IOException => None }
+    read("vacuum-floor").orElse(read(".vacuum-floor.tmp"))
+      .getOrElse(Long.MinValue)
+  }
 
   /** Driver-side twin of the write path's `pmod(hash(row_key), nb)`:
     * Spark's `hash()` is Murmur3 with seed 42, so evaluating the same

@@ -123,11 +123,14 @@ class GraftFunctionsSpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(spark)
-    // SQL name resolves and needs a literal k
+    // SQL name resolves, needs a literal k, and coerces INT inputs (the
+    // update path casts to Long — uncoerced INT would CCE on executors)
     val viaSql = spark.sql(
-      "SELECT bottom_k(x, x, 2) AS p FROM VALUES (5L), (1L), (3L) AS t(x)")
+      "SELECT bottom_k(x, x, 2) AS p FROM VALUES (5), (1), (3) AS t(x)")
       .select(explode($"p.h")).as[Long].collect().toSeq
     assert(viaSql == Seq(1L, 3L))
+    val arityErr = intercept[Exception] { spark.sql("SELECT bottom_k(1, 2)") }
+    assert(arityErr.getMessage.contains("expects 3 arguments"))
     // ties on the sort key (h = i % 7) force the payload tie-break; 16
     // input partitions force real partial buffers + serialize/merge
     val df = (1L to 500L).map(i => (s"g${i % 3}", i % 7, i))

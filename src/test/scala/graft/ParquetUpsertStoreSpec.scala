@@ -172,6 +172,36 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(state(store) == before)
   }
 
+  test("the retention floor is the smallest surviving id, not the requested one") {
+    // manifests {0, 1, 3}: vacuum(2) deletes 0 and 1; id 2 sits between
+    // the deletions and the first survivor, so resolving it would skip
+    // history — the floor must land on 3, refusing 2 as well
+    val store = new ParquetUpsertStore(storeDir("floorgap"), numBuckets = 2)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Insert, 1, 1L, "v" -> "a"))).toDF(), 0L)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Insert, 2, 2L, "v" -> "b"))).toDF(), 1L)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Insert, 3, 3L, "v" -> "c"))).toDF(), 3L)
+    store.vacuum(spark, "dbo.t", keepFromBatchId = 2L)
+    val e = intercept[IllegalArgumentException] {
+      store.diff(spark, "dbo.t", fromBatchId = 2L, toBatchId = 3L)
+    }
+    assert(e.getMessage.contains("retention floor 3"))
+    // a vacuumed TO endpoint is refused too (it would read as all-DELETE)
+    intercept[IllegalArgumentException] {
+      store.diff(spark, "dbo.t", fromBatchId = 3L, toBatchId = 1L)
+    }
+    assert(store.diff(spark, "dbo.t", 3L, 3L).isEmpty)
+    // a no-op vacuum on an intact table never raises the floor
+    val fresh = new ParquetUpsertStore(storeDir("floornoop"), numBuckets = 2)
+    fresh.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Insert, 1, 1L, "v" -> "a"))).toDF(), 0L)
+    fresh.vacuum(spark, "dbo.t", keepFromBatchId = 0L)
+    // bootstrap diff (from = -1, nothing ever vacuumed) still answers
+    assert(fresh.diff(spark, "dbo.t", -1L, 0L).count() == 1L)
+  }
+
   test("point lookup reads only the buckets its keys hash to") {
     val store = new ParquetUpsertStore(storeDir("lookup"), numBuckets = 8)
     store.applyBatch(spark.createDataset(
