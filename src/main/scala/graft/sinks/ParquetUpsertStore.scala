@@ -359,7 +359,10 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     * `snap-<asBatchId>-r` under the NEW hash, committed at `asBatchId`;
     * every later batch and read picks the new count up from the
     * manifest (the write path always buckets with the manifest's count,
-    * never the constructor's). Unlike [[compact]], tombstones are
+    * never the constructor's). Pass the LAST COMMITTED batch id (this
+    * is a replace-commit, [[compact]]'s convention) — a fresh id would
+    * collide with a resumed stream's next micro-batch id, whose commit
+    * would then be dropped as a replay. Unlike [[compact]], tombstones are
     * preserved, so replay safety is unchanged and no checkpoint-horizon
     * caveat applies. History manifests keep their own bucket counts —
     * time travel and diff across the boundary stay correct (a diff

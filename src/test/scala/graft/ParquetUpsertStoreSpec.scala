@@ -303,11 +303,11 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     // not die on a schema-less parquet directory
     store.compact(spark, "dbo.t", asBatchId = 2L)
     assert(store.snapshot(spark, "dbo.t").isEmpty)
-    store.rebucket(spark, "dbo.t", newNumBuckets = 8, asBatchId = 3L)
+    store.rebucket(spark, "dbo.t", newNumBuckets = 8, asBatchId = 2L)
     assert(store.snapshot(spark, "dbo.t").isEmpty)
     // and the table comes back to life on the next batch
     store.applyBatch(spark.createDataset(Seq(
-      dml(OpType.Insert, 5, 9L, "v" -> "back"))).toDF(), 4L)
+      dml(OpType.Insert, 5, 9L, "v" -> "back"))).toDF(), 3L)
     assert(state(store).keySet == Set("9"))
   }
 
@@ -320,7 +320,7 @@ class ParquetUpsertStoreSpec extends SparkSuite {
       dml(OpType.Delete, 100, 5L, "v" -> "-"))).toDF(), 1L)
     val before = state(store)
 
-    store.rebucket(spark, "dbo.t", newNumBuckets = 8, asBatchId = 2L)
+    store.rebucket(spark, "dbo.t", newNumBuckets = 8, asBatchId = 1L)
     assert(state(store) == before, "rebucket changed the visible snapshot")
     // tombstones survive (unlike compact): a replay of the delete batch
     // id is shadowed, and the tombstone still wins over stale data
@@ -328,18 +328,49 @@ class ParquetUpsertStoreSpec extends SparkSuite {
 
     // a later batch buckets with the NEW count from the manifest
     store.applyBatch(spark.createDataset(Seq(
-      dml(OpType.Insert, 200, 99L, "v" -> "new"))).toDF(), 3L)
+      dml(OpType.Insert, 200, 99L, "v" -> "new"))).toDF(), 2L)
     assert(state(store)("99")._1("v") == "new")
 
     // point lookup prunes with the new count and still finds the rows
     val got = store.lookup(spark, "dbo.t", Seq("7", "99"))
     assert(got.collect().map(_.getString(0)).sorted.toSeq == Seq("7", "99"))
-    assert(got.inputFiles.forall(f => f.contains("snap-2-r") || f.contains("snap-3")),
+    assert(got.inputFiles.forall(f => f.contains("snap-1-r") || f.contains("snap-2")),
       "lookup read a pre-rebucket snapshot directory")
 
     // diff across the rebucket boundary is still value-correct
-    val d = store.diff(spark, "dbo.t", 2L, 3L).collect()
+    val d = store.diff(spark, "dbo.t", 1L, 2L).collect()
     assert(d.map(r => (r.getString(0), r.getString(1))).toSeq == Seq("99" -> OpType.Insert))
+  }
+
+  test("rebucket between streaming restarts: the resumed stream honors the new layout") {
+    val sdir = storeDir("rebucket-stream")
+    val store = new ParquetUpsertStore(sdir, numBuckets = 2)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ChangeRecord]
+    val ckpt = checkpointDir("pus-rebucket")
+    val q1 = UpsertSink.stream(in.toDF(), store, ckpt)
+    in.addData((1L to 16L).map(i => dml(OpType.Insert, i, i, "v" -> s"a$i")): _*)
+    q1.processAllAvailable(); q1.stop()
+
+    // operational resize while the stream is down — at the LAST
+    // COMMITTED id (a replace-commit, compact's convention): a fresh id
+    // would collide with the resumed stream's next batch id and its
+    // commit would be dropped as a replay
+    store.rebucket(spark, "dbo.t", newNumBuckets = 8, asBatchId = 0L)
+
+    // resume the SAME source from the SAME checkpoint: later batches
+    // must bucket with the manifest's new count, reads stay consistent
+    val q2 = UpsertSink.stream(in.toDF(), store, ckpt)
+    in.addData(dml(OpType.Update, 100, 3L, "v" -> "u3"),
+      dml(OpType.Delete, 101, 5L, "v" -> "-"))
+    q2.processAllAvailable(); q2.stop()
+
+    val st = state(store)
+    assert(st.keySet == ((1L to 16L).toSet - 5L).map(_.toString))
+    assert(st("3")._1("v") == "u3")
+    val got = store.lookup(spark, "dbo.t", Seq("3", "7"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("3", "7"))
   }
 
   test("diff is exactly the delta: state0 + diff == state1 on randomized change logs") {
