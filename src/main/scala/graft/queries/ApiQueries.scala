@@ -166,6 +166,29 @@ object ApiQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Constraint validation (the Deequ-check shape): PK uniqueness,
+    // referential containment, and range checks computed as COUNTS of
+    // violations in two scans + one anti join — the report a pipeline
+    // gates a publish on. Counts (not booleans alone) so a failure says
+    // how bad; booleans ride along for the gate semantics.
+    "q50_quality_checks" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dupPk = ev.groupBy(col("event_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(count(lit(1)).as("n")).select(col("n"))
+      val orphans = ev.join(Tables.customer(s, d),
+          col("user_id") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(col("n"))
+      val ranges = ev.agg(
+        sum(when(col("value") < 0 || col("value").isNull, 1).otherwise(0)).as("n"))
+      dupPk.select(lit("pk_unique_event_id").as("check_name"), col("n").as("violations"))
+        .unionByName(orphans.select(lit("fk_user_in_customer").as("check_name"),
+          col("n").as("violations")))
+        .unionByName(ranges.select(lit("value_non_negative").as("check_name"),
+          col("n").as("violations")))
+        .withColumn("passed", col("violations") === 0L)
+        .orderBy(col("check_name"))
+    }),
+
     // Sketch quantiles — the 100 TB percentile path: percentile_approx
     // (Greenwald-Khanna summaries behind a partial-aggregable
     // TypedImperativeAggregate) instead of q38's exact form, which must
@@ -485,6 +508,22 @@ object ApiQueries {
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q50_quality_checks" ->
+      """WITH checks AS (
+        |  SELECT 'pk_unique_event_id' AS check_name,
+        |    (SELECT COUNT(*) FROM (SELECT event_id FROM events
+        |      GROUP BY event_id HAVING COUNT(*) > 1) d) AS violations
+        |  UNION ALL
+        |  SELECT 'fk_user_in_customer',
+        |    (SELECT COUNT(*) FROM events e
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = e.user_id))
+        |  UNION ALL
+        |  SELECT 'value_non_negative',
+        |    (SELECT CAST(SUM(CASE WHEN value < 0 OR value IS NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) FROM events))
+        |SELECT check_name, violations, violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
     "q48_approx_quantiles" ->
       """SELECT l_returnflag,
         | percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_exact,

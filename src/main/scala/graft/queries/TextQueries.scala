@@ -292,6 +292,25 @@ object TextQueries {
     // group) into the final shuffle: at 100 TB the shuffle carries the
     // sample, not the corpus. No RNG — the same rows come back on any
     // cluster size, and the oracle replays the pick exactly.
+    // Single-pass column profiling (the Deequ/data-quality shape): one
+    // aggregate computes per-column null rates, distinct counts, and
+    // ranges — no per-column jobs, no second scan. At 100 TB this is
+    // the profile you run before training: one scan, one partial+final
+    // agg, distincts exact here (swap in approx_count_distinct/HLL at
+    // vocabularies where exact no longer pays).
+    "ns20_column_profile" -> ((s, d) => {
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1).otherwise(0)).as("text_nulls"),
+        count_distinct(col("source")).as("source_distinct"),
+        count_distinct(col("lang")).as("lang_distinct"),
+        min(col("n_chars")).as("n_chars_min"),
+        max(col("n_chars")).as("n_chars_max"),
+        sum(col("n_chars").cast("long")).as("n_chars_sum"),
+        min(col("doc_id")).as("doc_id_min"),
+        max(col("doc_id")).as("doc_id_max"))
+    }),
+
     // Heavy hitters via the SpaceSaving sketch — the fixed-memory form
     // of ns10's exact token ranking: partials keep `capacity` counters
     // per partition, so the shuffle is O(partitions × capacity) at any
@@ -506,6 +525,17 @@ object TextQueries {
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns20_column_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        | CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+        | COUNT(DISTINCT source) AS source_distinct,
+        | COUNT(DISTINCT lang) AS lang_distinct,
+        | MIN(n_chars) AS n_chars_min,
+        | MAX(n_chars) AS n_chars_max,
+        | CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+        | MIN(doc_id) AS doc_id_min,
+        | MAX(doc_id) AS doc_id_max
+        |FROM documents""".stripMargin,
     "ns19_heavy_hitters" ->
       """SELECT token, COUNT(*) AS n, CAST(0 AS BIGINT) AS err FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
