@@ -292,6 +292,20 @@ object TextQueries {
     // group) into the final shuffle: at 100 TB the shuffle carries the
     // sample, not the corpus. No RNG — the same rows come back on any
     // cluster size, and the oracle replays the pick exactly.
+    // Canonical text normalization — the first stage of every training
+    // pipeline: casefold → strip non-alphanumerics → collapse runs of
+    // spaces → trim. Pure scan-local codegen'd string expressions (no
+    // shuffle at all until the final order); the patterns are RE2-safe
+    // so the DuckDB oracle states the identical transform.
+    "ns21_normalize_text" -> ((s, d) => {
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("norm_text"),
+          size(split(norm, " ")).as("n_tokens_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Single-pass column profiling (the Deequ/data-quality shape): one
     // aggregate computes per-column null rates, distinct counts, and
     // ranges — no per-column jobs, no second scan. At 100 TB this is
@@ -524,6 +538,13 @@ object TextQueries {
     "ns09_bpe_tokens" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ns21_normalize_text" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        | len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ns20_column_profile" ->
       """SELECT COUNT(*) AS n_rows,
