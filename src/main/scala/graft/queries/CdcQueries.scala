@@ -456,6 +456,32 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // MERGE INTO as a first-class store API: seed with the
+    // even-versioned changes, then one merge() call upserts the odd
+    // rows and tombstones the odd DELETEs — insert-or-update-or-delete
+    // in a single batch, no envelope assembly at the call site. The
+    // convergence law (same as cdc13's) gates the result: merge sugar
+    // must be indistinguishable from the raw change-batch path.
+    "cdc25_merge_into" -> ((s, d) => {
+      import graft.sinks.ParquetUpsertStore
+      val ev = Tables.events(s, d)
+      val env = ChangeFeed.wrapDml(ev, "public.events", Seq("user_id"),
+        opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val store = new ParquetUpsertStore(freshDir("cdc25"), numBuckets = 8)
+      store.applyBatch(ChangeFeed.wrapDdl(s, "public.events", ev.schema)
+        .unionByName(env.filter(ver % 2 === 0)), 0L)
+      store.merge("public.events", ev.filter(col("event_id") % 2 === 1),
+        keys = Seq("user_id"), version = col("event_id"), batchId = 1L,
+        deleteWhen = opFromEvent === "DELETE")
+      store.snapshot(s, "public.events")
+        .select(
+          element_at(col("values"), "user_id").cast("long").as("user_id"),
+          element_at(col("values"), "event_id").cast("long").as("event_id"),
+          element_at(col("values"), "value").cast("double").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // THE FLAGSHIP PATH IN THE GATE: the full reference pipeline —
     // CT-enabled source database (simulator; no SQL Server is reachable
     // offline) → DSv2 micro-batch source with admission control →
@@ -777,6 +803,13 @@ object CdcQueries {
         |  (CAST(1 AS BIGINT), 'ann', CAST(99.25 AS DOUBLE), 'DELETE', CAST(5 AS BIGINT))
         |) AS v(id, name, bal, op, version)
         |ORDER BY version, op, id""".stripMargin,
+    "cdc25_merge_into" ->
+      s"""SELECT user_id, event_id, value
+         |FROM (SELECT user_id, event_id, $opFromEventSql AS op, value,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id
+         |          ORDER BY event_id DESC) AS rn
+         |      FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "cdc24_gg_pipeline_e2e" ->
       s"""SELECT user_id AS key,
          | CAST(event_id AS VARCHAR) || ':' || event_type AS payload

@@ -2,7 +2,7 @@ package graft.sinks
 
 import graft.operators.CdcApply
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -350,6 +350,23 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
       .sortWithinPartitions(col("__zk"))
       .drop("__zk")
       .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
+  /** Delta-style MERGE INTO, expressed as one change batch: every
+    * `source` row upserts into `table` by `keys` (put-all-columns, the
+    * store's I/U law) except rows matching `deleteWhen`, which become
+    * tombstones — insert-or-update-or-delete in applyBatch's single
+    * shuffle + touched-bucket rewrite, no separate matched/not-matched
+    * passes. `version` orders rows sharing a key within the batch
+    * (latest wins). Follow the batch-id contract: monotonically above
+    * the last commit. */
+  def merge(table: String, source: DataFrame, keys: Seq[String],
+            version: Column, batchId: Long,
+            deleteWhen: Column = lit(false)): Unit = {
+    val op = when(deleteWhen, graft.model.OpType.Delete)
+      .otherwise(graft.model.OpType.Update)
+    applyBatch(graft.operators.ChangeFeed.wrapDml(
+      source, table, keys, op, version, lit(0L)), batchId)
   }
 
   /** Re-bucket the table to `newNumBuckets` — the lifecycle operation
