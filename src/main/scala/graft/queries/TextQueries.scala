@@ -285,13 +285,6 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
-    // Deterministic k-per-group sampling via the bounded bottom-k
-    // aggregate: the k docs with the smallest salted portable hash per
-    // source. Unlike the window form (q05 — shuffles every row to sort
-    // it), the heap aggregate ships at most k pairs per (partition,
-    // group) into the final shuffle: at 100 TB the shuffle carries the
-    // sample, not the corpus. No RNG — the same rows come back on any
-    // cluster size, and the oracle replays the pick exactly.
     // Canonical text normalization — the first stage of every training
     // pipeline: casefold → strip non-alphanumerics → collapse runs of
     // spaces → trim. Pure scan-local codegen'd string expressions (no
@@ -360,6 +353,13 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Deterministic k-per-group sampling via the bounded bottom-k
+    // aggregate: the k docs with the smallest salted portable hash per
+    // source. Unlike the window form (q05 — shuffles every row to sort
+    // it), the heap aggregate ships at most k pairs per (partition,
+    // group) into the final shuffle: at 100 TB the shuffle carries the
+    // sample, not the corpus. No RNG — the same rows come back on any
+    // cluster size, and the oracle replays the pick exactly.
     "ns17_bottomk_sample" -> ((s, d) => {
       val h = graft.functions.TextFunctions.portableHash(
         concat(lit("bk:"), col("doc_id").cast("string")))

@@ -392,7 +392,10 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     readManifest(fs, tdir)
       .filterNot(_.numBuckets == newNumBuckets) // no-op if already sized
       .foreach { m =>
-        val rdir = s"snap-$asBatchId-r"
+        // the target count is part of the directory name: two rebuckets
+        // replace-committed at the SAME id (the documented convention)
+        // must never lazily read the directory they are overwriting
+        val rdir = s"snap-$asBatchId-r$newNumBuckets"
         readBuckets(spark, tdir, m.buckets, m.buckets.keySet)
           .drop("bucket")
           .withColumn("bucket", pmod(hash(col("row_key")), lit(newNumBuckets)))

@@ -334,12 +334,18 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     // point lookup prunes with the new count and still finds the rows
     val got = store.lookup(spark, "dbo.t", Seq("7", "99"))
     assert(got.collect().map(_.getString(0)).sorted.toSeq == Seq("7", "99"))
-    assert(got.inputFiles.forall(f => f.contains("snap-1-r") || f.contains("snap-2")),
+    assert(got.inputFiles.forall(f => f.contains("snap-1-r8") || f.contains("snap-2")),
       "lookup read a pre-rebucket snapshot directory")
 
     // diff across the rebucket boundary is still value-correct
     val d = store.diff(spark, "dbo.t", 1L, 2L).collect()
     assert(d.map(r => (r.getString(0), r.getString(1))).toSeq == Seq("99" -> OpType.Insert))
+
+    // a SECOND rebucket replace-committed at the same id (the documented
+    // convention) writes a distinct directory — it must never lazily
+    // read the directory it is overwriting
+    store.rebucket(spark, "dbo.t", newNumBuckets = 4, asBatchId = 2L)
+    assert(state(store).keySet == before.keySet + "99")
   }
 
   test("rebucket between streaming restarts: the resumed stream honors the new layout") {
