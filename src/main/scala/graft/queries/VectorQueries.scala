@@ -83,6 +83,21 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // FILTERED similarity search — the vector-store staple: top-k among
+    // only the corpus vectors passing a metadata predicate. The filter
+    // is applied BEFORE candidate generation (pre-filtering), so it
+    // rides to the parquet scan and recall is exact w.r.t. the filtered
+    // corpus — post-filtering an unfiltered top-k would return fewer
+    // than k (or misranked) survivors. Same broadcast/no-corpus-shuffle
+    // shape as vs01.
+    "vs11_filtered_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5),
+        emb.filter(col("label").isin(0, 1, 2)), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Norms + bucket assignment per vector (scan-local, no shuffle).
     "vs03_vector_stats" -> ((s, d) => {
       Tables.embeddings(s, d).select(
@@ -187,6 +202,20 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "vs11_filtered_knn" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+         |      FROM embeddings WHERE label IN (0, 1, 2)),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+         |  FROM c JOIN q ON query_id <> neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "vs01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 5),
