@@ -27,8 +27,19 @@ object ZOrder {
   private def shr(a: Column, n: Column): Column = col(ShiftRight(ex(a), ex(n)))
 
   def zorderKey(x: Column, y: Column, bits: Int): Column =
+    zorderKeyN(Seq(x, y), bits)
+
+  /** N-dimensional Morton key: bit i of column j lands at position
+    * i·N + j (round-robin interleave), so sorting clusters rows close
+    * in EVERY dimension. `dims · bits` must fit a signed long
+    * (≤ 63 bits of key). */
+  def zorderKeyN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1 && n * bits <= 63,
+      s"zorder key needs dims*bits <= 63, got $n*$bits")
     aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-      (acc, i) => acc
-        + shl(shr(x.cast("long"), i).bitwiseAND(lit(1L)), i * 2)
-        + shl(shr(y.cast("long"), i).bitwiseAND(lit(1L)), i * 2 + 1))
+      (acc, i) => cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a + shl(shr(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+      })
+  }
 }

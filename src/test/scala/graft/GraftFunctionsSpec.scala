@@ -39,6 +39,20 @@ class GraftFunctionsSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(line == line.sorted && line.distinct.length == line.length,
       "z must be strictly increasing in x at fixed y")
+
+    // N-dimensional form: 3 columns round-robin — bit i of col j lands
+    // at i*3 + j; the 2-column form is the N=2 special case
+    import graft.functions.ZOrder.zorderKeyN
+    val z3 = Seq((1L, 1L, 1L), (2L, 0L, 0L), (0L, 0L, 7L))
+      .toDF("a", "b", "c")
+      .select(zorderKeyN(Seq($"a", $"b", $"c"), 4).as("z"))
+      .as[Long].collect().toSeq
+    assert(z3 == Seq(7L, 8L, 4L + 32L + 256L)) // hand-interleaved
+    val same = Seq((3L, 5L)).toDF("x", "y")
+      .select(zorderKey($"x", $"y", 8).as("a"),
+        zorderKeyN(Seq($"x", $"y"), 8).as("b")).collect().head
+    assert(same.getLong(0) == same.getLong(1))
+    intercept[IllegalArgumentException] { zorderKeyN(Seq($"x"), 64) }
   }
 
   test("registered SQL aggregates resolve and sketch/count correctly") {
