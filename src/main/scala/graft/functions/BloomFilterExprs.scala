@@ -44,6 +44,18 @@ case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
     defineCodeGen(ctx, ev, c => s"$ref.mightContain($c)")
   }
 
+  // A case class with an Array[Byte] field would compare the array by
+  // reference, so two semantically identical instances would never be
+  // `semanticEquals` — defeating common-subexpression elimination and
+  // exchange reuse. Compare (and hash) the byte CONTENT instead.
+  override def equals(other: Any): Boolean = other match {
+    case that: BloomMightContainExpr =>
+      child == that.child && java.util.Arrays.equals(bloomBytes, that.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
     copy(child = newChild)
   override def prettyName: String = "bloom_might_contain"

@@ -25,6 +25,13 @@ import scala.collection.mutable
   * distributed uniform sampler with no RNG: the same k rows come back on
   * any cluster size, any engine (ns17's DuckDB oracle replays it
   * exactly).
+  *
+  * Null handling: rows where sortKey OR payload is null are SKIPPED —
+  * unlike the window form, where Spark's nulls-first ascending sort
+  * would rank a null key ahead of every non-null one. The equivalence
+  * with `row_number() over (order by h, id)` therefore holds on
+  * null-free inputs (hash keys never are null over non-null ids; ns17
+  * and the streaming spec satisfy this by construction).
   */
 case class BottomK(
     sortKey: Expression,

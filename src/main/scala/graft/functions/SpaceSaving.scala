@@ -23,11 +23,21 @@ import scala.collection.mutable
   * the shuffle is O(partitions × capacity) regardless of vocabulary
   * size. Merge adds estimates (absent items take the other summary's
   * minimum as their bound — the mergeable-summaries construction), then
-  * re-truncates to `capacity`, accumulating the truncation bound into
-  * `err`. When `capacity` exceeds the number of distinct items nothing
-  * is ever evicted, every `err` is 0, and the sketch is EXACT — which is
-  * what lets ns19 sit under the DuckDB oracle while the spec pins the
+  * re-truncates to `capacity` by discarding the lowest-estimate counters
+  * outright: survivors' est/err are unchanged, and an item that re-enters
+  * a later merge inherits that summary's minimum estimate as its share.
+  * When `capacity` exceeds the number of distinct items nothing is ever
+  * evicted, every `err` is 0, and the sketch is EXACT — which is what
+  * lets ns19 sit under the DuckDB oracle while the spec pins the
   * approximate regime's guarantees separately.
+  *
+  * Determinism caveat: once eviction or truncation fires, the per-item
+  * est/err values depend on the ORDER Spark happens to merge partial
+  * buffers in (each side's minimum-estimate share `mA`/`mB` varies with
+  * grouping). The bounds `est − err ≤ true ≤ est` and the
+  * heavy-hitter-presence guarantee hold for every merge order, but the
+  * numbers are only bitwise-reproducible in the exact (no-eviction)
+  * regime — which is the regime the ns19 oracle runs in.
   */
 case class SpaceSavingTopK(
     child: Expression,

@@ -93,6 +93,14 @@ class GraftFunctionsSpec extends SparkSuite {
     val e = graft.functions.BloomMightContainExpr(
       org.apache.spark.sql.catalyst.expressions.Literal(1050L), bos.toByteArray)
     assert(e.eval(null) == true) // 1050 = 21*50 is a dim key
+    // value equality on the byte payload (not array identity): two
+    // independently-built instances over the same filter must be equal,
+    // or CSE/exchange-reuse could never coalesce them
+    val e2 = graft.functions.BloomMightContainExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(1050L),
+      bos.toByteArray.clone())
+    assert(e == e2 && e.hashCode == e2.hashCode)
+    assert(e.semanticEquals(e2))
   }
 
   test("SpaceSaving heavy hitters: exact when capacity suffices, bounded when it doesn't") {
