@@ -69,9 +69,19 @@ object Bench {
     val calibPre = calibrate()
 
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // Local perf iteration: SPARK_GRAFT_BENCH_ONLY=ns12,ns14 restricts the
+    // run to queries whose name starts with one of the given prefixes.
+    // The driver never sets it, so recorded rounds always cover the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(prefixes) =>
+        SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
     var failed = List.empty[String]
     val results: Map[String, Option[(Double, Double)]] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         def sample(): Option[Double] = {
           val t0 = System.nanoTime()
           try {
@@ -90,6 +100,13 @@ object Bench {
           val ss = Iterator.fill(n)(sample()).takeWhile(_.isDefined).toSeq
           if (ss.length == n) Some(ss.flatten) else None
         }
+        // Inter-query hygiene, OUTSIDE the timed region: Spark's
+        // ContextCleaner reclaims dead shuffle files / broadcasts only
+        // when the JVM GCs their handles, so 100+ queries into a run the
+        // heaviest queries inherit a reclamation backlog and record
+        // phantom regressions (r8 recorded ns14 at 12.2s; solo it is
+        // 3.3s). One explicit GC per query keeps the backlog flat.
+        System.gc()
         val stats = samplesOrFail(reps).flatMap { first =>
           // Adaptive re-sampling: when the spread is wide (scheduler jitter
           // dominates sub-second queries at local[32]), two more samples make
