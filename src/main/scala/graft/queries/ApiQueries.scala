@@ -216,6 +216,28 @@ object ApiQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Array higher-order functions as first-class surface — transform /
+    // filter / aggregate / exists over a per-group array built in a
+    // deterministic order (array_sort of collect_list, so the multiset
+    // is canonical on both engines — collect_list alone is
+    // partition-order dependent). Everything after the single grouping
+    // shuffle is scan-local array code; the fold seed is BIGINT so the
+    // oracle's list_reduce accumulates without overflow.
+    "q51_higher_order" -> ((s, d) => {
+      val qty = col("qty")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(col("l_quantity").cast("long"))).as("qty"))
+        .select(col("l_orderkey"),
+          size(qty).as("n_items"),
+          aggregate(qty, lit(0L), (a, x) => a + x).as("qty_sum"),
+          aggregate(transform(qty, x => x * x), lit(0L), (a, x) => a + x)
+            .as("qty_sq_sum"),
+          size(filter(qty, x => x >= 25)).as("n_big"),
+          exists(qty, x => x === 1).as("has_single"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // Correlated SCALAR subquery (the TPC-H Q17 shape): per-part average
     // gates the outer row — Catalyst rewrites the correlation into an
     // aggregate + join, which is the plan property worth pinning (q23
@@ -529,6 +551,20 @@ object ApiQueries {
         | percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_exact,
         | TRUE AS approx_rank_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q51_higher_order" ->
+      """WITH a AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list(CAST(FLOOR(l_quantity) AS BIGINT))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  len(qty) AS n_items,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), qty),
+        |    (a, x) -> a + x) AS qty_sum,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(qty, x -> x * x)), (a, x) -> a + x) AS qty_sq_sum,
+        |  len(list_filter(qty, x -> x >= 25)) AS n_big,
+        |  len(list_filter(qty, x -> x = 1)) > 0 AS has_single
+        |FROM a ORDER BY l_orderkey""".stripMargin,
     "q47_bloom_prune_join" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -70,6 +70,24 @@ object StreamQueries {
         .orderBy(col("win_start"), col("nationkey").asc_nulls_first)
     }),
 
+    // Streaming dedup — the batch statement of
+    // `dropDuplicatesWithinWatermark` semantics: within each event-time
+    // window, only the distinct (user, event_type) keys survive. The
+    // batch form is an exact DISTINCT; the streaming twin (MemoryStream
+    // + watermark + dropDuplicatesWithinWatermark, same key set) is
+    // asserted equal in StreamingWindowSpec. One distinct shuffle keyed
+    // by (key, window) + one windowed count at any scale; state stores
+    // hold only in-watermark keys.
+    "st12_stream_dedup" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          window(col("ts"), "1 hour").as("w"))
+        .distinct()
+        .groupBy(col("w.start").as("win_start"))
+        .agg(count(lit(1)).as("n_distinct_keys"))
+        .orderBy(col("win_start"))
+    }),
+
     // Gap sessionization (30-minute inactivity gap): per-session rollup.
     "st03_sessionize" -> ((s, d) => {
       EventOps.sessionize(Tables.events(s, d), col("user_id"), col("ts"),
@@ -174,6 +192,12 @@ object StreamQueries {
          | c_nationkey AS nationkey, COUNT(*) AS n
          |FROM events LEFT JOIN customer ON user_id = c_custkey
          |GROUP BY 1, 2 ORDER BY win_start, nationkey NULLS FIRST""".stripMargin,
+    "st12_stream_dedup" ->
+      s"""SELECT win_start, COUNT(*) AS n_distinct_keys
+         |FROM (SELECT DISTINCT user_id, event_type,
+         |        date_trunc('hour', $tsSql) AS win_start
+         |      FROM events) k
+         |GROUP BY win_start ORDER BY win_start""".stripMargin,
     "st10_session_window" ->
       s"""WITH e AS (SELECT user_id, $tsSql AS ts FROM events),
          |m AS (

@@ -372,6 +372,80 @@ object TextQueries {
         .select(col("source"), col("p.h").as("h"), col("p.id").as("doc_id"))
         .orderBy(col("source"), col("h"), col("doc_id"))
     }),
+
+    // Gopher-style repetition signals — the quality filters that drop
+    // boilerplate and degenerate documents before training (Rae et al.
+    // 2021 §A1.1): per document, the fraction of tokens that belong to
+    // repeated tokens and the share of the single most frequent token.
+    // One explode + two keyed aggregations; the (doc_id, token) partial
+    // agg collapses repeats map-side, so the shuffle carries distinct
+    // (doc, token) pairs — not the token stream — at any corpus size.
+    "ns22_repetition_stats" -> ((s, d) => {
+      val perTok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      perTok.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_token_count"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("top_token_count"),
+          (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+            .as("dup_token_frac"),
+          (col("top_token_count").cast("double") / col("n_tokens").cast("double"))
+            .as("top_token_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII pseudonymization — the privacy pass of a training-data
+    // pipeline: direct identifiers are replaced by a salted
+    // deterministic hash (referential integrity survives — the same
+    // user maps to the same pseudonym everywhere, across engines and
+    // cluster sizes), and digit runs inside free-form payloads are
+    // redacted. All scan-local codegen'd expressions; the only shuffle
+    // is the final presentation sort.
+    "ns23_pii_pseudonymize" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        portableHash(concat(lit("pii:"), col("user_id").cast("string")))
+          .as("user_pseudonym"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"),
+        col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // TF-IDF-shaped distinctiveness ranking: each document's most
+    // distinctive token by tf × (N/df). The weight stays log-free on
+    // purpose — ln() is not correctly rounded and differs across libm
+    // implementations, while count × (exact-int division) is two
+    // correctly-rounded IEEE ops, bit-identical on any engine — same
+    // ranking semantics, oracle-exact. Scale shape: the document
+    // frequency table is vocabulary-sized → broadcast to the corpus-side
+    // (doc, token, tf) rows; the only corpus shuffles are the (doc,
+    // token) partial agg and the per-doc argmax window.
+    "ns24_tfidf_top_token" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val perTok = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = perTok.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok").asc)
+      perTok.join(broadcast(df), Seq("tok"))
+        .withColumn("score",
+          col("tf").cast("double") * (lit(n).cast("double") / col("df").cast("double")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_token"),
+          col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -610,5 +684,43 @@ object TextQueries {
          |WHERE rn <= 5
          |ORDER BY source, h, doc_id""".stripMargin
     },
+    "ns22_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |pt AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(MAX(c) AS BIGINT) AS top_token_count,
+        |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(c) AS DOUBLE) AS dup_token_frac,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_frac
+        |FROM pt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ns23_pii_pseudonymize" -> {
+      val h = hashSql("'pii:' || CAST(user_id AS VARCHAR)")
+      s"""SELECT event_id, $h AS user_pseudonym,
+         |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+         |  event_type
+         |FROM events ORDER BY event_id""".stripMargin
+    },
+    "ns24_tfidf_top_token" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |pt AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM pt GROUP BY tok),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |    CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+        |               tok ASC) AS rn
+        |  FROM pt JOIN dfreq USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok AS top_token, tf, df, score
+        |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

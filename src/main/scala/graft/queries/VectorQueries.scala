@@ -114,6 +114,24 @@ object VectorQueries {
       Similarity.cosineNearDups(Tables.embeddings(s, d), threshold = 0.3, bits = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // SemDeDup-style semantic dedup composed end to end (Abbas et al.
+    // 2023): embedding near-dup pairs within sign-LSH buckets (vs04) →
+    // connected components (ns12's min-label fixpoint) → keep the
+    // smallest vec_id per cluster → per-label accounting of survivors.
+    // Candidates never cross buckets, so the pair stage is an equi-join
+    // at any corpus size; the oracle replays the identical closure as a
+    // recursive CTE over the same bucket + cosine predicate.
+    "vs12_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.cosineNearDups(emb, threshold = 0.3, bits = 4)
+      val canonical = graft.operators.Dedup.componentLabels(pairs, emb, "vec_id")
+        .filter(col("id") === col("component"))
+      emb.join(canonical, emb("vec_id") === canonical("id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"), min(col("vec_id")).as("min_kept_id"))
+        .orderBy(col("label"))
+    }),
     // IVF ANN: per-label centroids trained with order-independent
     // quantized means, nprobe=1 search in the assigned partition.
     "vs05_ivf_search" -> ((s, d) => {
@@ -501,5 +519,24 @@ object VectorQueries {
          |FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    "vs12_semantic_dedup" ->
+      s"""WITH RECURSIVE c AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+         |SELECT e.label, COUNT(*) AS n_kept, MIN(e.vec_id) AS min_kept_id
+         |FROM embeddings e JOIN comp ON e.vec_id = comp.id
+         |WHERE comp.id = comp.component
+         |GROUP BY e.label ORDER BY e.label""".stripMargin,
   )
 }

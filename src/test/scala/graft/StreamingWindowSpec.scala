@@ -160,6 +160,36 @@ class StreamingWindowSpec extends SparkSuite {
     assert(ids == Set((1L, "first"), (2L, "b"), (3L, "c")))
   }
 
+  test("st12 twin: watermarked window-key dedup equals the batch DISTINCT") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = in.toDF()
+      .withWatermark("ts", "5 minutes")
+      .select($"user", window($"ts", "10 minutes").as("w"))
+      .dropDuplicatesWithinWatermark("user", "w")
+      .writeStream.format("memory").queryName("st12_out")
+      .option("checkpointLocation", checkpointDir("st12"))
+      .outputMode("append").start()
+
+    // duplicates inside a window collapse; same user in a new window is
+    // a fresh key
+    val evs = Seq(ev(1, 1, 1.0), ev(2, 1, 2.0), ev(9, 2, 3.0),
+      ev(11, 1, 4.0), ev(12, 1, 5.0), ev(13, 2, 6.0))
+    in.addData(evs: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("st12_out")
+      .select($"user", $"w.start".cast("string").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = evs.map(e => (e.user, e.ts)).toDF("user", "ts")
+      .select($"user", window($"ts", "10 minutes").getField("start")
+        .cast("string").as("s"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch && batch.size == 4)
+  }
+
   test("stream-stream inner join with watermarks and a time-range condition") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[Ev]
