@@ -127,20 +127,39 @@ object Dedup {
     * the canonical-representative step of a production dedup pipeline
     * (pairs say "these two match"; clusters say "keep one of these").
     *
-    * Iterative min-label propagation: each round joins labels across
-    * edges and keeps the minimum seen; a round is one shuffled equi-join
-    * + one aggregation, and the loop stops at fixpoint. Rounds needed =
-    * graph diameter — near-dup clusters are small and dense, so this
-    * converges in a handful of rounds regardless of corpus size (the
-    * same schema GraphFrames' connectedComponents uses). The per-round
-    * driver check is a 1-row count — loop control, not data movement.
+    * Iterative min-label propagation WITH POINTER DOUBLING: each round
+    * (a) joins labels across edges and keeps the minimum neighbor
+    * label, and (b) adopts the label of the current label (the
+    * "grandparent" self-join), so label chains halve every round and
+    * convergence is O(log diameter) rather than O(diameter) — a chainy
+    * similarity graph (loose cosine thresholds produce them) converges
+    * in ~a dozen rounds where plain propagation needs one per hop.
+    * Each round is two shuffled equi-joins + one aggregation, and the
+    * loop stops at fixpoint; the per-round driver check is a 1-row
+    * count over an inline `changed` flag — loop control, not data
+    * movement.
+    *
+    * Every `checkpointInterval` rounds the label table is RELIABLY
+    * checkpointed (written to the session checkpoint dir and re-read).
+    * This is not optional hygiene: each round's plan references the
+    * previous round's plan three times (neighbor propagation, the
+    * grandparent self-join, and the base), so without truncation the
+    * analyzed tree grows exponentially with rounds and a graph needing
+    * a few dozen rounds OOMs the driver on
+    * analysis alone — the same reason GraphFrames' connectedComponents
+    * defaults to checkpointInterval=2 (ours bounds plan depth at 3 with one extra round of headroom).
     *
     * @param pairs  near-dup pairs with `id_a < id_b` (e.g.
     *               [[minhashNearDups]] output)
     * @param ids    one row per document (column `idCol`) — singletons
     *               label themselves
+    * @param checkpointInterval rounds between reliable label
+    *               checkpoints (≥ 1; plan depth stays bounded by it)
     */
-  def componentLabels(pairs: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
+  def componentLabels(pairs: DataFrame, ids: DataFrame, idCol: String,
+                      checkpointInterval: Int = 3): DataFrame = {
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
     // Cache the pair computation BEFORE the both-directions union reads
     // it twice — without this the (expensive) candidate join runs twice.
     val p = pairs.select(col("id_a"), col("id_b")).persist()
@@ -149,19 +168,57 @@ object Dedup {
       .persist()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("component"))
       .persist()
+    val spark = labels.sparkSession
+    val sc = spark.sparkContext
+    val ckptRoot = sc.getCheckpointDir.getOrElse {
+      // Auto-create a scratch dir ONLY in local mode: on a real cluster a
+      // driver-local file: path is not shared storage and executors could
+      // not read it back — require the operator to place it explicitly.
+      require(sc.isLocal,
+        "componentLabels needs a cluster-visible checkpoint dir: call " +
+          "spark.sparkContext.setCheckpointDir(<shared storage path>)")
+      val d = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+      sc.setCheckpointDir(d)
+      sc.getCheckpointDir.get
+    }
+    val iterDirs = scala.collection.mutable.ListBuffer.empty[String]
+    var round = 0
     var converged = false
     while (!converged) {
+      round += 1
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr"))
-      val next = labels.as("l")
+      // Pointer doubling: also adopt the label OF the current label (its
+      // "grandparent"). Labels are always node ids inside the component,
+      // so the lookup is a self-join on the label table; with it chains
+      // halve every round and convergence is O(log diameter) instead of
+      // O(diameter) — neighbor propagation alone needs diameter rounds,
+      // which on a chainy similarity graph is dozens of extra scans.
+      val gp = labels.as("l1")
+        .join(labels.as("l2"), col("l1.component") === col("l2.id"))
+        .select(col("l1.id").as("gid"), col("l2.component").as("gcomp"))
+      // The new label is computed ONCE and compared inline — carrying a
+      // `changed` flag makes the convergence check a filter over the
+      // already-persisted round result instead of a join against the
+      // previous labels (one fewer join per round).
+      val newComp = least(col("l.component"),
+        coalesce(col("nbr"), col("l.component")),
+        coalesce(col("gcomp"), col("l.component")))
+      var next = labels.as("l")
         .join(prop, col("l.id") === prop("src"), "left_outer")
-        .select(col("l.id").as("id"),
-          least(col("l.component"), coalesce(col("nbr"), col("l.component")))
-            .as("component"))
+        .join(gp, col("l.id") === col("gid"), "left_outer")
+        .select(col("l.id").as("id"), newComp.as("component"),
+          (newComp < col("l.component")).as("changed"))
         .persist()
-      val improved = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") < col("o.component")).limit(1).count()
+      val improved = next.filter(col("changed")).limit(1).count()
       labels.unpersist(blocking = true)
+      if (improved != 0 && round % checkpointInterval == 0) {
+        val idir = s"$ckptRoot/graft-cc-iter-${labelsSeq.incrementAndGet()}"
+        next.write.parquet(idir)
+        next.unpersist(blocking = true)
+        next = spark.read.parquet(idir).persist()
+        iterDirs += idir
+      }
       labels = next
       converged = improved == 0
     }
@@ -178,21 +235,10 @@ object Dedup {
     // resolve their files at ACTION time, so deleting the newest-but-one
     // dir would fail a later count() on a live result), while a long
     // session or bench loop stays bounded at two label sets on disk.
-    val spark = labels.sparkSession
-    val sc = spark.sparkContext
-    val ckptRoot = sc.getCheckpointDir.getOrElse {
-      // Auto-create a scratch dir ONLY in local mode: on a real cluster a
-      // driver-local file: path is not shared storage and executors could
-      // not read it back — require the operator to place it explicitly.
-      require(sc.isLocal,
-        "componentLabels needs a cluster-visible checkpoint dir: call " +
-          "spark.sparkContext.setCheckpointDir(<shared storage path>)")
-      val d = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
-      sc.setCheckpointDir(d)
-      sc.getCheckpointDir.get
-    }
+    // Iteration checkpoints are deleted outright once the final labels
+    // are safely in their own dir.
     val dir = s"$ckptRoot/graft-cc-labels-${labelsSeq.incrementAndGet()}"
-    labels.write.parquet(dir)
+    labels.select(col("id"), col("component")).write.parquet(dir)
     val out = spark.read.parquet(dir)
     labels.unpersist(blocking = true)
     edges.unpersist(blocking = true)
@@ -203,7 +249,7 @@ object Dedup {
       labelsHistory(ckptRoot) = keep
       drop
     }
-    evicted.foreach { d =>
+    (evicted ++ iterDirs).foreach { d =>
       val p0 = new org.apache.hadoop.fs.Path(d)
       p0.getFileSystem(sc.hadoopConfiguration).delete(p0, true)
     }

@@ -116,7 +116,9 @@ object VectorQueries {
     }),
 
     // SemDeDup-style semantic dedup composed end to end (Abbas et al.
-    // 2023): embedding near-dup pairs within sign-LSH buckets (vs04) →
+    // 2023): embedding near-dup pairs within sign-LSH buckets (vs04's
+    // shape, at the HIGHER threshold semantic dedup actually uses —
+    // loose thresholds chain half the corpus into one component) →
     // connected components (ns12's min-label fixpoint) → keep the
     // smallest vec_id per cluster → per-label accounting of survivors.
     // Candidates never cross buckets, so the pair stage is an equi-join
@@ -124,7 +126,7 @@ object VectorQueries {
     // recursive CTE over the same bucket + cosine predicate.
     "vs12_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val pairs = Similarity.cosineNearDups(emb, threshold = 0.3, bits = 4)
+      val pairs = Similarity.cosineNearDups(emb, threshold = 0.4, bits = 4)
       val canonical = graft.operators.Dedup.componentLabels(pairs, emb, "vec_id")
         .filter(col("id") === col("component"))
       emb.join(canonical, emb("vec_id") === canonical("id"))
@@ -526,7 +528,7 @@ object VectorQueries {
          |pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3),
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION ALL SELECT id_b, id_a FROM pairs),
          |reach(id, r) AS (
