@@ -84,6 +84,23 @@ class DedupSpec extends SparkSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("componentLabels handles a long path graph: log-round convergence, bounded plans") {
+    import spark.implicits._
+    // A 200-hop path is the adversarial shape: plain min-label
+    // propagation needs 200 rounds, and without in-loop checkpointing
+    // the analyzed plan tree grows exponentially with rounds (this
+    // exact shape OOM'd the driver before pointer doubling + periodic
+    // reliable checkpoints landed). ~8 doubling rounds must finish
+    // quickly and label every node with the path minimum.
+    val n = 200L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (0L until n).toDF("doc_id")
+    val labels = Dedup.componentLabels(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L),
+      "every path node must adopt the chain minimum")
+  }
+
   test("componentLabels leaves no persisted RDDs behind and returns a usable plan") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
