@@ -416,6 +416,29 @@ object TextQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Document chunking with stride — the context-window prep step of a
+    // training/embedding pipeline: each document becomes overlapping
+    // token windows (size 20, stride 10), each chunk re-joined to text
+    // with its token count. Scan-local explode (no shuffle until the
+    // presentation sort); chunk identity is (doc_id, chunk_id), so
+    // downstream embedding/dedup stages key on it deterministically.
+    "ns25_chunking" -> ((s, d) => {
+      val chunkSize = 20
+      val stride = 10
+      val t = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(stride))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("long").as("chunk_id"),
+          array_join(slice(col("t"), col("start") + 1, lit(chunkSize)), " ")
+            .as("chunk_text"),
+          size(slice(col("t"), col("start") + 1, lit(chunkSize)))
+            .as("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // TF-IDF-shaped distinctiveness ranking: each document's most
     // distinctive token by tf × (N/df). The weight stays log-free on
     // purpose — ln() is not correctly rounded and differs across libm
@@ -705,6 +728,13 @@ object TextQueries {
          |  event_type
          |FROM events ORDER BY event_id""".stripMargin
     },
+    "ns25_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, tk, unnest(range(0, len(tk), 10)) AS start FROM t)
+        |SELECT doc_id, start // 10 AS chunk_id,
+        |  array_to_string(list_slice(tk, start + 1, start + 20), ' ') AS chunk_text,
+        |  len(list_slice(tk, start + 1, start + 20)) AS n_chunk_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "ns24_tfidf_top_token" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
