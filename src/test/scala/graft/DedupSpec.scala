@@ -99,6 +99,14 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == n && labels.values.forall(_ == 0L),
       "every path node must adopt the chain minimum")
+    // in-loop iteration checkpoints must not outlive the call: only the
+    // managed graft-cc-labels generations may remain under the root
+    val root = new java.io.File(
+      new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+    val iterLeft = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft-cc-iter-"))
+    assert(iterLeft.isEmpty,
+      s"stranded iteration checkpoints: ${iterLeft.map(_.getName).toSeq}")
   }
 
   test("componentLabels leaves no persisted RDDs behind and returns a usable plan") {
