@@ -135,9 +135,9 @@ object Dedup {
     * similarity graph (loose cosine thresholds produce them) converges
     * in ~a dozen rounds where plain propagation needs one per hop.
     * Each round is two shuffled equi-joins + one aggregation, and the
-    * loop stops at fixpoint; the per-round driver check is a 1-row
-    * count over an inline `changed` flag — loop control, not data
-    * movement.
+    * loop stops at fixpoint; the per-round driver check is a single
+    * `max(changed)` aggregate over an inline flag — loop control, not
+    * data movement.
     *
     * Every `checkpointInterval` rounds the label table is RELIABLY
     * checkpointed (written to the session checkpoint dir and re-read).
@@ -210,9 +210,14 @@ object Dedup {
         .select(col("l.id").as("id"), newComp.as("component"),
           (newComp < col("l.component")).as("changed"))
         .persist()
-      val improved = next.filter(col("changed")).limit(1).count()
+      // One full-scan aggregate: materializes EVERY partition into the
+      // cache (a limit-style probe would stop early and leave partitions
+      // to recompute through the just-unpersisted parent next round) and
+      // answers the convergence question in the same job.
+      val improved = next.agg(coalesce(max(col("changed")), lit(false)))
+        .head.getBoolean(0)
       labels.unpersist(blocking = true)
-      if (improved != 0 && round % checkpointInterval == 0) {
+      if (improved && round % checkpointInterval == 0) {
         val idir = s"$ckptRoot/graft-cc-iter-${labelsSeq.incrementAndGet()}"
         next.write.parquet(idir)
         next.unpersist(blocking = true)
@@ -220,7 +225,7 @@ object Dedup {
         iterDirs += idir
       }
       labels = next
-      converged = improved == 0
+      converged = !improved
     }
     // Hand back an UNPERSISTED plan with truncated lineage: the final
     // labels are materialized to parquet under the session checkpoint dir
