@@ -628,6 +628,41 @@ object CdcQueries {
         .orderBy(col("event_type"))
     }),
 
+    // The two halves of the engine composed: a DOCUMENT change stream
+    // (insert/update/delete envelope) maintained in the durable store,
+    // with the training-corpus quality gate (ns02's token band +
+    // stopword presence) evaluated over the store's latest snapshot —
+    // "keep the training corpus fresh via CDC". Deletes drop documents
+    // from the corpus; the gate and accounting run on exactly what
+    // survived. Store writes touch only hashed buckets; the gate is one
+    // snapshot scan + one agg shuffle at any corpus size.
+    "cdc26_corpus_refresh" -> ((s, d) => {
+      import graft.sinks.ParquetUpsertStore
+      val docs = Tables.documents(s, d)
+      val op = when(pmod(col("doc_id"), lit(10)) === 7, "DELETE")
+        .when(pmod(col("doc_id"), lit(10)) < 5, "INSERT")
+        .otherwise("UPDATE")
+      val env = ChangeFeed.wrapDml(docs, "public.documents", Seq("doc_id"),
+        op, col("doc_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val store = new ParquetUpsertStore(freshDir("cdc26"), numBuckets = 8)
+      store.applyBatch(ChangeFeed.wrapDdl(s, "public.documents", docs.schema)
+        .unionByName(env.filter(ver % 2 === 0)), 0L)
+      store.applyBatch(env.filter(ver % 2 === 1), 1L)
+      val toks = split(element_at(col("values"), "text"), " ")
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+      store.snapshot(s, "public.documents")
+        .select(element_at(col("values"), "source").as("source"),
+          size(toks).as("n_tokens"),
+          size(filter(toks, w => w.isin(stops: _*))).as("n_stop"))
+        .filter(col("n_stop") > 0 &&
+          col("n_tokens") >= 20 && col("n_tokens") <= 200)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens_total"))
+        .orderBy(col("source"))
+    }),
+
     // SCD type-2 dimension history from the change log: each I/U change
     // becomes a dimension row valid over [version, next change's version);
     // DELETEs emit nothing but close the prior row's window. One window
@@ -838,6 +873,20 @@ object CdcQueries {
          |      FROM events) t
          |WHERE rn = 1 AND op <> 'DELETE'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "cdc26_corpus_refresh" ->
+      """WITH latest AS (
+        |  SELECT source, text FROM documents WHERE doc_id % 10 <> 7),
+        |gated AS (
+        |  SELECT source,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |  FROM latest)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+        |FROM gated
+        |WHERE n_stop > 0 AND n_tokens BETWEEN 20 AND 200
+        |GROUP BY source ORDER BY source""".stripMargin,
     "cdc21_snapshot_diff" ->
       s"""WITH s0 AS (
          |  SELECT user_id, event_id, value
