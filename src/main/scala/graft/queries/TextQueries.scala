@@ -416,6 +416,26 @@ object TextQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Count-Min frequency sketch — the fixed-memory "how frequent is
+    // THIS token" twin of ns19's "which tokens are frequent": a
+    // depth×width counter grid per partial buffer, merged cell-wise, so
+    // the shuffle is O(partitions × depth × width) at any stream size.
+    // Width ≫ vocabulary puts the fixture in the exact (collision-free)
+    // regime, so the DuckDB oracle states plain exact counts; the
+    // over-count bound and merge determinism are spec-pinned.
+    "ns26_countmin_freq" -> ((s, d) => {
+      val probes = Seq("agg", "data", "join", "key", "row", "scan",
+        "table", "value")
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .agg(graft.functions.CountMinFreq
+          .freq(col("token"), probes, depth = 5, width = 16384).as("f"))
+        .select(explode(col("f")).as("p"))
+        .select(col("p.item").as("token"), col("p.est").as("n"))
+        .filter(col("n") > 0)
+        .orderBy(col("token"))
+    }),
+
     // Document chunking with stride — the context-window prep step of a
     // training/embedding pipeline: each document becomes overlapping
     // token windows (size 20, stride 10), each chunk re-joined to text
@@ -728,6 +748,11 @@ object TextQueries {
          |  event_type
          |FROM events ORDER BY event_id""".stripMargin
     },
+    "ns26_countmin_freq" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, COUNT(*) AS n FROM t
+        |WHERE token IN ('agg','data','join','key','row','scan','table','value')
+        |GROUP BY token ORDER BY token""".stripMargin,
     "ns25_chunking" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |s AS (SELECT doc_id, tk, unnest(range(0, len(tk), 10)) AS start FROM t)

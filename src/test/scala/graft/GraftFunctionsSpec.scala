@@ -140,6 +140,32 @@ class GraftFunctionsSpec extends SparkSuite {
       assert(reported.contains(h), s"guaranteed heavy hitter $h missing"))
   }
 
+  test("CountMin freq: upper bound always, exact in the wide regime, merge-deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val data = (1 to 6).flatMap(i => Seq.fill(1 << i)(s"w$i")) ++
+      (1 to 30).map(i => s"noise$i")
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = Seq("w1", "w3", "w6", "absent")
+    def run(df: org.apache.spark.sql.DataFrame, width: Int) =
+      df.agg(graft.functions.CountMinFreq.freq($"w", probes, 5, width).as("f"))
+        .select(explode($"f").as("p")).select($"p.item", $"p.est")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // wide regime (width >> vocab): exact counts, absent item 0
+    val wide = run(data.map(Tuple1(_)).toDF("w").repartition(16), 16384)
+    assert(wide == Map("w1" -> 2L, "w3" -> 8L, "w6" -> 64L, "absent" -> 0L))
+    // merge order must not matter: single partition == 16 partitions
+    assert(run(data.map(Tuple1(_)).toDF("w").coalesce(1), 16384) == wide)
+
+    // narrow regime (width 4 << vocab): still an upper bound everywhere
+    val narrow = run(data.map(Tuple1(_)).toDF("w").repartition(16), 4)
+    probes.foreach { p =>
+      assert(narrow(p) >= truth.getOrElse(p, 0L),
+        s"$p: est ${narrow(p)} below true ${truth.getOrElse(p, 0L)}")
+    }
+  }
+
   test("bottom_k equals the window form across partial/merge boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -137,6 +137,43 @@ class PlanAuditSpec extends SparkSuite {
       s"st11 shuffled the stream side for the dim join:\n$p")
   }
 
+  test("ns22's repetition stats aggregate partially and never join or window") {
+    val p = executedPlan("ns22_repetition_stats")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("HashAggregate"),
+      s"ns22 lost hash aggregation:\n$p")
+    assert(!finalPlan.contains("Join") && !finalPlan.contains("Window"),
+      s"ns22 should be two keyed aggregations, nothing else:\n$p")
+  }
+
+  test("ns23's pseudonymization is scan-local — no shuffle before the sort") {
+    val p = executedPlan("ns23_pii_pseudonymize")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join") && !finalPlan.contains("HashAggregate"),
+      s"ns23 must not join or aggregate:\n$p")
+    // the only exchange is the presentation sort's range partitioning
+    assert(finalPlan.split("Exchange ").length - 1 <= 1,
+      s"ns23 grew a non-sort shuffle:\n$p")
+  }
+
+  test("ns24's document-frequency table joins by broadcast") {
+    val p = executedPlan("ns24_tfidf_top_token")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ns24's vocabulary-sized df table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"ns24 shuffled the corpus side for the df join:\n$p")
+  }
+
+  test("q51's array pipeline is one grouping shuffle, all scan-local after") {
+    val p = executedPlan("q51_higher_order")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join") && !finalPlan.contains("Window"),
+      s"q51 should be one grouped collect + array projections:\n$p")
+    // grouping exchange + presentation sort exchange, nothing else
+    assert(finalPlan.split("Exchange ").length - 1 <= 2,
+      s"q51 grew extra shuffles:\n$p")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
