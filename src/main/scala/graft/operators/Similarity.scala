@@ -309,6 +309,67 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein 1998) — the re-ranking staple of retrieval systems:
+    * greedily pick `k` results from each query's `poolSize`-candidate
+    * relevance pool, each step maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` (ties to the lower
+    * neighbor id), so near-duplicate results are pushed out in favor of
+    * coverage.
+    *
+    * Scale shape: the greedy selection is inherently sequential in k,
+    * so k is unrolled as fixed plan steps — each step joins the pool
+    * (poolSize rows per query) against the per-query single row chosen
+    * by each earlier step (broadcast-scale), takes the max pairwise
+    * similarity with `greatest`, and picks the argmax with one window
+    * over the pool. The corpus is touched only by the initial
+    * [[bruteForceTopK]] (or any ANN pool builder swapped in front);
+    * everything after is O(queries × poolSize × k). All arithmetic is
+    * correctly-rounded IEEE ops over in-order cosine folds, so scores
+    * are bit-identical cross-engine and the selection is oracle-exact.
+    *
+    * @return (query_id, step ∈ [1,k], neighbor_id, rel) — rel is the
+    *         query-cosine of the picked result
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              poolSize: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got $k/$poolSize")
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val pool = bruteForceTopK(queries, corpus, poolSize)
+      .join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"),
+        col("cv"), col("rank"))
+    val first = pool.filter(col("rank") === 1)
+      .select(col("query_id"), lit(1).as("step"), col("neighbor_id"),
+        col("rel"), col("cv"))
+    var selected = List(first)
+    for (t <- 2 to k) {
+      var cand = pool
+      var msim: org.apache.spark.sql.Column = lit(-2.0)
+      var excluded: org.apache.spark.sql.Column = lit(true)
+      selected.zipWithIndex.foreach { case (s, i) =>
+        val si = s.select(col("query_id"), col("neighbor_id").as(s"sid$i"),
+          col("cv").as(s"scv$i"))
+        cand = cand.join(si, Seq("query_id"))
+        msim = greatest(msim, cosine(col("cv"), col(s"scv$i")))
+        excluded = excluded && col("neighbor_id") =!= col(s"sid$i")
+      }
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      val next = cand.filter(excluded)
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * msim)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(t).as("step"), col("neighbor_id"),
+          col("rel"), col("cv"))
+      selected = selected :+ next
+    }
+    selected.map(_.select(col("query_id"), col("step"), col("neighbor_id"),
+        col("rel")))
+      .reduce(_.unionByName(_))
+  }
+
   /** All corpus pairs with cosine ≥ threshold, via the bucket equi-join
     * (embedding-cosine near-dup detection). */
   def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int): DataFrame = {

@@ -216,6 +216,24 @@ object ApiQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // SQL-standard FILTER clause on aggregates — per-aggregate
+    // predicates in one grouping pass (the idiomatic alternative to
+    // sum(CASE WHEN ...)): one scan, one partial+final hash agg, no
+    // self-joins. Money sums decimal-exact per Q.scala.
+    "q52_filtered_agg" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag,
+          COUNT(*) AS n,
+          COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_big,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_price,
+          MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_qty_f
+        FROM lineitem_v
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }),
+
     // Array higher-order functions as first-class surface — transform /
     // filter / aggregate / exists over a per-group array built in a
     // deterministic order (array_sort of collect_list, so the multiset
@@ -551,6 +569,16 @@ object ApiQueries {
         | percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_exact,
         | TRUE AS approx_rank_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q52_filtered_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_big,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_price,
+        |  MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_qty_f
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q51_higher_order" ->
       """WITH a AS (
         |  SELECT l_orderkey,

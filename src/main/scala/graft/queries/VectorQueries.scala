@@ -98,6 +98,20 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // MMR diversified retrieval (Carbonell & Goldstein 1998) — the
+    // re-ranking staple: greedily pick k=4 of each query's 12-candidate
+    // relevance pool maximizing λ·rel − (1−λ)·max-sim-to-selected, so
+    // near-duplicate hits give way to coverage. Greedy steps are
+    // unrolled as fixed plan stages (selection is sequential in k);
+    // after the pool builder the cost is O(queries × pool × k) and the
+    // corpus is never re-touched. All-IEEE scoring → oracle-exact.
+    "vs13_mmr_diversified" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrTopK(emb.filter(col("vec_id") < 5), emb,
+        k = 4, poolSize = 12, lambda = 0.5)
+        .orderBy(col("query_id"), col("step"))
+    }),
+
     // Norms + bucket assignment per vector (scan-local, no shuffle).
     "vs03_vector_stats" -> ((s, d) => {
       Tables.embeddings(s, d).select(
@@ -521,6 +535,59 @@ object VectorQueries {
          |FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    "vs13_mmr_diversified" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, e.embedding AS cv,
+         |    ${cosSql("qv", "e.embedding")} AS rel
+         |  FROM q JOIN embeddings e ON e.vec_id <> query_id),
+         |pool AS (
+         |  SELECT * FROM (
+         |    SELECT query_id, neighbor_id, cv, rel, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS rnk
+         |    FROM scored) t WHERE rnk <= 12),
+         |s1 AS (SELECT query_id, neighbor_id, rel, cv FROM pool WHERE rnk = 1),
+         |p2 AS (
+         |  SELECT c.query_id, c.neighbor_id, c.rel, c.cv,
+         |    0.5 * c.rel - 0.5 * (${cosSql("c.cv", "a.cv")}) AS score
+         |  FROM pool c JOIN s1 a ON c.query_id = a.query_id
+         |  WHERE c.neighbor_id <> a.neighbor_id),
+         |s2 AS (SELECT query_id, neighbor_id, rel, cv FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id ASC) AS rn FROM p2) t
+         |  WHERE rn = 1),
+         |p3 AS (
+         |  SELECT c.query_id, c.neighbor_id, c.rel, c.cv,
+         |    0.5 * c.rel - 0.5 * GREATEST(${cosSql("c.cv", "a.cv")},
+         |      ${cosSql("c.cv", "b.cv")}) AS score
+         |  FROM pool c JOIN s1 a ON c.query_id = a.query_id
+         |              JOIN s2 b ON c.query_id = b.query_id
+         |  WHERE c.neighbor_id <> a.neighbor_id
+         |    AND c.neighbor_id <> b.neighbor_id),
+         |s3 AS (SELECT query_id, neighbor_id, rel, cv FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id ASC) AS rn FROM p3) t
+         |  WHERE rn = 1),
+         |p4 AS (
+         |  SELECT c.query_id, c.neighbor_id, c.rel, c.cv,
+         |    0.5 * c.rel - 0.5 * GREATEST(${cosSql("c.cv", "a.cv")},
+         |      ${cosSql("c.cv", "b.cv")}, ${cosSql("c.cv", "d.cv")}) AS score
+         |  FROM pool c JOIN s1 a ON c.query_id = a.query_id
+         |              JOIN s2 b ON c.query_id = b.query_id
+         |              JOIN s3 d ON c.query_id = d.query_id
+         |  WHERE c.neighbor_id <> a.neighbor_id
+         |    AND c.neighbor_id <> b.neighbor_id
+         |    AND c.neighbor_id <> d.neighbor_id),
+         |s4 AS (SELECT query_id, neighbor_id, rel, cv FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id ASC) AS rn FROM p4) t
+         |  WHERE rn = 1)
+         |SELECT query_id, 1 AS step, neighbor_id, rel FROM s1
+         |UNION ALL SELECT query_id, 2, neighbor_id, rel FROM s2
+         |UNION ALL SELECT query_id, 3, neighbor_id, rel FROM s3
+         |UNION ALL SELECT query_id, 4, neighbor_id, rel FROM s4
+         |ORDER BY query_id, step""".stripMargin,
     "vs12_semantic_dedup" ->
       s"""WITH RECURSIVE c AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
