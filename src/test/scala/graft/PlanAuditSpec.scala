@@ -174,6 +174,32 @@ class PlanAuditSpec extends SparkSuite {
       s"q51 grew extra shuffles:\n$p")
   }
 
+  test("ns26's CountMin sketch aggregates partially — fixed-size grids, no token shuffle") {
+    val p = executedPlan("ns26_countmin_freq")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ObjectHashAggregate") &&
+      finalPlan.contains("partial_countmin_freq"),
+      s"ns26 lost its partial sketch aggregation:\n$p")
+    assert(!finalPlan.contains("Window") && !finalPlan.contains("Join"),
+      s"ns26 must not sort or join the token stream:\n$p")
+  }
+
+  test("ns25's chunking is scan-local — explode, no join, no aggregation") {
+    val p = executedPlan("ns25_chunking")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("Generate"), s"ns25 lost its explode:\n$p")
+    assert(!finalPlan.contains("Join") && !finalPlan.contains("HashAggregate"),
+      s"ns25 must not join or aggregate:\n$p")
+    assert(finalPlan.split("Exchange ").length - 1 <= 1,
+      s"ns25 grew a non-sort shuffle:\n$p")
+  }
+
+  test("vs13's MMR steps join the per-step picks by broadcast") {
+    val p = executedPlan("vs13_mmr_diversified")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vs13's single-row-per-query step joins must broadcast:\n$p")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
