@@ -266,6 +266,34 @@ object Similarity {
     * query. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, numSub: Int, kCodes: Int,
              k: Int, overfetch: Int = 4): DataFrame = {
+    val recon = pqReconstructions(corpus, numSub, kCodes)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val approx = recon.select(col("vec_id").as("neighbor_id"), col("rv"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ascore", dotProductHof(col("qv"), col("rv")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("neighbor_id").asc)
+    val cand = approx.withColumn("arnk", row_number().over(w1))
+      .filter(col("arnk") <= k * overfetch)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val rescored = cand.join(c, Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** PQ-encode the corpus and return codebook reconstructions
+    * `(vec_id, rv)`: sub-vectors of the `kCodes` lowest-id rows form
+    * the per-subspace codebook, each corpus sub-vector maps to its
+    * argmin-L2 codeword (index-ordered exact double folds, ties to the
+    * lower code id), and `rv` is the concatenated codeword vector — the
+    * deterministic encode shared by [[pqTopK]] and [[ivfPqTopK]]. */
+  private def pqReconstructions(corpus: DataFrame, numSub: Int,
+                                kCodes: Int): DataFrame = {
     val subDim = (size(col("embedding")) / numSub).cast("int")
     def subVectors(df: DataFrame) = df
       .select(col("vec_id"), col("embedding"))
@@ -285,14 +313,46 @@ object Similarity {
     val codes = enc.withColumn("crnk", row_number().over(wEnc))
       .filter(col("crnk") === 1)
       .select(col("vec_id"), col("m"), col("code"))
-    val recon = codes.join(broadcast(cb), Seq("m", "code"))
+    codes.join(broadcast(cb), Seq("m", "code"))
       .groupBy(col("vec_id"))
       .agg(flatten(transform(
         sort_array(collect_list(struct(col("m"), col("cb")))),
         x => x.getField("cb"))).as("rv"))
+  }
+
+  /** IVF-PQ — the canonical large-index composition (the FAISS
+    * `IVFx,PQy` shape): a TRAINED coarse quantizer partitions the
+    * corpus ([[ivfTrain]]), queries probe their `nprobe` nearest
+    * partitions, pass 1 scores only the probed partitions' PQ
+    * reconstructions ([[pqReconstructions]]) and keeps `k·overfetch`
+    * candidates, pass 2 rescores the shortlist exact — so the scan cost
+    * is (nprobe/kCentroids) of the CODES table, and full-precision
+    * vectors are touched for `k·overfetch` rows per query only.
+    *
+    * Deterministic end-to-end (quantized-exact Lloyd means, exact
+    * double folds, id tie-breaks), so the whole composed index is
+    * oracle-verifiable. Each corpus vector lives in exactly one
+    * partition, so multi-probe candidates never duplicate.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, kCentroids: Int,
+                iters: Int, nprobe: Int, numSub: Int, kCodes: Int,
+                k: Int, overfetch: Int = 4): DataFrame = {
+    val cent = ivfTrain(corpus, kCentroids, iters)
+    val indexed = assignToCentroid(corpus, cent)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("probe_label"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val approx = recon.select(col("vec_id").as("neighbor_id"), col("rv"))
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val wAssign = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("label").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("score", cosineHof(col("qv"), col("cvec")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("label").as("probe_label"))
+    val recon = pqReconstructions(corpus, numSub, kCodes)
+      .select(col("vec_id").as("neighbor_id"), col("rv"))
+    val approx = indexed.join(recon, Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("ascore", dotProductHof(col("qv"), col("rv")))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("ascore").desc, col("neighbor_id").asc)

@@ -98,6 +98,22 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ composed — the canonical large-index shape (FAISS
+    // IVFx,PQy): trained coarse quantizer partitions the corpus,
+    // queries probe their 2 nearest partitions, pass 1 scores only the
+    // probed partitions' PQ reconstructions, pass 2 rescores the
+    // shortlist exact. Scan cost is (nprobe/kCentroids) of the CODES
+    // table; full-precision rows are touched k·overfetch per query.
+    // Every stage is deterministic, so the composed index sits under
+    // the oracle exactly.
+    "vs14_ivfpq_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+        kCentroids = 8, iters = 2, nprobe = 2, numSub = 8, kCodes = 16,
+        k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // MMR diversified retrieval (Carbonell & Goldstein 1998) — the
     // re-ranking staple: greedily pick k=4 of each query's 12-candidate
     // relevance pool maximizing λ·rel − (1−λ)·max-sim-to-selected, so
@@ -535,6 +551,68 @@ object VectorQueries {
          |FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    "vs14_ivfpq_search" ->
+      s"""WITH ${ivfTrainCtes(k = 8, iters = 2)},
+         |indexed AS (
+         |  SELECT vec_id AS neighbor_id, label AS probe_label
+         |  FROM (
+         |    SELECT e.vec_id, c.label, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.label ASC
+         |    ) AS arnk
+         |    FROM embeddings e CROSS JOIN cvec2 c) s
+         |  WHERE arnk = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT query_id, qv, label AS probe_label FROM (
+         |    SELECT query_id, qv, label, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${cosSql("qv", "c.cv")} DESC, label ASC) AS arnk
+         |    FROM q CROSS JOIN cvec2 c) t WHERE arnk <= 2),
+         |sub AS (
+         |  SELECT vec_id, r.m AS m,
+         |    list_transform(list_slice(embedding, r.m * 8 + 1, r.m * 8 + 8),
+         |      x -> CAST(x AS DOUBLE)) AS sv
+         |  FROM embeddings, range(0, 8) r(m)),
+         |cb AS (SELECT CAST(vec_id AS INT) AS code, m, sv AS cb
+         |       FROM sub WHERE vec_id < 16),
+         |enc AS (
+         |  SELECT s.vec_id, s.m, cb.code,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |      j -> (s.sv[j] - cb.cb[j]) * (s.sv[j] - cb.cb[j]))),
+         |      (acc, x) -> acc + x) AS l2
+         |  FROM sub s JOIN cb ON s.m = cb.m),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id, m ORDER BY l2 ASC, code ASC) AS crnk
+         |    FROM enc) t WHERE crnk = 1),
+         |recon AS (
+         |  SELECT codes.vec_id, flatten(list(cb.cb ORDER BY codes.m)) AS rv
+         |  FROM codes JOIN cb ON codes.m = cb.m AND codes.code = cb.code
+         |  GROUP BY codes.vec_id),
+         |approx AS (
+         |  SELECT p.query_id, p.qv, i.neighbor_id,
+         |    ${dotSql("p.qv", "r.rv")} AS ascore
+         |  FROM probes p
+         |  JOIN indexed i ON i.probe_label = p.probe_label
+         |  JOIN recon r ON r.vec_id = i.neighbor_id
+         |  WHERE i.neighbor_id <> p.query_id),
+         |cand AS (
+         |  SELECT query_id, qv, neighbor_id FROM (
+         |    SELECT query_id, qv, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ascore DESC, neighbor_id ASC) AS arnk
+         |    FROM approx) t WHERE arnk <= 12),
+         |rescored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qv", "c.embedding")} AS cos
+         |  FROM cand JOIN embeddings c ON c.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM rescored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "vs13_mmr_diversified" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 5),
