@@ -194,6 +194,12 @@ class PlanAuditSpec extends SparkSuite {
       s"ns25 grew a non-sort shuffle:\n$p")
   }
 
+  test("vs14's IVF-PQ candidate and codebook joins broadcast the small sides") {
+    val p = executedPlan("vs14_ivfpq_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vs14's probe/codebook equi-joins must broadcast:\n$p")
+  }
+
   test("vs13's MMR steps join the per-step picks by broadcast") {
     val p = executedPlan("vs13_mmr_diversified")
     assert(p.contains("BroadcastHashJoin"),
