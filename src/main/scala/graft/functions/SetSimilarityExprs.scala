@@ -30,6 +30,28 @@ case class SetJaccardExpr(left: Expression, right: Expression)
   override def prettyName: String = "set_jaccard"
 }
 
+/** [[SetJaccardExpr]] for inputs ALREADY sorted ascending (and
+  * distinct): merge-only, no per-pair sort. The candidate-verification
+  * joins evaluate jaccard once per candidate PAIR but each document's
+  * hash set can be sorted once at hashing time — on a quadratic-
+  * in-bucket baseline that moves the O(n log n) sort out of the O(n²)
+  * pair loop. Callers must guarantee the ordering (sort_array at the
+  * materialization barrier); unsorted input silently undercounts the
+  * intersection, so this is deliberately NOT the default expression. */
+case class SortedSetJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SetSimilarityExprs.jaccardSorted(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SetSimilarityExprs.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_set_jaccard"
+}
+
 /** MinHash signature: sig[j] = min over the hash set of
   * ((2j+1)*h + 7j+3) mod 2^31-1, j = 0..k-1.
   *
@@ -60,6 +82,14 @@ object SetSimilarityExprs {
     val a = l.toLongArray()
     val b = r.toLongArray()
     java.util.Arrays.sort(a); java.util.Arrays.sort(b)
+    merged(a, b)
+  }
+
+  /** [[jaccard]] when both inputs are already sorted ascending. */
+  def jaccardSorted(l: ArrayData, r: ArrayData): Double =
+    merged(l.toLongArray(), r.toLongArray())
+
+  private def merged(a: Array[Long], b: Array[Long]): Double = {
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
       if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }

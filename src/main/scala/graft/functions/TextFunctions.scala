@@ -96,6 +96,15 @@ object TextFunctions {
     column(SetJaccardExpr(expression(a), expression(b)))
   }
 
+  /** [[jaccard]] for hash sets ALREADY sorted ascending (e.g.
+    * `sort_array(shingleHashes(...))` materialized once per document):
+    * merge-only, no per-pair sort — the right form inside candidate
+    * joins that evaluate millions of pairs. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(SortedSetJaccardExpr(expression(a), expression(b)))
+  }
+
   /** Builtins formulation of [[jaccard]] (any element type). */
   def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))

@@ -50,8 +50,12 @@ object Dedup {
     // of O(k × |shingles| + |shingles| × |shingle|). Two narrow shuffles
     // of (id, hashes[, sig]) are far cheaper at any scale (and at 100 TB
     // the first doubles as the candidate-join pre-partitioning).
+    // Hash sets are sorted ONCE here (behind the barrier): the
+    // verification join below evaluates jaccard per candidate pair, and
+    // the sorted form makes that a merge with no per-pair sort. The
+    // signature is order-independent (min over elements).
     val hashed = df.select(col(idCol).as("id"),
-        shingleHashes(col(textCol), shingleN).as("hashes"))
+        sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
       .repartition(col("id"))
     val sh = hashed
       .withColumn("sig", minhashSignature(col("hashes"), k))
@@ -75,7 +79,7 @@ object Dedup {
     cand
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("hashes", "h_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("hashes", "h_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("h_a"), col("h_b")))
+      .withColumn("jaccard", jaccardSorted(col("h_a"), col("h_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -86,9 +90,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleN).as("hashes"))
+      sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
     sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
-      .withColumn("jaccard", jaccard(col("a.hashes"), col("b.hashes")))
+      .withColumn("jaccard", jaccardSorted(col("a.hashes"), col("b.hashes")))
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
@@ -109,7 +113,7 @@ object Dedup {
     // minhashNearDups).
     val sh = df.select(col(idCol).as("id"),
       (col(lenCol) / bucketWidth).cast("long").as("bucket"),
-      shingleHashes(col(textCol), shingleN).as("hashes"))
+      sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
       .repartition(col("id"))
     val left = sh.select(col("id").as("id_a"), col("hashes").as("h_a"),
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("jb"))
@@ -117,7 +121,7 @@ object Dedup {
       col("bucket").as("jb"))
     left.join(right, Seq("jb"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("h_a"), col("h_b")))
+      .withColumn("jaccard", jaccardSorted(col("h_a"), col("h_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -65,4 +65,19 @@ class TextFunctionsSpec extends SparkSuite {
       .filter($"native" =!= $"hof").count()
     assert(diff == 0)
   }
+
+  test("merge-only jaccard on pre-sorted sets == sorting jaccard") {
+    import org.apache.spark.sql.functions.sort_array
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"doc_id" < 40)
+    val hs = docs.select($"doc_id".as("id"),
+      sort_array(TextFunctions.shingleHashes($"text", 3)).as("h"))
+      .repartition($"id")
+    val pairs = hs.as("a").join(hs.as("b"), $"a.id" < $"b.id")
+    val diff = pairs.select(
+      TextFunctions.jaccardSorted($"a.h", $"b.h").as("sorted"),
+      TextFunctions.jaccard($"a.h", $"b.h").as("general"))
+      .filter($"sorted" =!= $"general").count()
+    assert(diff == 0)
+  }
 }
