@@ -137,6 +137,36 @@ class StreamingWindowSpec extends SparkSuite {
       s"bottom_k state did not merge across micro-batches: $rows")
   }
 
+  test("the CountMin sketch aggregate runs inside a watermarked streaming window") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Keyed]
+    // per-window token frequencies via the fixed-memory sketch — the
+    // sketch buffer must survive the streaming partial/merge/state
+    // round-trip with cell-wise merges staying exact
+    val agg = in.toDS()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(graft.functions.CountMinFreq
+        .freq($"v", Seq("x", "y"), depth = 5, width = 1024).as("f"))
+      .select($"w.start".as("start"), transform($"f", p => p("est")).as("ests"))
+    val q = agg.writeStream.format("memory").queryName("cms_out")
+      .option("checkpointLocation", checkpointDir("cms-stream"))
+      .outputMode("append").start()
+
+    def k(minute: Int, v: String) =
+      Keyed(minute.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), v)
+    in.addData(k(1, "x"), k(2, "x"), k(3, "y"))
+    in.addData(k(4, "x")) // same window, later batch: sketches must merge
+    in.addData(k(21, "x")) // watermark past 10:10 → first window closes
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("cms_out").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getSeq[Long](1).toSeq).toMap
+    assert(rows("2024-01-01 10:00:00.0") == Seq(3L, 1L),
+      s"CountMin state did not merge across micro-batches: $rows")
+  }
+
   test("streaming exact dedup drops at-least-once replays within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Keyed]
