@@ -416,6 +416,26 @@ object TextQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Deterministic train/val/test split — the final assignment step of
+    // a data-mixing pipeline: each document lands in exactly one split
+    // by salted portable hash (98/1/1 per mille), so the partition is
+    // reproducible across engines and cluster sizes, disjoint and
+    // exhaustive by construction (one hash, three disjoint ranges — no
+    // RNG, no sort, no leakage between splits). One scan + one agg
+    // shuffle; the oracle replays the assignment exactly.
+    "ns27_train_val_test" -> ((s, d) => {
+      val h = pmod(portableHash(
+        concat(lit("split:"), col("doc_id").cast("string"))), lit(1000))
+      val split = when(h < 980, "train").when(h < 990, "val").otherwise("test")
+      Tables.documents(s, d)
+        .select(col("source"), split.as("split"),
+          size(tokens(col("text"))).as("n_tokens"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens_total"))
+        .orderBy(col("source"), col("split"))
+    }),
+
     // Count-Min frequency sketch — the fixed-memory "how frequent is
     // THIS token" twin of ns19's "which tokens are frequent": a
     // depth×width counter grid per partial buffer, merged cell-wise, so
@@ -747,6 +767,16 @@ object TextQueries {
          |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
          |  event_type
          |FROM events ORDER BY event_id""".stripMargin
+    },
+    "ns27_train_val_test" -> {
+      val h = s"(${hashSql("'split:' || CAST(doc_id AS VARCHAR)")}) % 1000"
+      s"""SELECT source,
+         |  CASE WHEN $h < 980 THEN 'train'
+         |       WHEN $h < 990 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_total
+         |FROM documents
+         |GROUP BY source, split ORDER BY source, split""".stripMargin
     },
     "ns26_countmin_freq" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
