@@ -416,6 +416,36 @@ object TextQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Inter-document chunk-level dedup — the sub-document boilerplate
+    // detector (the line-dedup of CCNet/RefinedWeb, stated over token
+    // chunks since the corpus has no newlines): non-overlapping
+    // 10-token chunks are hashed, chunks appearing in more than one
+    // document are flagged, and each document reports its shared-chunk
+    // fraction. Scale shape: one shuffle keyed by chunk hash for the
+    // frequency table, the join back is on the SAME key (the exchange
+    // is reused, no second shuffle of the chunk stream), then one
+    // per-doc agg.
+    "ns28_chunk_dedup" -> ((s, d) => {
+      val t = tokens(col("text"))
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), t.as("t"),
+          explode(sequence(lit(0), size(t) - 1, lit(10))).as("start"))
+        .select(col("doc_id"), portableHash(
+          array_join(slice(col("t"), col("start") + 1, lit(10)), " "))
+          .as("chunk_hash"))
+      val freq = chunks.groupBy(col("chunk_hash"))
+        .agg(count_distinct(col("doc_id")).as("n_docs_with"))
+      chunks.join(freq, Seq("chunk_hash"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs_with") > 1, 1L).otherwise(0L))
+            .as("n_shared_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+          (col("n_shared_chunks").cast("double") /
+            col("n_chunks").cast("double")).as("shared_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic train/val/test split — the final assignment step of
     // a data-mixing pipeline: each document lands in exactly one split
     // by salted portable hash (98/1/1 per mille), so the partition is
@@ -767,6 +797,24 @@ object TextQueries {
          |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
          |  event_type
          |FROM events ORDER BY event_id""".stripMargin
+    },
+    "ns28_chunk_dedup" -> {
+      val h = hashSql("array_to_string(list_slice(tk, start + 1, start + 10), ' ')")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |ch AS (
+         |  SELECT doc_id, $h AS chunk_hash
+         |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 10)) AS start
+         |        FROM t) s),
+         |fr AS (
+         |  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs_with
+         |  FROM ch GROUP BY chunk_hash)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared_chunks,
+         |  CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+         |FROM ch JOIN fr USING (chunk_hash)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "ns27_train_val_test" -> {
       val h = s"(${hashSql("'split:' || CAST(doc_id AS VARCHAR)")}) % 1000"
