@@ -421,10 +421,11 @@ object TextQueries {
     // chunks since the corpus has no newlines): non-overlapping
     // 10-token chunks are hashed, chunks appearing in more than one
     // document are flagged, and each document reports its shared-chunk
-    // fraction. Scale shape: one shuffle keyed by chunk hash for the
-    // frequency table, the join back is on the SAME key (the exchange
-    // is reused, no second shuffle of the chunk stream), then one
-    // per-doc agg.
+    // fraction. Scale shape: the chunk stream shuffles on chunk_hash
+    // twice (frequency agg + join probe side — both partial-agg
+    // compacted map-side); the frequency table arrives at the join
+    // already hash-partitioned by its own agg, so the join adds no
+    // third exchange; then one per-doc agg.
     "ns28_chunk_dedup" -> ((s, d) => {
       val t = tokens(col("text"))
       val chunks = Tables.documents(s, d)
