@@ -44,6 +44,15 @@ case class CountMinFreq(
   require(depth > 0 && width > 0, s"need depth/width > 0, got $depth/$width")
   require(probes.nonEmpty, "need at least one probe item")
 
+  // Reject non-string input at ANALYSIS time: update() casts to
+  // UTF8String, and without this guard a LongType child would pass
+  // analysis and then throw ClassCastException executor-side.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"countmin_freq requires STRING input, got ${child.dataType.sql}")
+
   private val Seed = 0x5eed
 
   override def createAggregationBuffer(): CountMinSketch =

@@ -186,6 +186,11 @@ object Dedup {
       sc.getCheckpointDir.get
     }
     val iterDirs = scala.collection.mutable.ListBuffer.empty[String]
+    def deleteDir(d: String): Unit = {
+      val p0 = new org.apache.hadoop.fs.Path(d)
+      p0.getFileSystem(sc.hadoopConfiguration).delete(p0, true)
+    }
+    try {
     var round = 0
     var converged = false
     while (!converged) {
@@ -249,20 +254,28 @@ object Dedup {
     val dir = s"$ckptRoot/graft-cc-labels-${labelsSeq.incrementAndGet()}"
     labels.select(col("id"), col("component")).write.parquet(dir)
     val out = spark.read.parquet(dir)
-    labels.unpersist(blocking = true)
-    edges.unpersist(blocking = true)
-    p.unpersist(blocking = true)
     val evicted = labelsHistory.synchronized {
       val hist = dir :: labelsHistory.getOrElse(ckptRoot, Nil).filterNot(_ == dir)
       val (keep, drop) = hist.splitAt(2)
       labelsHistory(ckptRoot) = keep
       drop
     }
-    (evicted ++ iterDirs).foreach { d =>
-      val p0 = new org.apache.hadoop.fs.Path(d)
-      p0.getFileSystem(sc.hadoopConfiguration).delete(p0, true)
-    }
+    evicted.foreach(deleteDir)
     out
+    } finally {
+      // Runs on BOTH paths: a mid-loop failure (executor OOM, disk
+      // full) must not strand persisted round state or iteration
+      // checkpoints — on a cluster the checkpoint root is shared
+      // storage, where a retry loop would otherwise accumulate orphan
+      // label tables. On success the final labels live in their own
+      // graft-cc-labels dir, so the iter dirs are always disposable;
+      // unpersist on an already-unpersisted handle is a no-op.
+      labels.unpersist(blocking = true)
+      edges.unpersist(blocking = true)
+      p.unpersist(blocking = true)
+      iterDirs.foreach(d =>
+        try deleteDir(d) catch { case _: java.io.IOException => () })
+    }
   }
 
   private val labelsSeq = new java.util.concurrent.atomic.AtomicLong(0)

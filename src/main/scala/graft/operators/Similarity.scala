@@ -158,19 +158,42 @@ object Similarity {
     * `nprobe` nearest centroids, candidates meet in an equi-join on the
     * label — same scale shape as [[ivfTopK]], but with recall that holds
     * on data whose label column carries no geometry. */
+  /** Top-`nprobe` centroid labels per query by cosine (ties to the
+    * lower label): `(query_id, qv, probe_label)` — the probe-assignment
+    * step shared by [[ivfSearch]] and [[ivfPqTopK]]. */
+  private def probeAssignments(queries: DataFrame, cent: DataFrame,
+                               nprobe: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wAssign = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("label").asc)
+    q.crossJoin(broadcast(cent))
+      .withColumn("score", cosineHof(col("qv"), col("cvec")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("label").as("probe_label"))
+  }
+
+  /** Exact-cosine rescore of a pass-1 shortlist `(query_id, qv,
+    * neighbor_id)` against the full-precision corpus, final top-k —
+    * the pass-2 tail shared by [[sq8TopK]], [[pqTopK]] and
+    * [[ivfPqTopK]]. */
+  private def rescoreTopK(cand: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val rescored = cand.join(c, Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   def ivfSearch(queries: DataFrame, corpus: DataFrame, cent: DataFrame,
                 k: Int, nprobe: Int = 1): DataFrame = {
     val indexed = assignToCentroid(corpus, cent)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         col("label").as("probe_label"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val wAssign = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("label").asc)
-    val assigned = q.crossJoin(broadcast(cent))
-      .withColumn("score", cosineHof(col("qv"), col("cvec")))
-      .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("label").as("probe_label"))
+    val assigned = probeAssignments(queries, cent, nprobe)
     val cand = indexed.join(broadcast(assigned), Seq("probe_label"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
@@ -232,14 +255,7 @@ object Similarity {
     val cand = approx.withColumn("arnk", row_number().over(w1))
       .filter(col("arnk") <= k * overfetch)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val rescored = cand.join(c, Seq("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    rescoreTopK(cand, corpus, k)
   }
 
   /** Product-quantized (PQ) ANN — the compression tier below SQ8: the
@@ -276,14 +292,7 @@ object Similarity {
     val cand = approx.withColumn("arnk", row_number().over(w1))
       .filter(col("arnk") <= k * overfetch)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val rescored = cand.join(c, Seq("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    rescoreTopK(cand, corpus, k)
   }
 
   /** PQ-encode the corpus and return codebook reconstructions
@@ -340,14 +349,7 @@ object Similarity {
     val cent = ivfTrain(corpus, kCentroids, iters)
     val indexed = assignToCentroid(corpus, cent)
       .select(col("vec_id").as("neighbor_id"), col("label").as("probe_label"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val wAssign = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("label").asc)
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("score", cosineHof(col("qv"), col("cvec")))
-      .withColumn("arnk", row_number().over(wAssign))
-      .filter(col("arnk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("label").as("probe_label"))
+    val probes = probeAssignments(queries, cent, nprobe)
     val recon = pqReconstructions(corpus, numSub, kCodes)
       .select(col("vec_id").as("neighbor_id"), col("rv"))
     val approx = indexed.join(recon, Seq("neighbor_id"))
@@ -359,14 +361,7 @@ object Similarity {
     val cand = approx.withColumn("arnk", row_number().over(w1))
       .filter(col("arnk") <= k * overfetch)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val rescored = cand.join(c, Seq("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+    rescoreTopK(cand, corpus, k)
   }
 
   /** Maximal-marginal-relevance diversified top-k (Carbonell &
@@ -394,14 +389,24 @@ object Similarity {
   def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               poolSize: Int, lambda: Double): DataFrame = {
     require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got $k/$poolSize")
+    // Each step references the pool AND every earlier step, so lazy
+    // plans here would repeat the componentLabels failure mode: the
+    // analyzed tree doubles per step and a normal retrieval k (20+)
+    // OOMs the driver on analysis alone. The pool and each step are
+    // therefore eagerly local-checkpointed — both are tiny (poolSize,
+    // then ONE row per query), so the blocks are query-set-scale
+    // metadata; an executor loss costs a job retry, which is the right
+    // trade for an interactive re-rank step.
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val pool = bruteForceTopK(queries, corpus, poolSize)
       .join(c, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"),
         col("cv"), col("rank"))
+      .localCheckpoint(true)
     val first = pool.filter(col("rank") === 1)
       .select(col("query_id"), lit(1).as("step"), col("neighbor_id"),
         col("rel"), col("cv"))
+      .localCheckpoint(true)
     var selected = List(first)
     for (t <- 2 to k) {
       var cand = pool
@@ -423,6 +428,7 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), lit(t).as("step"), col("neighbor_id"),
           col("rel"), col("cv"))
+        .localCheckpoint(true)
       selected = selected :+ next
     }
     selected.map(_.select(col("query_id"), col("step"), col("neighbor_id"),

@@ -200,10 +200,16 @@ class PlanAuditSpec extends SparkSuite {
       s"vs14's probe/codebook equi-joins must broadcast:\n$p")
   }
 
-  test("vs13's MMR steps join the per-step picks by broadcast") {
+  test("vs13's MMR result unions the checkpointed greedy steps, no live joins") {
+    // The greedy steps are eagerly local-checkpointed at construction
+    // (each references the pool and every earlier step — lazy plans
+    // would double per step), so the RETURNED plan must be a union of
+    // checkpoint scans with no join left to re-execute.
     val p = executedPlan("vs13_mmr_diversified")
-    assert(p.contains("BroadcastHashJoin"),
-      s"vs13's single-row-per-query step joins must broadcast:\n$p")
+    assert(p.contains("Union") && p.contains("ExistingRDD"),
+      s"vs13 should union the checkpointed steps:\n$p")
+    assert(!p.contains("Join"),
+      s"vs13's joins must run at construction, not in the returned plan:\n$p")
   }
 
   test("scan-aggregation stays inside whole-stage codegen") {
