@@ -19,10 +19,16 @@ object Similarity {
     * no shuffle of the corpus (the per-query top-k heap is the window's
     * rank pushdown). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    // Norms are computed ONCE per vector at the scan (at 100 TB: a
+    // stored column), not twice per scored pair — cosine per pair is
+    // one dot product, a multiply and a divide. Same IEEE ops in the
+    // same order as the inline form, so scores stay oracle-exact.
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -35,12 +41,14 @@ object Similarity {
     * trades off with `bits`). The join is a plain equi-join on bucket. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"),
       signBucket(col("embedding"), bits).as("bucket"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"),
       signBucket(col("embedding"), bits).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -80,13 +88,15 @@ object Similarity {
       .orderBy(col("score").desc, col("label").asc)
     val assigned = scored.withColumn("arnk", row_number().over(wAssign))
       .filter(col("arnk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("label").as("probe_label"))
+      .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"),
+        col("label").as("probe_label"))
     // search within the probed partition only
     val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"), col(labelCol).as("probe_label"))
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"),
+      col(labelCol).as("probe_label"))
     val cand = c.join(broadcast(assigned), Seq("probe_label"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w))
@@ -170,7 +180,8 @@ object Similarity {
       .withColumn("score", cosineHof(col("qv"), col("cvec")))
       .withColumn("arnk", row_number().over(wAssign))
       .filter(col("arnk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("label").as("probe_label"))
+      .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"),
+        col("label").as("probe_label"))
   }
 
   /** Exact-cosine rescore of a pass-1 shortlist `(query_id, qv,
@@ -178,9 +189,10 @@ object Similarity {
     * the pass-2 tail shared by [[sq8TopK]], [[pqTopK]] and
     * [[ivfPqTopK]]. */
   private def rescoreTopK(cand: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
     val rescored = cand.join(c, Seq("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dotProduct(col("qv"), col("cv")) / (norm(col("qv")) * col("cn")))
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     rescored.withColumn("rank", row_number().over(w2))
@@ -192,11 +204,11 @@ object Similarity {
                 k: Int, nprobe: Int = 1): DataFrame = {
     val indexed = assignToCentroid(corpus, cent)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-        col("label").as("probe_label"))
+        norm(col("embedding")).as("cn"), col("label").as("probe_label"))
     val assigned = probeAssignments(queries, cent, nprobe)
     val cand = indexed.join(broadcast(assigned), Seq("probe_label"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w))
@@ -397,15 +409,16 @@ object Similarity {
     // then ONE row per query), so the blocks are query-set-scale
     // metadata; an executor loss costs a job retry, which is the right
     // trade for an interactive re-rank step.
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
     val pool = bruteForceTopK(queries, corpus, poolSize)
       .join(c, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"),
-        col("cv"), col("rank"))
+        col("cv"), col("cn"), col("rank"))
       .localCheckpoint(true)
     val first = pool.filter(col("rank") === 1)
       .select(col("query_id"), lit(1).as("step"), col("neighbor_id"),
-        col("rel"), col("cv"))
+        col("rel"), col("cv"), col("cn"))
       .localCheckpoint(true)
     var selected = List(first)
     for (t <- 2 to k) {
@@ -414,9 +427,10 @@ object Similarity {
       var excluded: org.apache.spark.sql.Column = lit(true)
       selected.zipWithIndex.foreach { case (s, i) =>
         val si = s.select(col("query_id"), col("neighbor_id").as(s"sid$i"),
-          col("cv").as(s"scv$i"))
+          col("cv").as(s"scv$i"), col("cn").as(s"svn$i"))
         cand = cand.join(si, Seq("query_id"))
-        msim = greatest(msim, cosine(col("cv"), col(s"scv$i")))
+        msim = greatest(msim, dotProduct(col("cv"), col(s"scv$i"))
+          / (col("cn") * col(s"svn$i")))
         excluded = excluded && col("neighbor_id") =!= col(s"sid$i")
       }
       val w = Window.partitionBy(col("query_id"))
@@ -427,7 +441,7 @@ object Similarity {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("query_id"), lit(t).as("step"), col("neighbor_id"),
-          col("rel"), col("cv"))
+          col("rel"), col("cv"), col("cn"))
         .localCheckpoint(true)
       selected = selected :+ next
     }
@@ -440,10 +454,12 @@ object Similarity {
     * (embedding-cosine near-dup detection). */
   def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int): DataFrame = {
     val c = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("n"),
       signBucket(col("embedding"), bits).as("bucket"))
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("cos", dotProduct(col("a.embedding"), col("b.embedding"))
+        / (col("a.n") * col("b.n")))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
   }
