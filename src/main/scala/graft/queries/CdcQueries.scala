@@ -663,6 +663,92 @@ object CdcQueries {
         .orderBy(col("source"))
     }),
 
+    // Incremental maintenance of a JOIN view from TWO CDC feeds — the
+    // delta-join identity A1⋈B1 − A0⋈B0 = ΔA⋈B0 + A1⋈ΔB evaluated
+    // over the store's manifest-pruned diffs: the per-nation aggregate
+    // of (latest events ⋈ customers) advances from its batch-0 value
+    // using only the two change feeds (additions + before-image
+    // retractions), never rescanning either table. Both delta joins
+    // have a diff-sized side; UPDATE rows contribute +new and −old
+    // arms exactly once each. The oracle recomputes the view from
+    // scratch — incremental must equal full recompute.
+    "cdc27_incremental_join" -> ((s, d) => {
+      import graft.sinks.ParquetUpsertStore
+      val ev = Tables.events(s, d)
+      val cu = Tables.customer(s, d)
+      val envA = ChangeFeed.wrapDml(ev, "public.events", Seq("user_id"),
+        opFromEvent, col("event_id"), lit(0L))
+      val opB = when(pmod(col("c_custkey"), lit(10)) === 7, "DELETE")
+        .when(pmod(col("c_custkey"), lit(10)) < 5, "INSERT")
+        .otherwise("UPDATE")
+      val envB = ChangeFeed.wrapDml(cu, "public.customer", Seq("c_custkey"),
+        opB, col("c_custkey"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val store = new ParquetUpsertStore(freshDir("cdc27"), numBuckets = 8)
+      store.applyBatch(
+        ChangeFeed.wrapDdl(s, "public.events", ev.schema)
+          .unionByName(ChangeFeed.wrapDdl(s, "public.customer", cu.schema))
+          .unionByName(envA.filter(ver % 2 === 0))
+          .unionByName(envB.filter(ver % 2 === 0)), 0L)
+      store.applyBatch(
+        envA.filter(ver % 2 === 1).unionByName(envB.filter(ver % 2 === 1)), 1L)
+
+      def user(values: org.apache.spark.sql.Column) =
+        element_at(values, "user_id").cast("long").as("user_id")
+      def money(values: org.apache.spark.sql.Column) =
+        element_at(values, "value").cast("decimal(18,2)")
+      def custkey(values: org.apache.spark.sql.Column) =
+        element_at(values, "c_custkey").cast("long").as("c_custkey")
+      def nation(values: org.apache.spark.sql.Column) =
+        element_at(values, "c_nationkey").cast("int").as("c_nationkey")
+
+      // the view at batch 0, from the batch-0 snapshots
+      val a0 = store.snapshotAt(s, "public.events", 0L)
+        .select(user(col("values")), money(col("values")).as("v"))
+      val b0 = store.snapshotAt(s, "public.customer", 0L)
+        .select(custkey(col("values")), nation(col("values")))
+      val agg0 = a0.join(b0, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n0"), sum(col("v")).as("s0"))
+
+      // ΔA ⋈ B0: signed event changes against the OLD customer state
+      val dA = store.diff(s, "public.events", 0L, 1L)
+      val dASigned = dA.filter(col("diff_op") =!= "DELETE")
+        .select(user(col("values")), lit(1L).as("dn"),
+          money(col("values")).as("dv"))
+        .unionByName(dA.filter(col("diff_op") =!= "INSERT")
+          .select(user(col("values_prev")), lit(-1L).as("dn"),
+            (-money(col("values_prev"))).as("dv")))
+      val t1 = dASigned.join(b0, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("dn")).as("dn1"), sum(col("dv")).as("dv1"))
+
+      // A1 ⋈ ΔB: the NEW event state against signed customer changes
+      val a1 = store.snapshot(s, "public.events")
+        .select(user(col("values")), money(col("values")).as("v"))
+      val dB = store.diff(s, "public.customer", 0L, 1L)
+      val dBSigned = dB.filter(col("diff_op") =!= "DELETE")
+        .select(custkey(col("values")), nation(col("values")), lit(1L).as("sign"))
+        .unionByName(dB.filter(col("diff_op") =!= "INSERT")
+          .select(custkey(col("values_prev")), nation(col("values_prev")),
+            lit(-1L).as("sign")))
+      val t2 = a1.join(dBSigned, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("sign")).as("dn2"),
+          sum((col("v") * col("sign")).cast("decimal(18,2)")).as("dv2"))
+
+      val zero = lit(0).cast("decimal(18,2)")
+      agg0.join(t1, Seq("c_nationkey"), "full_outer")
+        .join(t2, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey").as("nationkey"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn1"), lit(0L)) +
+            coalesce(col("dn2"), lit(0L))).as("n"),
+          (coalesce(col("s0"), zero) + coalesce(col("dv1"), zero) +
+            coalesce(col("dv2"), zero)).cast("double").as("sum_value"))
+        .filter(col("n") > 0)
+        .orderBy(col("nationkey"))
+    }),
+
     // SCD type-2 dimension history from the change log: each I/U change
     // becomes a dimension row valid over [version, next change's version);
     // DELETEs emit nothing but close the prior row's window. One window
@@ -873,6 +959,21 @@ object CdcQueries {
          |      FROM events) t
          |WHERE rn = 1 AND op <> 'DELETE'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "cdc27_incremental_join" ->
+      s"""WITH latest AS (
+         |  SELECT user_id, value FROM (
+         |    SELECT user_id, value, $opFromEventSql AS op,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id
+         |        ORDER BY event_id DESC) AS rn
+         |    FROM events) t
+         |  WHERE rn = 1 AND op <> 'DELETE'),
+         |cust AS (
+         |  SELECT c_custkey, c_nationkey FROM customer
+         |  WHERE c_custkey % 10 <> 7)
+         |SELECT c_nationkey AS nationkey, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM latest JOIN cust ON user_id = c_custkey
+         |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
     "cdc26_corpus_refresh" ->
       """WITH latest AS (
         |  SELECT source, text FROM documents WHERE doc_id % 10 <> 7),
