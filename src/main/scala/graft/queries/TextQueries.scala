@@ -540,6 +540,61 @@ object TextQueries {
           col("tf"), col("df"), col("score"))
         .orderBy(col("doc_id"))
     }),
+
+    // BM25 lexical retrieval (Robertson k1=1.2, b=0.75): top-10 docs per
+    // literal query. The idf keeps the classic (N-df+0.5)/(df+0.5) ratio
+    // but stays log-free — ln() is not correctly rounded and differs
+    // across libm builds, while the ratio is two IEEE ops, bit-identical
+    // on any engine (log is monotone, so each term's doc ordering is
+    // unchanged; cross-term weighting is the documented variant). The
+    // per-(query,doc) score sums matched-term scores via an in-order
+    // fold over the tok-sorted list — the one summation order both
+    // engines reproduce exactly (see Q's oracle-parity rule; decimal
+    // casts would lose the quotient bits that distinguish near-ties).
+    // Scale shape: tf is one (doc_id, tok) partial agg over the exploded
+    // corpus; df is vocabulary-sized → broadcast; the query set is tiny
+    // → broadcast; the top-k window sees only matched candidates.
+    "ns29_bm25_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val qterms = Seq(
+        0L -> "spark", 0L -> "join", 0L -> "window",
+        1L -> "hash", 1L -> "merge", 1L -> "sort",
+        2L -> "stream", 2L -> "batch", 2L -> "filter")
+        .toDF("query_id", "tok")
+      val docs = Tables.documents(s, d)
+      val stats = docs.agg(
+        count(lit(1)).as("n"),
+        sum(size(tokens(col("text"))).cast("long")).as("total")).head()
+      val n = stats.getLong(0)
+      val avgdl = stats.getLong(1).toDouble / n.toDouble
+      val tf = docs
+        .select(col("doc_id"), size(tokens(col("text"))).as("dl"),
+          explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val tfD = col("tf").cast("double")
+      val idf = (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val den = tfD + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
+      val byDoc = tf
+        .join(broadcast(qterms), Seq("tok"))
+        .join(broadcast(dfTab), Seq("tok"))
+        .withColumn("sc", (idf * (tfD * lit(2.2))) / den)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("tok"), col("sc")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("sc")).as("bm25"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      byDoc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("bm25"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -856,5 +911,42 @@ object TextQueries {
         |  FROM pt JOIN dfreq USING (tok) CROSS JOIN n)
         |SELECT doc_id, tok AS top_token, tf, df, score
         |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "ns29_bm25_topk" ->
+      """WITH q AS (
+        |  SELECT CAST(v.qid AS BIGINT) AS query_id, v.tok AS tok
+        |  FROM (VALUES (0,'spark'),(0,'join'),(0,'window'),
+        |               (1,'hash'),(1,'merge'),(1,'sort'),
+        |               (2,'stream'),(2,'batch'),(2,'filter')) v(qid, tok)),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+        |  FROM toks GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |term AS (
+        |  SELECT q.query_id, tf.doc_id, tf.tok,
+        |    (((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2))
+        |    / (CAST(tf.tf AS DOUBLE)
+        |       + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / avgdl))) AS sc
+        |  FROM tf JOIN q USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats),
+        |byd AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list_prepend(0.0, list(sc ORDER BY tok)),
+        |      (acc, x) -> acc + x) AS bm25
+        |  FROM term GROUP BY query_id, doc_id),
+        |rk AS (
+        |  SELECT query_id, doc_id, bm25, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+        |  FROM byd)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, bm25
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
   )
 }
