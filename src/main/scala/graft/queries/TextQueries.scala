@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication surface over the `documents` table
@@ -26,6 +27,43 @@ object TextQueries {
        |  i -> CAST(unicode(substr($x, CAST(i AS INT), 1)) AS BIGINT))),
        |  (acc, c) -> (acc * 31 + c) % 2147483647)""".stripMargin
 
+  /** FakeDecoder oracle replica (Multimodal.FakeDecoder): fold the UTF-8
+    * bytes (== codepoints for the ASCII fixture) through h ← h·31 + b
+    * wrapped to 64 bits (HUGEINT residue). */
+  private val decodeFoldSql =
+    """list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
+      |  (acc, c) -> (acc * 31 + c) % 18446744073709551616)""".stripMargin
+
+  /** Per-dimension feature k = javaMod(h·(2i+1)+i, 1000) with the
+    * signed-view correction (2^64 ≡ 616 mod 1000), f = k/1000 as REAL. */
+  private def decodeFeatSql(i: Int) =
+    s"""CAST(((((hu * ${2 * i + 1} + $i) % 18446744073709551616) % 1000)
+       |  - CASE WHEN ((hu * ${2 * i + 1} + $i) % 18446744073709551616)
+       |         >= 9223372036854775808 THEN 616 ELSE 0 END
+       |  + 1000) % 1000 / 1000.0 AS REAL)""".stripMargin
+
+  /** CTEs `h`, `f`: (vec_id, embedding) derived from document text via
+    * the FakeDecoder replica — the oracle twin of ns18/vs15's
+    * attachPayload → extractFeatures derivation. */
+  private val decodeFeatureCtes =
+    s"""h AS (SELECT doc_id, $decodeFoldSql AS hu FROM documents),
+       |f AS (SELECT doc_id AS vec_id,
+       |        [${decodeFeatSql(0)}, ${decodeFeatSql(1)},
+       |         ${decodeFeatSql(2)}, ${decodeFeatSql(3)}] AS embedding
+       |      FROM h)""".stripMargin
+
+  private def decodeDotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  /** Cosine between CTE columns `qv`/`cv` — mirrors the vs01 oracle. */
+  private val decodeCosSql =
+    s"""${decodeDotSql("qv", "cv")} / (sqrt(${decodeDotSql("qv", "qv")})
+       | * sqrt(${decodeDotSql("cv", "cv")}))""".stripMargin
+
   /** CTE producing doc_id + distinct 3-shingle hash set per document. */
   private val shingleHashCte =
     s"""WITH toks AS (
@@ -41,6 +79,45 @@ object TextQueries {
 
   private val jaccardSql =
     "len(list_intersect(a.hashes, b.hashes)) * 1.0 / len(list_distinct(a.hashes || b.hashes))"
+
+  /** BM25 scores per (query_id, doc_id) — Robertson k1=1.2, b=0.75 with
+    * the log-free idf ratio (N-df+0.5)/(df+0.5); see ns29 for the
+    * arithmetic-determinism rationale (in-order fold over tok-sorted
+    * term scores — decimal casts would lose the quotient bits that
+    * distinguish near-ties). `qterms` is a small (query_id, tok) set →
+    * broadcast; set `excludeSelf` when query ids are themselves doc ids
+    * ("more-like-this" retrieval). Scale shape: tf is one (doc_id, tok)
+    * partial agg over the exploded corpus; df is vocabulary-sized →
+    * broadcast; nothing but candidates reaches the downstream top-k. */
+  private def bm25Scores(docs: DataFrame, qterms: DataFrame,
+      excludeSelf: Boolean): DataFrame = {
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      sum(size(tokens(col("text"))).cast("long")).as("total")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val tf = docs
+      .select(col("doc_id"), size(tokens(col("text"))).as("dl"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double")
+    val idf = (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val den = tfD + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
+    val cand = tf.join(broadcast(qterms), Seq("tok"))
+    val kept =
+      if (excludeSelf) cand.filter(col("doc_id") =!= col("query_id")) else cand
+    kept.join(broadcast(dfTab), Seq("tok"))
+      .withColumn("sc", (idf * (tfD * lit(2.2))) / den)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("tok"), col("sc")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("sc")).as("bm25"))
+  }
 
   private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopDe = Seq("der", "die", "das", "und", "nicht")
@@ -562,37 +639,57 @@ object TextQueries {
         1L -> "hash", 1L -> "merge", 1L -> "sort",
         2L -> "stream", 2L -> "batch", 2L -> "filter")
         .toDF("query_id", "tok")
-      val docs = Tables.documents(s, d)
-      val stats = docs.agg(
-        count(lit(1)).as("n"),
-        sum(size(tokens(col("text"))).cast("long")).as("total")).head()
-      val n = stats.getLong(0)
-      val avgdl = stats.getLong(1).toDouble / n.toDouble
-      val tf = docs
-        .select(col("doc_id"), size(tokens(col("text"))).as("dl"),
-          explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val tfD = col("tf").cast("double")
-      val idf = (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))
-      val den = tfD + lit(1.2) *
-        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
-      val byDoc = tf
-        .join(broadcast(qterms), Seq("tok"))
-        .join(broadcast(dfTab), Seq("tok"))
-        .withColumn("sc", (idf * (tfD * lit(2.2))) / den)
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("tok"), col("sc")))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("sc")).as("bm25"))
+      val byDoc = bm25Scores(Tables.documents(s, d), qterms, excludeSelf = false)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("bm25").desc, col("doc_id").asc)
       byDoc.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("rank"), col("doc_id"), col("bm25"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
+    // ranking by reciprocal-rank fusion (rrf = Σ 1/(60+rank), the
+    // Cormack/Clarke constant). Queries are documents 0..2 themselves
+    // ("more-like-this"): the lexical side scores each query doc's
+    // distinct tokens with bm25Scores (self excluded), the vector side
+    // is ns18's decode→embed derivation + brute-force cosine (self
+    // excluded by construction). Ranks are integers, so each fused score
+    // is two correctly-rounded divisions plus one fixed-order add —
+    // oracle-exact with no fold needed. Scale shape: both rank lists are
+    // ≤k rows per query (corpus-sized work stays inside bm25Scores /
+    // bruteForceTopK, each already scale-shaped); the fusion join and
+    // final top-k touch only candidates.
+    "vs15_hybrid_rrf" -> ((s, d) => {
+      import graft.operators.{Multimodal, Similarity}
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.attachPayload(docs, "doc_id", "text", "text/plain")
+      val feats = Multimodal.extractFeatures(media, dim = 4).toDF()
+        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      val vec = Similarity
+        .bruteForceTopK(feats.filter(col("vec_id") < 3), feats, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rank"))
+      val qterms = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      val wl = Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      val lex = bm25Scores(docs, qterms, excludeSelf = true)
+        .withColumn("lex_rank", row_number().over(wl))
+        .filter(col("lex_rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("lex_rank"))
+      val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")), lit(0.0)))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      fused.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+          col("lex_rank"), col("vec_rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
   )
@@ -785,30 +882,8 @@ object TextQueries {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "ns18_multimodal_ann" -> {
-      // FakeDecoder replica: fold the UTF-8 bytes (== codepoints for the
-      // ASCII fixture) through h ← h·31 + b wrapped to 64 bits (HUGEINT
-      // residue), then per-dimension k = javaMod(h·(2i+1)+i, 1000) with
-      // the signed-view correction (2^64 ≡ 616 mod 1000), f = k/1000 as
-      // REAL. The cosine/rank tier mirrors the vs01 oracle.
-      val fold =
-        """list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
-          |    list_transform(range(1, length(text) + 1),
-          |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
-          |  (acc, c) -> (acc * 31 + c) % 18446744073709551616)""".stripMargin
-      def feat(i: Int) =
-        s"""CAST(((((hu * ${2 * i + 1} + $i) % 18446744073709551616) % 1000)
-           |  - CASE WHEN ((hu * ${2 * i + 1} + $i) % 18446744073709551616)
-           |         >= 9223372036854775808 THEN 616 ELSE 0 END
-           |  + 1000) % 1000 / 1000.0 AS REAL)""".stripMargin
-      def dot(a: String, b: String) =
-        s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
-           |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
-           |  (acc, x) -> acc + x)""".stripMargin
-      val cos = s"${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))"
-      s"""WITH h AS (SELECT doc_id, $fold AS hu FROM documents),
-         |f AS (SELECT doc_id AS vec_id,
-         |        [${feat(0)}, ${feat(1)}, ${feat(2)}, ${feat(3)}] AS embedding
-         |      FROM h),
+      val cos = decodeCosSql
+      s"""WITH $decodeFeatureCtes,
          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM f WHERE vec_id < 3),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM f),
          |scored AS (
@@ -948,5 +1023,64 @@ object TextQueries {
         |  FROM byd)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, bm25
         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "vs15_hybrid_rrf" ->
+      s"""WITH $decodeFeatureCtes,
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM f WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS doc_id, embedding AS cv FROM f),
+         |vscored AS (
+         |  SELECT query_id, doc_id, $decodeCosSql AS cos
+         |  FROM c JOIN q ON query_id <> doc_id),
+         |vrank AS (
+         |  SELECT query_id, doc_id, CAST(rn AS INT) AS vec_rank FROM (
+         |    SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, doc_id ASC) AS rn
+         |    FROM vscored) t WHERE rn <= 20),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |    unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+         |  FROM toks GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM toks WHERE doc_id < 3),
+         |term AS (
+         |  SELECT qt.query_id, tf.doc_id, tf.tok,
+         |    (((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2))
+         |    / (CAST(tf.tf AS DOUBLE)
+         |       + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / avgdl))) AS sc
+         |  FROM tf JOIN qt USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats
+         |  WHERE tf.doc_id <> qt.query_id),
+         |byd AS (
+         |  SELECT query_id, doc_id,
+         |    list_reduce(list_prepend(0.0, list(sc ORDER BY tok)),
+         |      (acc, x) -> acc + x) AS bm25
+         |  FROM term GROUP BY query_id, doc_id),
+         |lrank AS (
+         |  SELECT query_id, doc_id, CAST(rn AS INT) AS lex_rank FROM (
+         |    SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY bm25 DESC, doc_id ASC) AS rn
+         |    FROM byd) t WHERE rn <= 20),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    l.lex_rank, v.vec_rank,
+         |    COALESCE(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 0.0)
+         |      + COALESCE(1.0 / (60.0 + CAST(v.vec_rank AS DOUBLE)), 0.0) AS rrf
+         |  FROM lrank l FULL OUTER JOIN vrank v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+         |rk AS (
+         |  SELECT query_id, doc_id, rrf, lex_rank, vec_rank,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id ASC) AS rn
+         |  FROM fused)
+         |SELECT query_id, CAST(rn AS INT) AS rank, doc_id, rrf, lex_rank, vec_rank
+         |FROM rk WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
   )
 }
