@@ -56,6 +56,27 @@ object EventOps {
       .drop("__b", "__lts", "__rts")
   }
 
+  /** Left-outer form of [[rangeJoin]]: left rows with no right match in
+    * the window survive once, null-padded on the right columns — the
+    * batch twin of Structured Streaming's watermarked left-outer
+    * stream-stream join (unmatched state null-emits on expiry). The
+    * bucketized inner join can't be made outer directly (each left row
+    * probes two buckets, so "no match in this bucket" ≠ "no match"), so
+    * the outer tier is the inner join + a left-anti join of `left`
+    * against the matched `leftIdCol`s — both shuffled equi-joins, never
+    * a nested loop. `leftIdCol` must uniquely identify left rows. */
+  def rangeJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+                         leftIdCol: String, leftTsCol: String, rightTsCol: String,
+                         windowMicros: Long): DataFrame = {
+    val inner = rangeJoin(left, right, key, leftTsCol, rightTsCol, windowMicros)
+    val matched = inner.select(col(leftIdCol)).distinct()
+    val unmatched = right.columns.filterNot(_ == key)
+      .foldLeft(left.join(matched, Seq(leftIdCol), "left_anti")) { (df, c) =>
+        df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+      }
+    inner.unionByName(unmatched)
+  }
+
   /** As-of join (latest right-side value at or before each left row),
     * realized as a running windowed max over the unioned stream: for each
     * row, `asof_<valueAlias>` = the most recent `rightTs` where `rightPred`

@@ -167,6 +167,25 @@ object StreamQueries {
         .orderBy(col("p_id"), col("c_id"))
     }),
 
+    // Left-outer stream-stream join in its batch-verifiable form: st09's
+    // ad-attribution pairs, but purchases with zero clicks in the 10
+    // minutes before them survive null-padded — the rows a watermarked
+    // left-outer streaming join null-emits when the purchase's join
+    // state expires (StreamingWindowSpec runs that twin on MemoryStream).
+    // Plan: the st08/st09 bucketized equi-join plus one left-anti join
+    // on the matched purchase ids — no nested loop anywhere.
+    "st13_outer_stream_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      graft.operators.EventOps.rangeJoinLeftOuter(purchases, clicks, "user_id",
+        "p_id", "p_ts", "c_ts", windowMicros = 600000000L)
+        .select(col("user_id"), col("p_id"), col("c_id"), col("p_ts"), col("c_ts"))
+        .orderBy(col("p_id"), col("c_id").asc_nulls_first)
+    }),
+
     // Top-N per group over event time: last 3 events per user.
     "st07_latest_n_per_key" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -285,6 +304,17 @@ object StreamQueries {
          | AND epoch_us(CAST(c.ts AS TIMESTAMP)) < epoch_us(CAST(p.ts AS TIMESTAMP))
          |WHERE p.event_type = 'purchase'
          |ORDER BY p_id, c_id""".stripMargin,
+    "st13_outer_stream_join" ->
+      s"""SELECT p.user_id AS user_id, p.event_id AS p_id, c.event_id AS c_id,
+         | CAST(p.ts AS TIMESTAMP) AS p_ts, c.c_ts
+         |FROM events p LEFT JOIN (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS c_ts
+         |  FROM events WHERE event_type = 'click') c
+         |  ON c.user_id = p.user_id
+         | AND epoch_us(c.c_ts) >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 600000000
+         | AND epoch_us(c.c_ts) < epoch_us(CAST(p.ts AS TIMESTAMP))
+         |WHERE p.event_type = 'purchase'
+         |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
     "st07_latest_n_per_key" ->
       s"""SELECT user_id, rn, event_id, event_type FROM (
          |  SELECT user_id, event_id, event_type, ROW_NUMBER() OVER (

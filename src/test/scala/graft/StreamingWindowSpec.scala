@@ -253,4 +253,49 @@ class StreamingWindowSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
     assert(rows == Set((1L, 1.0, 10.0), (2L, 2.0, 30.0)))
   }
+
+  test("stream-stream LEFT OUTER join null-emits unmatched rows on watermark expiry") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    // impressions left-joined to the clicks within 10 minutes AFTER them;
+    // an impression that never attracts a click must still come out —
+    // null-padded — once the watermark passes its join window (st13's
+    // streaming twin)
+    val j = imps.toDF()
+      .select($"ts".as("imp_ts"), $"user".as("iu"), $"v".as("imp_v"))
+      .withWatermark("imp_ts", "20 minutes")
+      .join(
+        clicks.toDF()
+          .select($"ts".as("click_ts"), $"user".as("cu"), $"v".as("click_v"))
+          .withWatermark("click_ts", "20 minutes"),
+        expr("iu = cu AND click_ts >= imp_ts AND " +
+          "click_ts <= imp_ts + INTERVAL 10 MINUTES"),
+        "leftOuter")
+    val q = j.select($"iu", $"imp_v", $"click_v")
+      .writeStream.format("memory").queryName("ssjoin_outer_out")
+      .option("checkpointLocation", checkpointDir("ssjoin-outer"))
+      .outputMode("append").start()
+
+    imps.addData(ev(0, 1, 1.0), ev(0, 2, 2.0))
+    clicks.addData(ev(5, 1, 10.0)) // user 1 matches; user 2 never clicks
+    q.processAllAvailable()
+    // advance BOTH watermarks (the join watermark is the min) far past
+    // user 2's window, then run further batches so the expired state
+    // null-emits
+    imps.addData(ev(120, 8, 8.0))
+    clicks.addData(ev(120, 9, 9.0))
+    q.processAllAvailable()
+    imps.addData(ev(240, 8, 8.5))
+    clicks.addData(ev(240, 9, 9.5))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssjoin_outer_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows.contains((1L, 1.0, Some(10.0))), s"matched pair missing: $rows")
+    assert(rows.contains((2L, 2.0, None)), s"null-padded expiry row missing: $rows")
+  }
 }
