@@ -186,6 +186,36 @@ object StreamQueries {
         .orderBy(col("p_id"), col("c_id").asc_nulls_first)
     }),
 
+    // Ordered funnel conversion: per user, the first view, the first
+    // click strictly AFTER that view, and the first purchase strictly
+    // after that click — the stage-reached report behind conversion
+    // dashboards. No self-joins: one shuffle on user_id, then three
+    // stacked per-user window mins (each conditioned on the previous
+    // stage's timestamp; same partitioning → Spark reuses the sort, so
+    // the funnel depth adds projections, not exchanges).
+    "st14_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("v1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c1",
+          min(when(col("event_type") === "click" && col("ts") > col("v1"),
+            col("ts"))).over(w))
+        .withColumn("p1",
+          min(when(col("event_type") === "purchase" && col("ts") > col("c1"),
+            col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("v1")).as("v1"), max(col("c1")).as("c1"),
+          max(col("p1")).as("p1"))
+        .withColumn("stage",
+          when(col("p1").isNotNull, lit(3))
+            .when(col("c1").isNotNull, lit(2))
+            .when(col("v1").isNotNull, lit(1))
+            .otherwise(lit(0)))
+        .select(col("user_id"), col("v1"), col("c1"), col("p1"), col("stage"))
+        .orderBy(col("user_id"))
+    }),
+
     // Top-N per group over event time: last 3 events per user.
     "st07_latest_n_per_key" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -315,6 +345,30 @@ object StreamQueries {
          | AND epoch_us(c.c_ts) < epoch_us(CAST(p.ts AS TIMESTAMP))
          |WHERE p.event_type = 'purchase'
          |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
+    "st14_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, $tsSql AS ts FROM events),
+         |u AS (
+         |  SELECT user_id,
+         |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS v1
+         |  FROM e GROUP BY user_id),
+         |c AS (
+         |  SELECT e.user_id, MIN(e.ts) AS c1
+         |  FROM e JOIN u USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.ts > u.v1
+         |  GROUP BY e.user_id),
+         |p AS (
+         |  SELECT e.user_id, MIN(e.ts) AS p1
+         |  FROM e JOIN c USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.c1
+         |  GROUP BY e.user_id)
+         |SELECT u.user_id AS user_id, u.v1, c.c1, p.p1,
+         |  CASE WHEN p.p1 IS NOT NULL THEN 3
+         |       WHEN c.c1 IS NOT NULL THEN 2
+         |       WHEN u.v1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+         |FROM u LEFT JOIN c ON u.user_id = c.user_id
+         |       LEFT JOIN p ON u.user_id = p.user_id
+         |ORDER BY u.user_id""".stripMargin,
     "st07_latest_n_per_key" ->
       s"""SELECT user_id, rn, event_id, event_type FROM (
          |  SELECT user_id, event_id, event_type, ROW_NUMBER() OVER (

@@ -212,6 +212,28 @@ class PlanAuditSpec extends SparkSuite {
       s"vs13's joins must run at construction, not in the returned plan:\n$p")
   }
 
+  test("ns29's BM25 joins broadcast the query set and vocabulary") {
+    // the corpus-sized side is the (doc, tok) tf table; both the query
+    // terms and the document-frequency table must come to it broadcast
+    val p = executedPlan("ns29_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ns29 lost its broadcast term/vocabulary joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"ns29 degenerated to a nested loop:\n$p")
+  }
+
+  test("st13's left-outer range join stays bucketized — no nested loop") {
+    val p = executedPlan("st13_outer_stream_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"st13's outer range join degenerated from its equi form:\n$p")
+  }
+
+  test("st14's funnel is windows over one user partitioning — no join") {
+    val p = executedPlan("st14_funnel")
+    assert(!p.contains("Join"), s"st14 must not self-join the stages:\n$p")
+    assert(p.contains("Window"), s"st14 lost its window form:\n$p")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
