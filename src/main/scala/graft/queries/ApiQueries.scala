@@ -234,6 +234,24 @@ object ApiQueries {
         ORDER BY l_returnflag""")
     }),
 
+    // Window-partition COUNT(DISTINCT): Spark rejects COUNT(DISTINCT)
+    // OVER, so the idiomatic plan is dense_rank over the value order +
+    // max over the bare partition — two window passes on ONE user
+    // shuffle (same partitioning → Spark reuses the sort), attaching the
+    // per-customer distinct-priority count to every order row without a
+    // groupBy + self-join round trip.
+    "q53_window_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w1 = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))
+      val w2 = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, d)
+        .withColumn("dr", dense_rank().over(w1))
+        .withColumn("n_priorities", max(col("dr")).over(w2))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("n_priorities"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Array higher-order functions as first-class surface — transform /
     // filter / aggregate / exists over a per-group array built in a
     // deterministic order (array_sort of collect_list, so the multiset
@@ -579,6 +597,13 @@ object ApiQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q53_window_distinct" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority, d.n_priorities
+        |FROM orders o JOIN (
+        |  SELECT o_custkey,
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS INT) AS n_priorities
+        |  FROM orders GROUP BY o_custkey) d USING (o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q51_higher_order" ->
       """WITH a AS (
         |  SELECT l_orderkey,

@@ -216,6 +216,29 @@ object StreamQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Cohort retention: users bucketed by signup week (cohort), counted
+    // once per later week they were active in — the week-k retention
+    // matrix behind growth dashboards. One user shuffle (window min for
+    // the signup time), then a distinct on (cohort, week, user) and the
+    // final count agg; week arithmetic is Monday-truncated day diffs
+    // (exact multiples of 7, so the int cast is engine-agnostic).
+    "st15_cohort_retention" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("signup_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("signup_ts").isNotNull && col("ts") >= col("signup_ts"))
+        .select(col("user_id"),
+          date_trunc("week", col("signup_ts")).cast("date").as("cohort_week"),
+          (datediff(date_trunc("week", col("ts")).cast("date"),
+            date_trunc("week", col("signup_ts")).cast("date")) / 7)
+            .cast("int").as("week_k"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_k"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_k"))
+    }),
+
     // Top-N per group over event time: last 3 events per user.
     "st07_latest_n_per_key" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -345,6 +368,24 @@ object StreamQueries {
          | AND epoch_us(c.c_ts) < epoch_us(CAST(p.ts AS TIMESTAMP))
          |WHERE p.event_type = 'purchase'
          |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
+    "st15_cohort_retention" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, $tsSql AS ts FROM events),
+         |su AS (
+         |  SELECT user_id,
+         |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+         |  FROM e GROUP BY user_id),
+         |k AS (
+         |  SELECT DISTINCT e.user_id,
+         |    date_trunc('week', su.signup_ts) AS cohort_week,
+         |    CAST(date_diff('day',
+         |      CAST(date_trunc('week', su.signup_ts) AS DATE),
+         |      CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_k
+         |  FROM e JOIN su USING (user_id)
+         |  WHERE su.signup_ts IS NOT NULL AND e.ts >= su.signup_ts)
+         |SELECT cohort_week, week_k, COUNT(*) AS n_users
+         |FROM k GROUP BY cohort_week, week_k
+         |ORDER BY cohort_week, week_k""".stripMargin,
     "st14_funnel" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, $tsSql AS ts FROM events),
