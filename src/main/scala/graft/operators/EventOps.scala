@@ -87,4 +87,22 @@ object EventOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(alias, max(when(rightPred, ts)).over(w))
   }
+
+  /** Value-carrying as-of join: each row gets the latest `valueCol` among
+    * rows where `rightPred` held, at-or-before its `ts` — the temporal /
+    * versioned-dimension enrichment ("the dimension version valid at
+    * event time", Flink's temporal table join; the query-time face of
+    * [[CdcApply.scd2History]]'s validity windows). Same-instant dimension
+    * rows sort BEFORE facts (rightPred descending in the tie), so a
+    * change applies to facts of the same timestamp; among same-instant
+    * dimension rows the highest `tieBreak` wins. One shuffle on `key`,
+    * no join, no per-row probe. */
+  def asofLatestValue(df: DataFrame, key: Column, ts: Column, tieBreak: Column,
+                      rightPred: Column, valueCol: Column, alias: String): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(ts.asc, rightPred.cast("int").desc, tieBreak.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(alias,
+      last(when(rightPred, valueCol), ignoreNulls = true).over(w))
+  }
 }

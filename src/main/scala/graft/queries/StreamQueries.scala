@@ -216,6 +216,21 @@ object StreamQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Temporal (versioned-dimension) join: each purchase enriched with
+    // the user's latest non-purchase event value at-or-before it — the
+    // "dimension version valid at event time" enrichment over SCD2-style
+    // validity windows, realized as one windowed running `last` over the
+    // unioned stream (no range join, no per-row probe; same-instant
+    // dimension rows apply to same-instant facts).
+    "st16_temporal_join" -> ((s, d) => {
+      EventOps.asofLatestValue(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("event_type") =!= "purchase", col("value"),
+        "asof_value")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Cohort retention: users bucketed by signup week (cohort), counted
     // once per later week they were active in — the week-k retention
     // matrix behind growth dashboards. One user shuffle (window min for
@@ -368,6 +383,15 @@ object StreamQueries {
          | AND epoch_us(c.c_ts) < epoch_us(CAST(p.ts AS TIMESTAMP))
          |WHERE p.event_type = 'purchase'
          |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
+    "st16_temporal_join" ->
+      s"""SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+         |  (SELECT d.value FROM events d
+         |   WHERE d.user_id = p.user_id AND d.event_type <> 'purchase'
+         |     AND CAST(d.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         |   ORDER BY CAST(d.ts AS TIMESTAMP) DESC, d.event_id DESC
+         |   LIMIT 1) AS asof_value
+         |FROM events p WHERE p.event_type = 'purchase'
+         |ORDER BY p.event_id""".stripMargin,
     "st15_cohort_retention" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, $tsSql AS ts FROM events),
