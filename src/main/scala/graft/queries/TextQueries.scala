@@ -648,6 +648,37 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Bigram language-model quality score — the statistical-LM filter of
+    // the CCNet/KenLM pipeline, here an exact in-corpus bigram model:
+    // p(b|a) = count(a,b)/count(a as prefix), each doc scored by the
+    // product of its bigram probabilities in sequence order. Stays
+    // log-free (ln/pow are not correctly rounded; the raw product IS —
+    // every factor and multiply is one IEEE op, folded in position
+    // order, so both engines agree bit-exactly; ~25-token docs can't
+    // underflow). Scale shape: the bigram and prefix count tables are
+    // vocabulary²-sized → broadcast here (a web-scale model makes these
+    // shuffled equi-joins — same plan family); the corpus contributes
+    // one (a,b) partial agg and the per-doc fold.
+    "ns30_bigram_lm" -> ((s, d) => {
+      val t = tokens(col("text"))
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as(Seq("pos", "ab")))
+        .select(col("doc_id"), col("pos"),
+          col("ab.a").as("a"), col("ab.b").as("b"))
+      val cnt = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      val pre = bg.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      bg.join(broadcast(cnt), Seq("a", "b"))
+        .join(broadcast(pre), Seq("a"))
+        .withColumn("pr", col("c").cast("double") / col("ca").cast("double"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(array_sort(collect_list(struct(col("pos"), col("pr")))),
+            lit(1.0), (acc, x) => acc * x.getField("pr")).as("lm_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
     // ranking by reciprocal-rank fusion (rrf = Σ 1/(60+rank), the
     // Cormack/Clarke constant). Queries are documents 0..2 themselves
@@ -1023,6 +1054,26 @@ object TextQueries {
         |  FROM byd)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, bm25
         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ns30_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, pr['pos'] AS pos, pr['a'] AS a, pr['b'] AS b FROM (
+        |    SELECT doc_id, unnest([{'pos': i, 'a': t[i], 'b': t[i + 1]}
+        |                           for i in range(1, len(t))]) AS pr
+        |    FROM toks) s),
+        |cnt AS (
+        |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY a, b),
+        |pre AS (
+        |  SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM bg GROUP BY a),
+        |p AS (
+        |  SELECT bg.doc_id, bg.pos,
+        |    CAST(cnt.c AS DOUBLE) / CAST(pre.ca AS DOUBLE) AS pr
+        |  FROM bg JOIN cnt USING (a, b) JOIN pre USING (a))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  list_reduce(list_prepend(1.0, list(pr ORDER BY pos)),
+        |    (acc, x) -> acc * x) AS lm_score
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "vs15_hybrid_rrf" ->
       s"""WITH $decodeFeatureCtes,
          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM f WHERE vec_id < 3),
