@@ -648,6 +648,33 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Blocked fuzzy matching — the entity-resolution primitive: candidate
+    // pairs blocked on the first token (at scale: any cheap blocking key
+    // — phonetic code, prefix, LSH bucket), then exact Levenshtein edit
+    // distance on the 3-token "title", kept at distance ≤ 5. Edit
+    // distance is integer-exact on both engines, and the self-join is an
+    // equi-join on the block key with a < on doc_id so each pair scores
+    // once — the declared-quadratic-within-block family (ns04's posture:
+    // the verification baseline; production blocks are sized to keep
+    // buckets bounded).
+    "ns31_fuzzy_match" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(slice(toks, lit(1), lit(3)), " ").as("title"),
+          element_at(toks, 1).as("blk"))
+      val a = t.select(col("doc_id").as("id_a"), col("title").as("title_a"),
+        col("blk"))
+      val b = t.select(col("doc_id").as("id_b"), col("title").as("title_b"),
+        col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("title_a"), col("title_b")))
+        .filter(col("dist") <= 5)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Bigram language-model quality score — the statistical-LM filter of
     // the CCNet/KenLM pipeline, here an exact in-corpus bigram model:
     // p(b|a) = count(a,b)/count(a as prefix), each doc scored by the
@@ -1054,6 +1081,17 @@ object TextQueries {
         |  FROM byd)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, bm25
         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ns31_fuzzy_match" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:3], ' ') AS title,
+        |    string_split(text, ' ')[1] AS blk
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS INT) AS dist
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
     "ns30_bigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
