@@ -648,6 +648,45 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PageRank over the near-dup graph (link analysis — the remaining
+    // iterative-algorithm class beside ns12's connected components):
+    // simplified PageRank, d=0.85, 3 unrolled iterations, no
+    // dangling-mass redistribution (documented; mass shrinks, ordering
+    // is what's consumed). Deterministic end to end: the per-node
+    // in-neighbor sum folds in neighbor order, every other op is a
+    // single correctly-rounded IEEE op. The edge set (ns04's verified
+    // pairs) is eagerly localCheckpoint-ed so the LSH subplan executes
+    // once, not once per iteration (vs13's barrier pattern); each
+    // iteration is one shuffled equi-join + one agg — the 100 TB shape,
+    // with in-loop reliable checkpoints once iterations grow (SCALE.md).
+    "ns32_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+        lenCol = "n_chars", shingleN = 3, threshold = 0.5, bucketWidth = 32)
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val nodes = docs.select(col("doc_id").as("v"))
+      var pr = nodes.withColumn("pr", lit(1.0 / n))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.select(col("v").as("u"), col("pr").as("pru")), Seq("u"))
+          .join(deg, Seq("u"))
+          .select(col("v"), col("u"),
+            (col("pru") / col("deg").cast("double")).as("c"))
+        val summed = contrib.groupBy(col("v"))
+          .agg(aggregate(array_sort(collect_list(struct(col("u"), col("c")))),
+            lit(0.0), (a, x) => a + x.getField("c")).as("s2"))
+        pr = nodes.join(summed, Seq("v"), "left_outer")
+          .select(col("v"),
+            (lit(0.15 / n) + lit(0.85) * coalesce(col("s2"), lit(0.0))).as("pr"))
+      }
+      pr.select(col("v").as("doc_id"), col("pr")).orderBy(col("doc_id"))
+    }),
+
     // Blocked fuzzy matching — the entity-resolution primitive: candidate
     // pairs blocked on the first token (at scale: any cheap blocking key
     // — phonetic code, prefix, LSH bucket), then exact Levenshtein edit
@@ -1081,6 +1120,35 @@ object TextQueries {
         |  FROM byd)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, bm25
         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ns32_pagerank" -> {
+      val iterCtes = (1 to 3).map { t =>
+        s"""contrib$t AS (
+           |  SELECT e.v AS v, e.u AS u, p.pr / CAST(d.deg AS DOUBLE) AS c
+           |  FROM edges e JOIN pr${t - 1} p ON e.u = p.v JOIN deg d ON e.u = d.u),
+           |sum$t AS (
+           |  SELECT v, list_reduce(list_prepend(0.0, list(c ORDER BY u)),
+           |    (acc, x) -> acc + x) AS s2
+           |  FROM contrib$t GROUP BY v),
+           |pr$t AS (
+           |  SELECT n.v, (0.15 / nd) + 0.85 * COALESCE(s.s2, 0.0) AS pr
+           |  FROM nodes n CROSS JOIN nn LEFT JOIN sum$t s ON n.v = s.v)""".stripMargin
+      }.mkString(",\n")
+      s"""$shingleHashCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |  WHERE (b.n_chars // 32) - (a.n_chars // 32) BETWEEN -1 AND 1
+         |    AND $jaccardSql >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+         |nodes AS (SELECT doc_id AS v FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+         |pr0 AS (SELECT v, 1.0 / nd AS pr FROM nodes CROSS JOIN nn),
+         |$iterCtes
+         |SELECT v AS doc_id, pr FROM pr3 ORDER BY doc_id""".stripMargin
+    },
     "ns31_fuzzy_match" ->
       """WITH t AS (
         |  SELECT doc_id,
