@@ -52,6 +52,26 @@ case class SortedSetJaccardExpr(left: Expression, right: Expression)
   override def prettyName: String = "sorted_set_jaccard"
 }
 
+/** Intersection SIZE of two sorted-ascending distinct long arrays —
+  * equals size(array_intersect(a,b)) for deduplicated sorted inputs.
+  * The building block for asymmetric overlap measures (containment
+  * |a∩b|/min(|a|,|b|)) where Jaccard's union normalization hides
+  * subset relations. Same sortedness contract as
+  * [[SortedSetJaccardExpr]]. */
+case class SortedSetOverlapExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SetSimilarityExprs.overlapSorted(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SetSimilarityExprs.overlapSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_set_overlap"
+}
+
 /** MinHash signature: sig[j] = min over the hash set of
   * ((2j+1)*h + 7j+3) mod 2^31-1, j = 0..k-1.
   *
@@ -88,6 +108,18 @@ object SetSimilarityExprs {
   /** [[jaccard]] when both inputs are already sorted ascending. */
   def jaccardSorted(l: ArrayData, r: ArrayData): Double =
     merged(l.toLongArray(), r.toLongArray())
+
+  /** Intersection size of two sorted-ascending distinct arrays. */
+  def overlapSorted(l: ArrayData, r: ArrayData): Int = {
+    val a = l.toLongArray(); val b = r.toLongArray()
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter
+  }
 
   private def merged(a: Array[Long], b: Array[Long]): Double = {
     var i = 0; var j = 0; var inter = 0

@@ -108,4 +108,12 @@ object TextFunctions {
   /** Builtins formulation of [[jaccard]] (any element type). */
   def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Intersection size of pre-sorted distinct hash sets (native,
+    * merge-only — [[SortedSetOverlapExpr]]); the numerator of
+    * containment measures. */
+  def overlapSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(SortedSetOverlapExpr(expression(a), expression(b)))
+  }
 }

@@ -126,6 +126,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Length-blocked CONTAINMENT pairs: |a∩b| / min(|a|,|b|) over the
+    * shingle-hash sets — the asymmetric overlap that catches subset
+    * duplication (quotes, excerpts, boilerplate wrappers) which Jaccard's
+    * union normalization dilutes: a 30-token quote inside a 300-token
+    * page scores ~1.0 here, ~0.1 there. Same blocked equi-join and
+    * sorted-merge posture as [[blockedJaccardPairs]]; note length
+    * blocking bounds the CANDIDATE window, so containment pairs farther
+    * apart than `maxLenRatio` buckets are out of scope by declaration
+    * (full asymmetric search needs the LSH path over the shorter side's
+    * shingles). */
+  def blockedContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                              lenCol: String, shingleN: Int = 3,
+                              threshold: Double = 0.8, bucketWidth: Int = 32,
+                              blockSpan: Int = 2): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      (col(lenCol) / bucketWidth).cast("long").as("bucket"),
+      sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
+      .repartition(col("id"))
+    val left = sh.select(col("id").as("id_a"), col("hashes").as("h_a"),
+      explode(array((-blockSpan to blockSpan).map(col("bucket") + _): _*)).as("jb"))
+    val right = sh.select(col("id").as("id_b"), col("hashes").as("h_b"),
+      col("bucket").as("jb"))
+    left.join(right, Seq("jb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("containment",
+        graft.functions.TextFunctions.overlapSorted(col("h_a"), col("h_b"))
+          .cast("double") /
+          least(size(col("h_a")), size(col("h_b"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Connected components over a near-dup pair graph: every document
     * labeled with the SMALLEST doc id reachable through near-dup edges —
     * the canonical-representative step of a production dedup pipeline

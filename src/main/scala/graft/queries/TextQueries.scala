@@ -648,6 +648,19 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Containment overlap — the asymmetric dedup measure: |a∩b| over the
+    // SMALLER set, catching subset duplication (quotes, excerpts,
+    // boilerplate wrappers) that Jaccard's union normalization dilutes.
+    // Same blocked equi-join + sorted-merge-overlap posture as ns04,
+    // with a ±2-bucket candidate window (declared scope — full
+    // asymmetric search is the LSH path).
+    "ns33_containment" -> ((s, d) => {
+      Dedup.blockedContainmentPairs(Tables.documents(s, d), "doc_id", "text",
+        lenCol = "n_chars", shingleN = 3, threshold = 0.8, bucketWidth = 32,
+        blockSpan = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // PageRank over the near-dup graph (link analysis — the remaining
     // iterative-algorithm class beside ns12's connected components):
     // simplified PageRank, d=0.85, 3 unrolled iterations, no
@@ -1120,6 +1133,16 @@ object TextQueries {
         |  FROM byd)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, bm25
         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ns33_containment" ->
+      s"""$shingleHashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.hashes, b.hashes)) * 1.0
+         |    / least(len(a.hashes), len(b.hashes)) AS containment
+         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |WHERE (b.n_chars // 32) - (a.n_chars // 32) BETWEEN -2 AND 2
+         |  AND len(list_intersect(a.hashes, b.hashes)) * 1.0
+         |    / least(len(a.hashes), len(b.hashes)) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
     "ns32_pagerank" -> {
       val iterCtes = (1 to 3).map { t =>
         s"""contrib$t AS (

@@ -80,4 +80,19 @@ class TextFunctionsSpec extends SparkSuite {
       .filter($"sorted" =!= $"general").count()
     assert(diff == 0)
   }
+
+  test("native sorted-overlap == builtins array_intersect size") {
+    import org.apache.spark.sql.functions.{array_intersect, size, sort_array}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"doc_id" < 40)
+    val hs = docs.select($"doc_id".as("id"),
+      sort_array(TextFunctions.shingleHashes($"text", 3)).as("h"))
+      .repartition($"id")
+    val pairs = hs.as("a").join(hs.as("b"), $"a.id" < $"b.id")
+    val diff = pairs.select(
+      TextFunctions.overlapSorted($"a.h", $"b.h").as("native"),
+      size(array_intersect($"a.h", $"b.h")).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+  }
 }
