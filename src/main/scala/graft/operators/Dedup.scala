@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline surface
@@ -107,39 +107,21 @@ object Dedup {
     * made scale-safe with an oracle-expressible predicate. */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           lenCol: String, shingleN: Int = 3,
-                          threshold: Double = 0.5, bucketWidth: Int = 32): DataFrame = {
-    // Materialization barrier: without it the shingle-hash expression is
-    // collapsed into both join sides' projections and recomputed (see
-    // minhashNearDups).
-    val sh = df.select(col(idCol).as("id"),
-      (col(lenCol) / bucketWidth).cast("long").as("bucket"),
-      sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
-      .repartition(col("id"))
-    val left = sh.select(col("id").as("id_a"), col("hashes").as("h_a"),
-      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("jb"))
-    val right = sh.select(col("id").as("id_b"), col("hashes").as("h_b"),
-      col("bucket").as("jb"))
-    left.join(right, Seq("jb"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccardSorted(col("h_a"), col("h_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+                          threshold: Double = 0.5, bucketWidth: Int = 32): DataFrame =
+    blockedPairs(df, idCol, textCol, lenCol, shingleN, bucketWidth,
+      blockSpan = 1, measure = jaccardSorted, outCol = "jaccard",
+      threshold = threshold)
 
-  /** Length-blocked CONTAINMENT pairs: |a∩b| / min(|a|,|b|) over the
-    * shingle-hash sets — the asymmetric overlap that catches subset
-    * duplication (quotes, excerpts, boilerplate wrappers) which Jaccard's
-    * union normalization dilutes: a 30-token quote inside a 300-token
-    * page scores ~1.0 here, ~0.1 there. Same blocked equi-join and
-    * sorted-merge posture as [[blockedJaccardPairs]]; note length
-    * blocking bounds the CANDIDATE window, so containment pairs farther
-    * apart than `maxLenRatio` buckets are out of scope by declaration
-    * (full asymmetric search needs the LSH path over the shorter side's
-    * shingles). */
-  def blockedContainmentPairs(df: DataFrame, idCol: String, textCol: String,
-                              lenCol: String, shingleN: Int = 3,
-                              threshold: Double = 0.8, bucketWidth: Int = 32,
-                              blockSpan: Int = 2): DataFrame = {
+  /** Shared skeleton of the length-blocked pair families: materialization
+    * barrier (without it the shingle-hash expression is collapsed into
+    * both join sides' projections and recomputed — see minhashNearDups),
+    * left side exploded to `2·blockSpan+1` bucket keys so each pair
+    * matches exactly once in a plain shuffled equi-join, then the
+    * `measure` scored once per surviving pair. */
+  private def blockedPairs(df: DataFrame, idCol: String, textCol: String,
+                           lenCol: String, shingleN: Int, bucketWidth: Int,
+                           blockSpan: Int, measure: (Column, Column) => Column,
+                           outCol: String, threshold: Double): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       (col(lenCol) / bucketWidth).cast("long").as("bucket"),
       sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
@@ -150,13 +132,30 @@ object Dedup {
       col("bucket").as("jb"))
     left.join(right, Seq("jb"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("containment",
-        graft.functions.TextFunctions.overlapSorted(col("h_a"), col("h_b"))
-          .cast("double") /
-          least(size(col("h_a")), size(col("h_b"))).cast("double"))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("containment"))
+      .withColumn(outCol, measure(col("h_a"), col("h_b")))
+      .filter(col(outCol) >= threshold)
+      .select(col("id_a"), col("id_b"), col(outCol))
   }
+
+  /** Length-blocked CONTAINMENT pairs: |a∩b| / min(|a|,|b|) over the
+    * shingle-hash sets — the asymmetric overlap that catches subset
+    * duplication (quotes, excerpts, boilerplate wrappers) which Jaccard's
+    * union normalization dilutes. Same blocked equi-join and sorted-merge
+    * posture as [[blockedJaccardPairs]]; note length blocking bounds the
+    * CANDIDATE window, so pairs more than `blockSpan` buckets apart in
+    * length are out of scope by declaration — a short quote inside a much
+    * longer page needs the LSH path over the shorter side's shingles,
+    * not this blocked baseline. */
+  def blockedContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                              lenCol: String, shingleN: Int = 3,
+                              threshold: Double = 0.8, bucketWidth: Int = 32,
+                              blockSpan: Int = 2): DataFrame =
+    blockedPairs(df, idCol, textCol, lenCol, shingleN, bucketWidth,
+      blockSpan,
+      measure = (a, b) =>
+        graft.functions.TextFunctions.overlapSorted(a, b).cast("double") /
+          least(size(a), size(b)).cast("double"),
+      outCol = "containment", threshold = threshold)
 
   /** Connected components over a near-dup pair graph: every document
     * labeled with the SMALLEST doc id reachable through near-dup edges —

@@ -64,11 +64,17 @@ object EventOps {
     * probes two buckets, so "no match in this bucket" ≠ "no match"), so
     * the outer tier is the inner join + a left-anti join of `left`
     * against the matched `leftIdCol`s — both shuffled equi-joins, never
-    * a nested loop. `leftIdCol` must uniquely identify left rows. */
+    * a nested loop. The inner result feeds BOTH the union branch and the
+    * anti join, so it is eagerly checkpointed (the vs13/ns32 barrier
+    * pattern) — without the barrier the two consumers get differently
+    * pruned copies of the range-join subplan that ReuseExchange cannot
+    * dedupe, and the dominant join runs twice. `leftIdCol` must uniquely
+    * identify left rows. */
   def rangeJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
                          leftIdCol: String, leftTsCol: String, rightTsCol: String,
                          windowMicros: Long): DataFrame = {
     val inner = rangeJoin(left, right, key, leftTsCol, rightTsCol, windowMicros)
+      .localCheckpoint(true)
     val matched = inner.select(col(leftIdCol)).distinct()
     val unmatched = right.columns.filterNot(_ == key)
       .foldLeft(left.join(matched, Seq(leftIdCol), "left_anti")) { (df, c) =>

@@ -239,7 +239,10 @@ object ApiQueries {
     // max over the bare partition — two window passes on ONE user
     // shuffle (same partitioning → Spark reuses the sort), attaching the
     // per-customer distinct-priority count to every order row without a
-    // groupBy + self-join round trip.
+    // groupBy + self-join round trip. Precondition: the counted column
+    // must be non-null (dense_rank ranks NULLs too, so a nullable column
+    // would count one extra "value" vs COUNT(DISTINCT) — guard with a
+    // NOT NULL filter before copying this idiom elsewhere).
     "q53_window_distinct" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w1 = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))

@@ -119,6 +119,40 @@ object TextQueries {
         (acc, x) => acc + x.getField("sc")).as("bm25"))
   }
 
+  /** CTEs `stats`,`btoks`,`tf`,`dfreq`,`term`,`byd`: the BM25 scoring
+    * chain (k1=1.2, b=0.75, log-free idf, in-order fold over tok-sorted
+    * term scores) over `documents`, scoring the (query_id, tok) rows of
+    * the caller-defined CTE `qterms` (which must be self-contained and
+    * defined BEFORE these CTEs). Kept in lockstep with [[bm25Scores]],
+    * the Spark twin — one formula, two oracle consumers (ns29, vs15). */
+  private def bm25Ctes(qterms: String, excludeSelf: Boolean): String =
+    s"""stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+       |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM documents),
+       |btoks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+       |  FROM btoks GROUP BY doc_id, tok),
+       |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |term AS (
+       |  SELECT $qterms.query_id, tf.doc_id, tf.tok,
+       |    (((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2))
+       |    / (CAST(tf.tf AS DOUBLE)
+       |       + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / avgdl))) AS sc
+       |  FROM tf JOIN $qterms USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats${
+      if (excludeSelf) s"\n  WHERE tf.doc_id <> $qterms.query_id" else ""}),
+       |byd AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list_prepend(0.0, list(sc ORDER BY tok)),
+       |      (acc, x) -> acc + x) AS bm25
+       |  FROM term GROUP BY query_id, doc_id)""".stripMargin
+
   private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopDe = Seq("der", "die", "das", "und", "nicht")
   private val stopFr = Seq("le", "la", "et", "les", "des")
@@ -1097,42 +1131,18 @@ object TextQueries {
         |SELECT doc_id, tok AS top_token, tf, df, score
         |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "ns29_bm25_topk" ->
-      """WITH q AS (
-        |  SELECT CAST(v.qid AS BIGINT) AS query_id, v.tok AS tok
-        |  FROM (VALUES (0,'spark'),(0,'join'),(0,'window'),
-        |               (1,'hash'),(1,'merge'),(1,'sort'),
-        |               (2,'stream'),(2,'batch'),(2,'filter')) v(qid, tok)),
-        |stats AS (
-        |  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
-        |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
-        |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
-        |  FROM documents),
-        |toks AS (
-        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-        |    unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
-        |  FROM toks GROUP BY doc_id, tok),
-        |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-        |term AS (
-        |  SELECT q.query_id, tf.doc_id, tf.tok,
-        |    (((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2))
-        |    / (CAST(tf.tf AS DOUBLE)
-        |       + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / avgdl))) AS sc
-        |  FROM tf JOIN q USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats),
-        |byd AS (
-        |  SELECT query_id, doc_id,
-        |    list_reduce(list_prepend(0.0, list(sc ORDER BY tok)),
-        |      (acc, x) -> acc + x) AS bm25
-        |  FROM term GROUP BY query_id, doc_id),
-        |rk AS (
-        |  SELECT query_id, doc_id, bm25, ROW_NUMBER() OVER (
-        |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
-        |  FROM byd)
-        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, bm25
-        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      s"""WITH q AS (
+         |  SELECT CAST(v.qid AS BIGINT) AS query_id, v.tok AS tok
+         |  FROM (VALUES (0,'spark'),(0,'join'),(0,'window'),
+         |               (1,'hash'),(1,'merge'),(1,'sort'),
+         |               (2,'stream'),(2,'batch'),(2,'filter')) v(qid, tok)),
+         |${bm25Ctes("q", excludeSelf = false)},
+         |rk AS (
+         |  SELECT query_id, doc_id, bm25, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+         |  FROM byd)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, bm25
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "ns33_containment" ->
       s"""$shingleHashCte
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1215,33 +1225,11 @@ object TextQueries {
          |    SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cos DESC, doc_id ASC) AS rn
          |    FROM vscored) t WHERE rn <= 20),
-         |stats AS (
-         |  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
-         |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
-         |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
-         |  FROM documents),
-         |toks AS (
-         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-         |    unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |tf AS (
-         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
-         |  FROM toks GROUP BY doc_id, tok),
-         |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-         |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM toks WHERE doc_id < 3),
-         |term AS (
-         |  SELECT qt.query_id, tf.doc_id, tf.tok,
-         |    (((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-         |      * (CAST(tf.tf AS DOUBLE) * 2.2))
-         |    / (CAST(tf.tf AS DOUBLE)
-         |       + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / avgdl))) AS sc
-         |  FROM tf JOIN qt USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats
-         |  WHERE tf.doc_id <> qt.query_id),
-         |byd AS (
-         |  SELECT query_id, doc_id,
-         |    list_reduce(list_prepend(0.0, list(sc ORDER BY tok)),
-         |      (acc, x) -> acc + x) AS bm25
-         |  FROM term GROUP BY query_id, doc_id),
+         |qt AS (
+         |  SELECT DISTINCT doc_id AS query_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents WHERE doc_id < 3) s0),
+         |${bm25Ctes("qt", excludeSelf = true)},
          |lrank AS (
          |  SELECT query_id, doc_id, CAST(rn AS INT) AS lex_rank FROM (
          |    SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
