@@ -234,6 +234,33 @@ object ApiQueries {
         ORDER BY l_returnflag""")
     }),
 
+    // The TPC-H Q21 shape (adapted to this schema's columns): suppliers
+    // who were the LAST to ship in multi-supplier orders — a correlated
+    // EXISTS and a correlated NOT EXISTS with a non-equi condition on
+    // the same table, the hardest classic subquery nesting. Catalyst
+    // rewrites both into join form: the EXISTS becomes a left-semi and
+    // the NOT EXISTS a left-anti, each equi-keyed on l_orderkey with the
+    // inequality as a join residual — no nested loop, three shuffles of
+    // lineitem at any scale.
+    "q54_multi_exists" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier_v s JOIN lineitem_v l1 ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem_v l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem_v l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name""")
+    }),
+
     // Window-partition COUNT(DISTINCT): Spark rejects COUNT(DISTINCT)
     // OVER, so the idiomatic plan is dense_rank over the value order +
     // max over the bare partition — two window passes on ONE user
@@ -600,6 +627,20 @@ object ApiQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q54_multi_exists" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "q53_window_distinct" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority, d.n_priorities
         |FROM orders o JOIN (

@@ -234,6 +234,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Window"), s"st14 lost its window form:\n$p")
   }
 
+  test("q54's correlated EXISTS/NOT EXISTS stay equi-keyed semi/anti joins") {
+    val p = executedPlan("q54_multi_exists")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"q54's subqueries must rewrite to semi/anti joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q54's correlation degenerated to a nested loop:\n$p")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
