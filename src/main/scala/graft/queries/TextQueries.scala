@@ -682,6 +682,40 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Collocation mining: token pairs that co-occur in documents far
+    // more than independence predicts — PMI's argument as the log-free
+    // LIFT ratio p(a,b)/(p(a)p(b)) = (c_ab·N)/(c_a·c_b) over document
+    // frequencies (log is monotone → identical ranking, and the ratio is
+    // three correctly-rounded IEEE ops — oracle-exact). Support floor
+    // c_ab ≥ 5 drops noise pairs. Scale shape: per-doc distinct tokens
+    // self-join on doc_id (pairs bounded by doc length², not corpus),
+    // one (a,b) partial agg; the lift table is vocabulary²-bounded, so
+    // the global top-k window sees a small aggregate, never the corpus.
+    "ns34_collocation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val nd = docs.count().toDouble
+      val td = docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      val ca = td.groupBy(col("tok")).agg(count(lit(1)).as("ca"))
+      val pairs = td.select(col("doc_id"), col("tok").as("ta"))
+        .join(td.select(col("doc_id"), col("tok").as("tb")), Seq("doc_id"))
+        .filter(col("ta") < col("tb"))
+      val cab = pairs.groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("cab"))
+      val lifted = cab
+        .join(broadcast(ca.select(col("tok").as("ta"), col("ca").as("c_a"))), Seq("ta"))
+        .join(broadcast(ca.select(col("tok").as("tb"), col("ca").as("c_b"))), Seq("tb"))
+        .filter(col("cab") >= 5)
+        .withColumn("lift",
+          (col("cab").cast("double") * lit(nd)) /
+            (col("c_a").cast("double") * col("c_b").cast("double")))
+      val w = Window.orderBy(col("lift").desc, col("ta").asc, col("tb").asc)
+      lifted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("ta"), col("tb"), col("cab"), col("lift"))
+        .orderBy(col("lift").desc, col("ta"), col("tb"))
+    }),
+
     // Containment overlap — the asymmetric dedup measure: |a∩b| over the
     // SMALLER set, catching subset duplication (quotes, excerpts,
     // boilerplate wrappers) that Jaccard's union normalization dilutes.
@@ -1143,6 +1177,31 @@ object TextQueries {
          |  FROM byd)
          |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, bm25
          |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ns34_collocation" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) s0),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+        |ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ca FROM td GROUP BY tok),
+        |pairs AS (
+        |  SELECT a.doc_id, a.tok AS ta, b.tok AS tb
+        |  FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.tok < b.tok),
+        |cab AS (
+        |  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM pairs GROUP BY ta, tb),
+        |lifted AS (
+        |  SELECT ta, tb, cab.cab,
+        |    (CAST(cab.cab AS DOUBLE) * nd)
+        |      / (CAST(x.ca AS DOUBLE) * CAST(y.ca AS DOUBLE)) AS lift
+        |  FROM cab JOIN ca x ON x.tok = cab.ta JOIN ca y ON y.tok = cab.tb
+        |       CROSS JOIN n
+        |  WHERE cab.cab >= 5)
+        |SELECT ta, tb, cab, lift FROM (
+        |  SELECT ta, tb, cab, lift,
+        |    ROW_NUMBER() OVER (ORDER BY lift DESC, ta ASC, tb ASC) AS rn
+        |  FROM lifted) t
+        |WHERE rn <= 20 ORDER BY lift DESC, ta, tb""".stripMargin,
     "ns33_containment" ->
       s"""$shingleHashCte
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
