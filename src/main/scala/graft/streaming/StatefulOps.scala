@@ -112,4 +112,52 @@ object StatefulOps {
       .transformWithState(new SchemaRegistryProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** A funnel event (millis event time; minute-level fixtures lose
+    * nothing). */
+  case class FunnelEv(user: Long, kind: String, tsMillis: Long)
+
+  /** A user's funnel progress emitted each time the reached stage
+    * advances (Append): stage 1 = first "view", 2 = first "click"
+    * strictly after it, 3 = first "purchase" strictly after that. */
+  case class FunnelRow(user: Long, stage: Int, v1: Option[Long],
+                       c1: Option[Long], p1: Option[Long])
+
+  /** Per-user funnel state: the three optional first-hit timestamps. */
+  case class FunnelState(v1: Option[Long], c1: Option[Long], p1: Option[Long])
+
+  /** st14's ordered funnel as cross-batch keyed state — the streaming
+    * twin of the batch window form (spec-asserted equal). State per user
+    * is three optional first-hit timestamps (fixed size — no event
+    * buffer). Within a batch events are processed in event-time order;
+    * across batches the equality with the batch form holds for per-user
+    * event-time-ordered delivery (the watermarked-source contract — a
+    * late view arriving after a click was consumed can't retroactively
+    * lower v1, exactly like any first-match streaming semantics). */
+  def funnelStages(evs: Dataset[FunnelEv]): Dataset[FunnelRow] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, recs: Iterator[FunnelEv], state: GroupState[FunnelState]) => {
+          val s0 = state.getOption.getOrElse(FunnelState(None, None, None))
+          var v1 = s0.v1; var c1 = s0.c1; var p1 = s0.p1
+          def stage = if (p1.isDefined) 3 else if (c1.isDefined) 2
+            else if (v1.isDefined) 1 else 0
+          val out = Seq.newBuilder[FunnelRow]
+          var last = stage
+          recs.toSeq.sortBy(_.tsMillis).foreach { e =>
+            e.kind match {
+              case "view" if v1.isEmpty => v1 = Some(e.tsMillis)
+              case "click" if c1.isEmpty && v1.exists(e.tsMillis > _) =>
+                c1 = Some(e.tsMillis)
+              case "purchase" if p1.isEmpty && c1.exists(e.tsMillis > _) =>
+                p1 = Some(e.tsMillis)
+              case _ =>
+            }
+            if (stage != last) { out += FunnelRow(user, stage, v1, c1, p1); last = stage }
+          }
+          state.update(FunnelState(v1, c1, p1))
+          out.result().iterator
+        })
+  }
 }

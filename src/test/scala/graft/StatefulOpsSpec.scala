@@ -92,4 +92,50 @@ class StatefulOpsSpec extends SparkSuite {
         ("row-c", None, 4L)))
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("funnelStages matches the batch window funnel on ordered delivery") {
+    import graft.streaming.StatefulOps.FunnelEv
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      FunnelEv(1, "view", 0), FunnelEv(1, "click", 5), FunnelEv(1, "purchase", 9),
+      FunnelEv(2, "click", 1), FunnelEv(2, "view", 3), FunnelEv(2, "click", 7),
+      FunnelEv(3, "view", 2), FunnelEv(3, "purchase", 4), // no click → stays 1
+      FunnelEv(4, "view", 6), FunnelEv(4, "click", 6),    // same instant → not after
+      FunnelEv(5, "error", 1))                            // never enters → no rows
+
+    val in = MemoryStream[FunnelEv]
+    val q = StatefulOps.funnelStages(in.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .option("checkpointLocation", checkpointDir("funnel"))
+      .outputMode("append").start()
+    // event-time-ordered delivery split across two batches
+    val ordered = evs.sortBy(_.tsMillis)
+    val (b1, b2) = ordered.splitAt(ordered.length / 2)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("funnel_out")
+      .groupBy($"user").agg(org.apache.spark.sql.functions.max($"stage").as("stage"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+
+    // batch twin: st14's stacked conditional window mins
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy($"user")
+    val batch = evs.toDF("user", "kind", "ts")
+      .withColumn("v1", min(when($"kind" === "view", $"ts")).over(w))
+      .withColumn("c1", min(when($"kind" === "click" && $"ts" > $"v1", $"ts")).over(w))
+      .withColumn("p1", min(when($"kind" === "purchase" && $"ts" > $"c1", $"ts")).over(w))
+      .groupBy($"user")
+      .agg(max($"v1").as("v1"), max($"c1").as("c1"), max($"p1").as("p1"))
+      .withColumn("stage", when($"p1".isNotNull, 3).when($"c1".isNotNull, 2)
+        .when($"v1".isNotNull, 1).otherwise(0))
+      .collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("stage")))).toMap
+
+    // streamed emits only users whose stage ADVANCED past 0
+    assert(streamed == batch.filter(_._2 > 0),
+      s"stream $streamed != batch ${batch.filter(_._2 > 0)}")
+    assert(streamed == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1))
+  }
 }
