@@ -234,6 +234,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Window"), s"st14 lost its window form:\n$p")
   }
 
+  test("ns34's collocation joins broadcast the token-frequency table") {
+    // the corpus-sized side is the per-doc pair set; both ca lookups
+    // must broadcast, and the global top-k window must sit on the
+    // vocab²-bounded lift aggregate, never the corpus
+    val p = executedPlan("ns34_collocation")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ns34 lost its broadcast frequency joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ns34 degenerated to a nested loop:\n$p")
+  }
+
   test("q54's correlated EXISTS/NOT EXISTS stay equi-keyed semi/anti joins") {
     val p = executedPlan("q54_multi_exists")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
