@@ -79,6 +79,14 @@ object Bench {
         SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    // A filtered run must be self-identifying: if the env var ever leaked
+    // into a recording environment, a partial round with no marker would
+    // read as a (fast) full round. The marker rides in the JSON itself.
+    val onlyMarker = only
+      .map(p => s""","bench_only":"${p.mkString(",")}"""").getOrElse("")
+    only.foreach(p => System.err.println(
+      s"BENCH PARTIAL: SPARK_GRAFT_BENCH_ONLY=${p.mkString(",")} restricts " +
+        s"this run to ${selected.size} of ${SparkEntry.queries.size} queries"))
     var failed = List.empty[String]
     val results: Map[String, Option[(Double, Double)]] =
       selected.map { case (name, fn) =>
@@ -133,7 +141,8 @@ object Bench {
     def summary(rs: Iterable[(String, Option[(Double, Double)])], note: String) =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,""" +
         s""""calib":[${f(calibPre)},${f(calibPost)}],""" +
-        s""""queries":${qmap(_._1, rs)},"queries_min":${qmap(_._2, rs)},"sf":"$sfDir"$note}"""
+        s""""queries":${qmap(_._1, rs)},"queries_min":${qmap(_._2, rs)},""" +
+        s""""sf":"$sfDir"$onlyMarker$note}"""
     // Line 1: every query's median + min. Line 2: a SHORT summary (total +
     // the 10 slowest) that stays intact even when a log capture keeps only
     // the output tail and truncates line 1's head — the driver's recorded

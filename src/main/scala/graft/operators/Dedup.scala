@@ -259,7 +259,9 @@ object Dedup {
       labels.unpersist(blocking = true)
       if (improved && round % checkpointInterval == 0) {
         val idir = s"$ckptRoot/graft-cc-iter-${labelsSeq.incrementAndGet()}"
-        next.write.parquet(idir)
+        // `changed` is a per-round transient (consumed by the probe
+        // above) — keep the durable artifact to the label schema
+        next.select(col("id"), col("component")).write.parquet(idir)
         next.unpersist(blocking = true)
         next = spark.read.parquet(idir).persist()
         iterDirs += idir
@@ -304,8 +306,12 @@ object Dedup {
       labels.unpersist(blocking = true)
       edges.unpersist(blocking = true)
       p.unpersist(blocking = true)
+      // NonFatal, not just IOException: some filesystem clients throw
+      // RuntimeExceptions from delete, and a cleanup failure must never
+      // mask the loop's original exception
       iterDirs.foreach(d =>
-        try deleteDir(d) catch { case _: java.io.IOException => () })
+        try deleteDir(d)
+        catch { case scala.util.control.NonFatal(_) => () })
     }
   }
 

@@ -68,11 +68,30 @@ object EventOps {
     * anti join, so it is eagerly checkpointed (the vs13/ns32 barrier
     * pattern) — without the barrier the two consumers get differently
     * pruned copies of the range-join subplan that ReuseExchange cannot
-    * dedupe, and the dominant join runs twice. `leftIdCol` must uniquely
-    * identify left rows. */
+    * dedupe, and the dominant join runs twice.
+    *
+    * CONTRACT: `leftIdCol` must uniquely identify left rows — if two
+    * left rows share an id and one matches, the anti join suppresses
+    * the other's null-padded emission entirely (rows silently lost).
+    * The uniqueness check is two extra jobs over `left` (a count and a
+    * distinct count), too heavy to always run at corpus scale, so it is
+    * opt-in: pass `verifyUniqueIds = true`, or set the session conf
+    * `graft.rangeJoin.verifyUniqueIds=true` (debug runs / CI), and a
+    * violated contract fails loudly instead of dropping rows. */
   def rangeJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
                          leftIdCol: String, leftTsCol: String, rightTsCol: String,
-                         windowMicros: Long): DataFrame = {
+                         windowMicros: Long,
+                         verifyUniqueIds: Boolean = false): DataFrame = {
+    val verify = verifyUniqueIds || left.sparkSession.conf
+      .getOption("graft.rangeJoin.verifyUniqueIds").exists(_.toBoolean)
+    if (verify) {
+      val total = left.count()
+      val uniq = left.select(col(leftIdCol)).distinct().count()
+      require(total == uniq,
+        s"rangeJoinLeftOuter: leftIdCol '$leftIdCol' is not unique " +
+          s"($uniq distinct ids over $total rows) — duplicate-id left rows " +
+          "would silently lose their unmatched emission")
+    }
     val inner = rangeJoin(left, right, key, leftTsCol, rightTsCol, windowMicros)
       .localCheckpoint(true)
     val matched = inner.select(col(leftIdCol)).distinct()

@@ -395,8 +395,19 @@ object Similarity {
     * correctly-rounded IEEE ops over in-order cosine folds, so scores
     * are bit-identical cross-engine and the selection is oracle-exact.
     *
+    * Short-pool behavior: `require(poolSize >= k)` bounds the REQUESTED
+    * pool, not its realized depth — a query whose actual pool runs out
+    * before step k (corpus smaller than poolSize, or every remaining
+    * candidate already selected) stops contributing: each later step's
+    * inner join against that query's exhausted candidate set emits
+    * nothing, so the query yields FEWER than k steps with no error or
+    * null padding. Callers needing exactly-k must check
+    * `count(*) per query_id == k` downstream (or size the corpus ≥
+    * poolSize ≥ k up front, as vs13 does).
+    *
     * @return (query_id, step ∈ [1,k], neighbor_id, rel) — rel is the
-    *         query-cosine of the picked result
+    *         query-cosine of the picked result; ≤ k rows per query
+    *         (see short-pool behavior above)
     */
   def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               poolSize: Int, lambda: Double): DataFrame = {

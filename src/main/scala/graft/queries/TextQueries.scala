@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Checkpoints, Dedup}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -687,31 +687,37 @@ object TextQueries {
     // LIFT ratio p(a,b)/(p(a)p(b)) = (c_ab·N)/(c_a·c_b) over document
     // frequencies (log is monotone → identical ranking, and the ratio is
     // three correctly-rounded IEEE ops — oracle-exact). Support floor
-    // c_ab ≥ 5 drops noise pairs. Scale shape: per-doc distinct tokens
-    // self-join on doc_id (pairs bounded by doc length², not corpus),
-    // one (a,b) partial agg; the lift table is vocabulary²-bounded, so
-    // the global top-k window sees a small aggregate, never the corpus.
+    // c_ab ≥ 5 drops noise pairs. Scale shape: the exploded corpus is
+    // prefiltered to frequent tokens BEFORE the per-doc self-join — a
+    // lossless bound, because c_ab ≤ min(c_a, c_b) means the support
+    // floor can never keep a pair involving a token with c_a < 5, and
+    // the rare-token tail is most of any natural vocabulary (Zipf).
+    // Pairs are then bounded by (frequent tokens per doc)², one (a,b)
+    // partial agg, and the global top-20 is orderBy().limit() — a
+    // distributed TakeOrderedAndProject (per-partition heaps, k rows to
+    // the driver), never a single-partition window sort.
     "ns34_collocation" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val nd = docs.count().toDouble
       val td = docs.select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
       val ca = td.groupBy(col("tok")).agg(count(lit(1)).as("ca"))
-      val pairs = td.select(col("doc_id"), col("tok").as("ta"))
-        .join(td.select(col("doc_id"), col("tok").as("tb")), Seq("doc_id"))
+      val freq = ca.filter(col("ca") >= 5)
+      val tdf = td.join(broadcast(freq.select(col("tok"))), Seq("tok"), "left_semi")
+      val pairs = tdf.select(col("doc_id"), col("tok").as("ta"))
+        .join(tdf.select(col("doc_id"), col("tok").as("tb")), Seq("doc_id"))
         .filter(col("ta") < col("tb"))
       val cab = pairs.groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("cab"))
       val lifted = cab
-        .join(broadcast(ca.select(col("tok").as("ta"), col("ca").as("c_a"))), Seq("ta"))
-        .join(broadcast(ca.select(col("tok").as("tb"), col("ca").as("c_b"))), Seq("tb"))
+        .join(broadcast(freq.select(col("tok").as("ta"), col("ca").as("c_a"))), Seq("ta"))
+        .join(broadcast(freq.select(col("tok").as("tb"), col("ca").as("c_b"))), Seq("tb"))
         .filter(col("cab") >= 5)
         .withColumn("lift",
           (col("cab").cast("double") * lit(nd)) /
             (col("c_a").cast("double") * col("c_b").cast("double")))
-      val w = Window.orderBy(col("lift").desc, col("ta").asc, col("tb").asc)
-      lifted.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 20)
+      lifted
+        .orderBy(col("lift").desc, col("ta").asc, col("tb").asc)
+        .limit(20)
         .select(col("ta"), col("tb"), col("cab"), col("lift"))
         .orderBy(col("lift").desc, col("ta"), col("tb"))
     }),
@@ -736,19 +742,25 @@ object TextQueries {
     // is what's consumed). Deterministic end to end: the per-node
     // in-neighbor sum folds in neighbor order, every other op is a
     // single correctly-rounded IEEE op. The edge set (ns04's verified
-    // pairs) is eagerly localCheckpoint-ed so the LSH subplan executes
-    // once, not once per iteration (vs13's barrier pattern); each
-    // iteration is one shuffled equi-join + one agg — the 100 TB shape,
-    // with in-loop reliable checkpoints once iterations grow (SCALE.md).
+    // pairs) is RELIABLY checkpointed (parquet under the session
+    // checkpoint dir — shared storage on a cluster) so the LSH subplan
+    // executes once, not once per iteration, and an executor loss
+    // mid-loop recomputes from the durable scan instead of losing the
+    // truncated lineage (Checkpoints.reliable; executor-local
+    // localCheckpoint is reserved for driver-adjacent artifacts like
+    // vs13's greedy steps). Each iteration is one shuffled equi-join +
+    // one agg — the 100 TB shape, with in-loop reliable checkpoints
+    // once iterations grow past the unrolled 3 (SCALE.md).
     "ns32_pagerank" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val n = docs.count()
       val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
         lenCol = "n_chars", shingleN = 3, threshold = 0.5, bucketWidth = 32)
         .select(col("id_a"), col("id_b"))
-      val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-        .localCheckpoint(true)
+      val edges = Checkpoints.reliable(
+        pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v"))),
+        "ns32-edges")
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       val nodes = docs.select(col("doc_id").as("v"))
       var pr = nodes.withColumn("pr", lit(1.0 / n))

@@ -188,6 +188,47 @@ object GoldenGateDml {
       .map { case (offset, bytes) => classify(bytes, offset) })
   }
 
+  /** Adapter from the standard Spark kafka source schema
+    * (`key binary, value binary, topic string, partition int,
+    * offset long, timestamp, timestampType`) into the same classify →
+    * registry → decode → envelope pipeline — so a real topic IS the
+    * one-line swap [[fromFeed]] promises:
+    * {{{
+    *   val raw = spark.readStream.format("kafka")
+    *     .option("kafka.bootstrap.servers", brokers)
+    *     .option("subscribe", topic).load()
+    *   val envelope = GoldenGateDml.fromKafkaShaped(raw)
+    * }}}
+    * Only `value` and `offset` are read; `partition`, when present, is
+    * ENFORCED single-valued per the reference's transport contract
+    * (GoldenGateKafka.java:116-140 builds the consumer over exactly one
+    * partition; offsets are the change versions at :142-169, which
+    * totally order changes ONLY within one partition — a multi-partition
+    * topic would interleave versions incoherently, so a stray partition
+    * fails the task with a named error rather than mis-ordering
+    * silently). Works identically on batch and streaming DataFrames.
+    */
+  def fromKafkaShaped(df: DataFrame, expectedPartition: Int = 0): DataFrame = {
+    val cols = df.columns.toSet
+    require(Set("value", "offset").subsetOf(cols),
+      s"kafka-shaped input needs (value, offset), got: ${df.columns.mkString(", ")}")
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val partitionCol =
+      if (cols.contains("partition")) col("partition").cast("int")
+      else lit(expectedPartition)
+    pipeline(df
+      .select(partitionCol.as("p"), col("offset").cast("long"), col("value"))
+      .as[(Int, Long, Array[Byte])]
+      .map { case (p, offset, bytes) =>
+        if (p != expectedPartition) throw new IllegalStateException(
+          s"GoldenGate transport must be a single Kafka partition " +
+            s"(expected $expectedPartition, saw $p): offsets are the change " +
+            "versions and only totally order within one partition")
+        classify(bytes, offset)
+      })
+  }
+
   /** [[classify]], but malformed bytes become a `deadletter` message
     * instead of failing the task. The reference kills the stream on the
     * first undecodable message (GoldenGateKafka.java:208-237 lets the

@@ -200,4 +200,27 @@ class GraftFunctionsSpec extends SparkSuite {
       .select(explode($"p").as("p")).select($"p.h").as[Long].collect().toSeq
     assert(small == Seq(3L, 5L))
   }
+
+  test("bottom_k skips null sort keys and payloads (documented divergence)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the window form would rank a null key FIRST (nulls-first asc);
+    // bottom_k drops null-keyed and null-payload rows instead — the
+    // pinned semantics from the scaladoc
+    val df = Seq[(String, java.lang.Long, java.lang.Long)](
+      ("g", null, 1L), ("g", 7L, null), ("g", 5L, 10L), ("g", 3L, 11L))
+      .toDF("g", "h", "id")
+    val out = df.groupBy($"g")
+      .agg(graft.functions.BottomK.bottomK($"h", $"id", 3).as("p"))
+      .select(explode($"p").as("p")).select($"p.h", $"p.id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((3L, 11L), (5L, 10L)),
+      s"null-keyed/-payload rows must be skipped, got $out")
+    // all-null group: empty array, not null and not a null-keyed row
+    val empty = Seq[(String, java.lang.Long, java.lang.Long)](("g", null, null))
+      .toDF("g", "h", "id")
+      .groupBy($"g").agg(graft.functions.BottomK.bottomK($"h", $"id", 3).as("p"))
+      .select(size($"p")).as[Int].collect().toSeq
+    assert(empty == Seq(0))
+  }
 }

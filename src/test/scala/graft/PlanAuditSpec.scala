@@ -236,13 +236,18 @@ class PlanAuditSpec extends SparkSuite {
 
   test("ns34's collocation joins broadcast the token-frequency table") {
     // the corpus-sized side is the per-doc pair set; both ca lookups
-    // must broadcast, and the global top-k window must sit on the
-    // vocab²-bounded lift aggregate, never the corpus
+    // must broadcast, and the global top-20 must be the distributed
+    // TakeOrderedAndProject (per-partition heaps), never a
+    // single-partition window sort over the lift table
     val p = executedPlan("ns34_collocation")
     assert(p.contains("BroadcastHashJoin"),
       s"ns34 lost its broadcast frequency joins:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"ns34 degenerated to a nested loop:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ns34's top-20 must be a distributed TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window"),
+      s"ns34 must not rank via a global (single-partition) window:\n$p")
   }
 
   test("q54's correlated EXISTS/NOT EXISTS stay equi-keyed semi/anti joins") {
