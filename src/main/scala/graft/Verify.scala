@@ -18,6 +18,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Full runs reconcile the dump dir: a query renamed since a prior
+    // run would otherwise leave its old parquet behind, and the compare
+    // step would report it as a phantom rows-only entry forever.
+    if (only.isEmpty) {
+      val live = SparkEntry.queries.keySet
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !live.contains(f.getName))
+        .foreach { stale =>
+          System.err.println(s"[verify] removing stale dump ${stale.getName}")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(stale)
+        }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

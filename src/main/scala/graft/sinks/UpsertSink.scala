@@ -37,6 +37,17 @@ trait CdcWriter {
   def upsert(table: String, key: String, values: Map[String, String]): Unit
   def delete(table: String, key: String): Unit
   def schemaOf(table: String): Option[StructType]
+
+  /** DML-path forms carrying the record's primary-key names — the
+    * reference's DML record shape (every change carries
+    * `primary_keys`, CDCKudu.java:141-145), which PK-column-addressed
+    * sinks (Kudu) need: their client sets each key column individually
+    * instead of addressing a joined row-key string. Row-key-addressed
+    * sinks ignore the extra arguments via these defaults. */
+  def upsert(table: String, pks: Seq[String], key: String,
+             values: Map[String, String]): Unit = upsert(table, key, values)
+  def delete(table: String, pks: Seq[String], key: String,
+             values: Map[String, String]): Unit = delete(table, key)
 }
 
 /** In-process writer target: the test/spec stand-in for the external
@@ -116,6 +127,20 @@ object UpsertSink {
       col("dml.rowsValues").as("values"),
       col("dml.changeTrackingVersion").cast("long").as("version"))
 
+  /** [[dmlProjection]] plus the record's primary-key NAMES — the writer
+    * registry path needs them (PK-column-addressed sinks); the parquet
+    * store's row-key-addressed projection stays 5-column. */
+  private[sinks] def dmlProjectionWithPks(batch: DataFrame): DataFrame =
+    batch.filter(col("dml").isNotNull).select(
+      col("dml.table").as("table"),
+      col("dml.opType").as("op"),
+      concat_ws(":", transform(array_sort(col("dml.primaryKeys")),
+        k => CdcApply.strictKeySegment(k, try_element_at(col("dml.rowsValues"), k))))
+        .as("row_key"),
+      col("dml.rowsValues").as("values"),
+      col("dml.changeTrackingVersion").cast("long").as("version"),
+      col("dml.primaryKeys").as("pks"))
+
   def applyBatch(batch: DataFrame, writerName: String): Unit = {
     val writer = CdcWriters.getOrCreate(writerName)
     // --- DDL phase (few rows: one per table per batch at most) ---
@@ -133,14 +158,16 @@ object UpsertSink {
       }
     }
     // --- DML phase: compact per (table, rowKey), then apply ---
-    val compacted = CdcApply.latestByKey(dmlProjection(batch),
+    val compacted = CdcApply.latestByKey(dmlProjectionWithPks(batch),
       Seq("table", "row_key"), col("version"))
     compacted.foreachPartition { rows: Iterator[Row] =>
       val w = CdcWriters.getOrCreate(writerName)
       rows.foreach { r =>
         val (table, op, key) = (r.getString(0), r.getString(1), r.getString(2))
-        if (op == graft.model.OpType.Delete) w.delete(table, key)
-        else w.upsert(table, key, r.getMap[String, String](3).toMap)
+        val values = r.getMap[String, String](3).toMap
+        val pks = r.getSeq[String](5)
+        if (op == graft.model.OpType.Delete) w.delete(table, pks, key, values)
+        else w.upsert(table, pks, key, values)
       }
     }
   }

@@ -92,6 +92,26 @@ private[sources] class ChangeFeedTable(props: Map[String, String])
     require(maxRetrySeconds >= 0, s"option 'maxRetrySeconds' must be >= 0, got $maxRetrySeconds")
     val emitDdl =
       Option(options.get("emitDdl")).map(_.toBoolean).getOrElse(false)
+    // SRC1a through the connection seam: when a registered
+    // ConnectionFactory is named, run table discovery + the typed
+    // schema snapshot over a real java.sql.Connection at plan time —
+    // driver-side, once per stream start, exactly where the reference
+    // does its metadata I/O (CTInputDStream.java:222-241) — and seed
+    // the store's schema registry so the per-batch DDL snapshots
+    // (SRC1e) carry the discovered schemas. A live deployment
+    // registers a driver-backed factory; specs register
+    // JdbcFixture.connection. The optional 'tableWhitelist' option
+    // (comma-separated) mirrors the reference's whitelist semantics.
+    Option(options.get("connectionFactory")).foreach { name =>
+      val factory = ConnectionFactory.lookup(name)
+      val whitelist = Option(options.get("tableWhitelist"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      val tables = JdbcDiscovery.discoverVia(factory, whitelist)
+      val snapshot = JdbcDiscovery.schemaSnapshotVia(factory, tables)
+      val st = ChangeTrackingStore.get(store)
+      snapshot.foreach { case (t, json) => st.setSchema(t, json) }
+    }
     () => new ChangeFeedScan(store, maxBatchSize, numPartitions, maxRetrySeconds, emitDdl)
   }
 }

@@ -79,4 +79,39 @@ object JdbcDiscovery {
       t.qualifiedName ->
         JdbcTypes.schemaFor(columnsOf(t.schemaName, t.name).getMetaData).json
     }.toMap
+
+  private def statementRunners(conn: java.sql.Connection)
+      : (String => ResultSet, (String, Seq[String]) => ResultSet) = (
+    sql => conn.createStatement().executeQuery(sql),
+    (sql, binds) => {
+      val ps = conn.prepareStatement(sql)
+      binds.zipWithIndex.foreach { case (v, i) => ps.setString(i + 1, v) }
+      ps.executeQuery()
+    })
+
+  /** [[discoverVia]] through the [[ConnectionFactory]] seam: opens one
+    * connection, runs the three catalog probes through real
+    * `createStatement`/`prepareStatement` calls, closes it (reference
+    * PluginConnectionFactory.java:43-66 supplies the connection,
+    * CTInputDStream.java:184-241 consumes it exactly this way). A live
+    * deployment registers a driver-backed factory; specs register
+    * [[JdbcFixture.connection]]. */
+  def discoverVia(factory: ConnectionFactory): Seq[TableInformation] =
+    discoverVia(factory, Set.empty[String])
+
+  def discoverVia(factory: ConnectionFactory,
+                  tableWhitelist: Set[String]): Seq[TableInformation] =
+    ConnectionFactory.withConnection(factory) { conn =>
+      val (run, runBound) = statementRunners(conn)
+      discoverVia(run, runBound, tableWhitelist)
+    }
+
+  /** [[schemaSnapshot]] through the factory seam (column probes are
+    * plain statements — CtSql.columnProbeSql). */
+  def schemaSnapshotVia(factory: ConnectionFactory,
+                        tables: Seq[TableInformation]): Map[String, String] =
+    ConnectionFactory.withConnection(factory) { conn =>
+      val (run, _) = statementRunners(conn)
+      schemaSnapshot(tables, (s, t) => run(CtSql.columnProbeSql(s, t)))
+    }
 }

@@ -66,6 +66,55 @@ object JdbcFixture {
     }
   }
 
+  /** A `java.sql.Connection` over SQL-text dispatchers — the offline
+    * instance behind the [[ConnectionFactory]] seam: plain statements
+    * route their SQL through `run`, prepared statements collect
+    * positional string binds and route through `runBound` — exactly the
+    * two shapes [[JdbcDiscovery]]'s catalog probes use, so the factory
+    * path exercises the same `createStatement`/`prepareStatement` calls
+    * a live driver would see. */
+  def connection(run: String => ResultSet,
+                 runBound: (String, Seq[String]) => ResultSet): java.sql.Connection = {
+    @volatile var closed = false
+    proxy[java.sql.Connection] { (m, args) =>
+      m match {
+        case "createStatement" =>
+          proxy[java.sql.Statement] { (sm, sargs) =>
+            sm match {
+              case "executeQuery" => run(sargs(0).asInstanceOf[String])
+              case "close" | "clearWarnings" => null
+              case "isClosed" => Boolean.box(false)
+              case other => throw new UnsupportedOperationException(
+                s"JdbcFixture statement does not model $other")
+            }
+          }
+        case "prepareStatement" =>
+          val sql = args(0).asInstanceOf[String]
+          val binds = scala.collection.mutable.Map.empty[Int, String]
+          proxy[java.sql.PreparedStatement] { (pm, pargs) =>
+            pm match {
+              case "setString" =>
+                binds(pargs(0).asInstanceOf[Integer].intValue) =
+                  pargs(1).asInstanceOf[String]
+                null
+              case "executeQuery" =>
+                val n = if (binds.isEmpty) 0 else binds.keys.max
+                runBound(sql, (1 to n).map(i => binds.getOrElse(i, null)))
+              case "close" | "clearWarnings" => null
+              case "isClosed" => Boolean.box(false)
+              case other => throw new UnsupportedOperationException(
+                s"JdbcFixture prepared statement does not model $other")
+            }
+          }
+        case "close" => closed = true; null
+        case "isClosed" => Boolean.box(closed)
+        case "toString" => "JdbcFixture.connection"
+        case other => throw new UnsupportedOperationException(
+          s"JdbcFixture connection does not model $other")
+      }
+    }
+  }
+
   private def proxy[T](handler: (String, Array[AnyRef]) => AnyRef)
                       (implicit ct: scala.reflect.ClassTag[T]): T = {
     val clazz = ct.runtimeClass

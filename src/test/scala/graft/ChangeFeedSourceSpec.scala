@@ -75,4 +75,88 @@ class ChangeFeedSourceSpec extends SparkSuite {
     assert(delivered == 30, s"only $delivered/30 delivered after recovery")
     assert(q.exception.isEmpty, s"query should survive the outage: ${q.exception}")
   }
+
+  test("connectionFactory option runs discovery through a real java.sql.Connection") {
+    import java.sql.Types
+    import graft.sources.{ConnectionFactory, CtSql, JdbcFixture}
+    import JdbcFixture.Col
+
+    // catalog fixture: two CT-enabled tables, dispatched on the EXACT
+    // SQL text CtSql composes — the same strings a live SQL Server
+    // would receive through this connection
+    val ctCols = Seq(Col("schema_name", "varchar", Types.VARCHAR),
+      Col("table_name", "varchar", Types.VARCHAR))
+    val tableCols = Map(
+      ("dbo", "orders") -> Seq(Col("id", "int", Types.INTEGER, 10),
+        Col("amt", "decimal", Types.DECIMAL, 12, 2)),
+      ("dbo", "items") -> Seq(Col("sku", "varchar", Types.VARCHAR),
+        Col("qty", "int", Types.INTEGER, 10)))
+    val pks = Map(("dbo", "orders") -> Seq("id"), ("dbo", "items") -> Seq("sku"))
+    def run(sql: String): java.sql.ResultSet =
+      if (sql == CtSql.ctEnabledTablesSql)
+        JdbcFixture.resultSet(ctCols, Seq(Seq("dbo", "orders"), Seq("dbo", "items")))
+      else tableCols.keys.find { case (s, t) => sql == CtSql.columnProbeSql(s, t) }
+        .map(k => JdbcFixture.resultSet(tableCols(k), Seq.empty))
+        .getOrElse(throw new java.sql.SQLException(s"unexpected SQL: $sql"))
+    def runBound(sql: String, binds: Seq[String]): java.sql.ResultSet = {
+      assert(sql == CtSql.keyColumnsSql, s"unexpected bound SQL: $sql")
+      JdbcFixture.resultSet(Seq(Col("COLUMN_NAME", "varchar", Types.VARCHAR)),
+        pks((binds(0), binds(1))).map(Seq(_: Any)))
+    }
+
+    var opened = 0
+    val closed = scala.collection.mutable.ListBuffer.empty[java.sql.Connection]
+    ConnectionFactory.register("ct-fixture", () => {
+      opened += 1
+      val c = JdbcFixture.connection(run, runBound)
+      closed += c
+      c
+    })
+
+    val name = "ct-factory"
+    ChangeTrackingStore.drop(name)
+    val store = ChangeTrackingStore.get(name)
+    store.append("dbo.orders", "INSERT", 1L, "p1")
+
+    val stream = spark.readStream
+      .format(classOf[ChangeFeedProvider].getName)
+      .option("store", name)
+      .option("connectionFactory", "ct-fixture")
+      .option("emitDdl", "true")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("ct_factory_out")
+      .option("checkpointLocation", checkpointDir("ctfactory"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // the discovered schemas (typed through the DBUtils tier:
+    // DECIMAL(12,2) → double) flow into the per-batch DDL snapshot
+    val ddl = spark.table("ct_factory_out").filter($"kind" === "ddl")
+      .select($"table", $"schemaJson").as[(String, String)].collect().toMap
+    assert(ddl.keySet == Set("dbo.orders", "dbo.items"))
+    import org.apache.spark.sql.types._
+    assert(DataType.fromJson(ddl("dbo.orders")) == StructType(Seq(
+      StructField("id", IntegerType), StructField("amt", DoubleType))))
+    assert(DataType.fromJson(ddl("dbo.items")) == StructType(Seq(
+      StructField("sku", StringType), StructField("qty", IntegerType))))
+    // dml rows flow unchanged beside the discovered DDL
+    assert(spark.table("ct_factory_out").filter($"kind" === "dml").count() == 1)
+    // every opened connection was closed (the reference's
+    // try-with-resources posture)
+    assert(opened >= 1 && closed.forall(_.isClosed))
+
+    // an unregistered name fails loudly at stream construction
+    val err = intercept[Exception] {
+      spark.readStream.format(classOf[ChangeFeedProvider].getName)
+        .option("store", name).option("connectionFactory", "nope").load()
+        .writeStream.format("memory").queryName("ct_factory_err")
+        .option("checkpointLocation", checkpointDir("ctfactory-err"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c => Option(c.getMessage)
+      .exists(_.contains("no ConnectionFactory registered"))))
+    ConnectionFactory.drop("ct-fixture")
+  }
 }
