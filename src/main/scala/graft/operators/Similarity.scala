@@ -36,6 +36,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Threshold (range) search: EVERY corpus vector with cosine ≥
+    * `threshold` to each query — the "all similar enough" retrieval
+    * face (FAISS range_search), where top-k's fixed budget would
+    * either truncate dense neighborhoods or pad sparse ones. Scale
+    * shape: queries broadcast, corpus scanned once, and NO shuffle at
+    * all — the threshold filter replaces the per-query heap/window, so
+    * this is strictly cheaper than [[bruteForceTopK]]; output size is
+    * data-determined (callers bound it with the threshold; the
+    * bucketed family is the sub-linear path). Exact w.r.t. the corpus:
+    * same in-order cosine fold, oracle-bit-identical. */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame,
+                  threshold: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("cos") >= threshold)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
   /** Bucketed ANN: both sides hashed to a sign-bucket over the first
     * `bits` dimensions; candidates only within the same bucket (recall
     * trades off with `bits`). The join is a plain equi-join on bucket. */

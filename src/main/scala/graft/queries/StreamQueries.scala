@@ -254,6 +254,25 @@ object StreamQueries {
         .orderBy(col("cohort_week"), col("week_k"))
     }),
 
+    // Trending items per time window: top-3 event types by count in
+    // each 1-hour tumbling window (the "what's hot right now" streaming
+    // analytics staple). Scale shape: ONE windowed partial+final count
+    // agg over the corpus; the rank window then partitions by the time
+    // window over the (windows × types)-sized AGGREGATE, never the raw
+    // events — the same aggregate-then-rank shape as ns24's argmax.
+    "st17_windowed_topk" -> ((s, d) => {
+      val agg = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("w"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      agg.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("w.start").as("win_start"), col("rank"),
+          col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("rank"))
+    }),
+
     // Top-N per group over event time: last 3 events per user.
     "st07_latest_n_per_key" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -274,6 +293,16 @@ object StreamQueries {
          | COUNT(*) AS n,
          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "st17_windowed_topk" ->
+      s"""WITH agg AS (
+         |  SELECT date_trunc('hour', $tsSql) AS win_start, event_type,
+         |    COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT win_start, CAST(rank AS INT) AS rank, event_type, n FROM (
+         |  SELECT win_start, event_type, n, ROW_NUMBER() OVER (
+         |    PARTITION BY win_start ORDER BY n DESC, event_type ASC) AS rank
+         |  FROM agg) r
+         |WHERE rank <= 3 ORDER BY win_start, rank""".stripMargin,
     "st11_stream_static_join" ->
       s"""SELECT date_trunc('hour', $tsSql) AS win_start,
          | c_nationkey AS nationkey, COUNT(*) AS n

@@ -722,6 +722,64 @@ object TextQueries {
         .orderBy(col("lift").desc, col("ta"), col("tb"))
     }),
 
+    // Triangle counting + local clustering coefficients over the
+    // fuzzy-match graph (ns31's verified edge set) — the third
+    // graph-analytics member beside ns12's connected components and
+    // ns32's PageRank; triangle density separates genuine duplicate
+    // clusters from chains of coincidental matches. Scale shape: the
+    // classic degree-oriented distributed count — each undirected edge
+    // points from its lower-(degree, id) endpoint to the higher, so
+    // wedge enumeration fans out only from LOW-degree endpoints
+    // (oriented out-degree is O(√m) on any graph) and each triangle is
+    // found exactly once, never 3×. Wedge + closure are shuffled
+    // equi-joins (node key, then edge key); per-node counts are one
+    // partial agg over the exploded corners. All counts are exact
+    // integers; lcc = 2·tri/(deg·(deg−1)) is one IEEE division —
+    // oracle-exact.
+    "ns35_triangles" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        array_join(slice(toks, lit(1), lit(3)), " ").as("title"),
+        element_at(toks, 1).as("blk"))
+      val a = t.select(col("doc_id").as("id_a"), col("title").as("title_a"),
+        col("blk"))
+      val b = t.select(col("doc_id").as("id_b"), col("title").as("title_b"),
+        col("blk"))
+      val pairs = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+        .filter(levenshtein(col("title_a"), col("title_b")) <= 5)
+        .select(col("id_a"), col("id_b"))
+      val deg = pairs.select(col("id_a").as("v"))
+        .unionByName(pairs.select(col("id_b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val e = pairs
+        .join(deg.select(col("v").as("id_a"), col("deg").as("da")), Seq("id_a"))
+        .join(deg.select(col("v").as("id_b"), col("deg").as("db")), Seq("id_b"))
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("id_a") < col("id_b"))
+      val oriented = e.select(
+        when(lowFirst, col("id_a")).otherwise(col("id_b")).as("u"),
+        when(lowFirst, col("id_b")).otherwise(col("id_a")).as("w"),
+        when(lowFirst, col("db")).otherwise(col("da")).as("dw"))
+      // ordered out-neighbor pairs in the SAME (degree, id) total
+      // order, so the closing edge is oriented w1 → w2
+      val x = oriented.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
+      val y = oriented.select(col("u"), col("w").as("w2"), col("dw").as("d2"))
+      val wedges = x.join(y, Seq("u")).filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("w1") < col("w2")))
+      val tri = wedges
+        .join(oriented.select(col("u").as("w1"), col("w").as("w2")),
+          Seq("w1", "w2"))
+        .select(col("u").as("c1"), col("w1").as("c2"), col("w2").as("c3"))
+      val perNode = tri
+        .select(explode(array(col("c1"), col("c2"), col("c3"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
+      perNode.join(deg, Seq("v"))
+        .select(col("v").as("doc_id"), col("deg"), col("triangles"),
+          ((col("triangles") * 2).cast("double") /
+            (col("deg") * (col("deg") - lit(1))).cast("double")).as("lcc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Containment overlap — the asymmetric dedup measure: |a∩b| over the
     // SMALLER set, catching subset duplication (quotes, excerpts,
     // boilerplate wrappers) that Jaccard's union normalization dilutes.
@@ -1214,6 +1272,46 @@ object TextQueries {
         |    ROW_NUMBER() OVER (ORDER BY lift DESC, ta ASC, tb ASC) AS rn
         |  FROM lifted) t
         |WHERE rn <= 20 ORDER BY lift DESC, ta, tb""".stripMargin,
+    "ns35_triangles" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:3], ' ') AS title,
+        |    string_split(text, ' ')[1] AS blk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE levenshtein(a.title, b.title) <= 5),
+        |deg AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT id_a AS v FROM pairs UNION ALL SELECT id_b AS v FROM pairs) u
+        |  GROUP BY v),
+        |e AS (
+        |  SELECT p.id_a, p.id_b, x.deg AS da, y.deg AS db
+        |  FROM pairs p JOIN deg x ON x.v = p.id_a JOIN deg y ON y.v = p.id_b),
+        |oriented AS (
+        |  SELECT CASE WHEN da < db OR (da = db AND id_a < id_b)
+        |              THEN id_a ELSE id_b END AS u,
+        |         CASE WHEN da < db OR (da = db AND id_a < id_b)
+        |              THEN id_b ELSE id_a END AS w,
+        |         CASE WHEN da < db OR (da = db AND id_a < id_b)
+        |              THEN db ELSE da END AS dw
+        |  FROM e),
+        |tri AS (
+        |  SELECT x.u AS c1, x.w AS c2, y.w AS c3
+        |  FROM oriented x JOIN oriented y ON x.u = y.u
+        |    AND (x.dw < y.dw OR (x.dw = y.dw AND x.w < y.w))
+        |  JOIN oriented z ON z.u = x.w AND z.w = y.w),
+        |corners AS (
+        |  SELECT c1 AS v FROM tri UNION ALL SELECT c2 FROM tri
+        |  UNION ALL SELECT c3 FROM tri),
+        |pn AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS triangles
+        |       FROM corners GROUP BY v)
+        |SELECT pn.v AS doc_id, deg.deg, pn.triangles,
+        |  CAST(pn.triangles * 2 AS DOUBLE)
+        |    / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS lcc
+        |FROM pn JOIN deg ON deg.v = pn.v
+        |ORDER BY doc_id""".stripMargin,
     "ns33_containment" ->
       s"""$shingleHashCte
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

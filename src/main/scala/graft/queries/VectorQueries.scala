@@ -145,6 +145,16 @@ object VectorQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Threshold (range) search: every neighbor with cosine ≥ τ per
+    // query — the data-determined-size retrieval face top-k truncates.
+    // Cheaper than vs01's exact top-k: the filter replaces the window,
+    // so the plan is one broadcast + one corpus scan with NO shuffle.
+    "vs17_range_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.rangeSearch(emb.filter(col("vec_id") < 5), emb, threshold = 0.25)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // SemDeDup-style semantic dedup composed end to end (Abbas et al.
     // 2023): embedding near-dup pairs within sign-LSH buckets (vs04's
     // shape, at the HIGHER threshold semantic dedup actually uses —
@@ -599,6 +609,14 @@ object VectorQueries {
          |FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    "vs17_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings)
+         |SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+         |FROM c JOIN q ON query_id <> neighbor_id
+         |WHERE ${cosSql("qv", "cv")} >= 0.25
+         |ORDER BY query_id, neighbor_id""".stripMargin,
     "vs14_ivfpq_search" ->
       s"""WITH ${ivfTrainCtes(k = 8, iters = 2)},
          |indexed AS (

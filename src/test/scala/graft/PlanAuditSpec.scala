@@ -250,6 +250,24 @@ class PlanAuditSpec extends SparkSuite {
       s"ns34 must not rank via a global (single-partition) window:\n$p")
   }
 
+  test("ns35's triangle wedge/closure joins stay equi-keyed — no nested loop") {
+    // degree-oriented counting only works at scale if the wedge join
+    // (on the low endpoint) and closure join (on the edge pair) are
+    // shuffled/broadcast EQUI joins over the oriented edge set
+    val p = executedPlan("ns35_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ns35's wedge/closure degenerated to a nested loop:\n$p")
+  }
+
+  test("st17's rank window sits on the windowed aggregate, not raw events") {
+    // the count agg must come first (partial+final), with the top-3
+    // row_number partitioned by the time window over the aggregate
+    val p = executedPlan("st17_windowed_topk")
+    assert(p.contains("HashAggregate"), s"st17 lost its count aggregate:\n$p")
+    assert(p.contains("Window"), s"st17 lost its rank window:\n$p")
+    assert(!p.contains("Join"), s"st17 must not join:\n$p")
+  }
+
   test("q54's correlated EXISTS/NOT EXISTS stay equi-keyed semi/anti joins") {
     val p = executedPlan("q54_multi_exists")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
