@@ -722,6 +722,43 @@ object TextQueries {
         .orderBy(col("lift").desc, col("ta"), col("tb"))
     }),
 
+    // Domain shift per source: total-variation distance between each
+    // source's token distribution and the whole corpus's — the
+    // data-mixing diagnostic that flags sources whose language diverges
+    // from the blend (Gopher/DoReMi-style mixture tuning reads exactly
+    // this signal; TV is the log-free metric, so no KL/entropy
+    // nondeterminism). Determinism without fold tricks: over the
+    // source's own vocabulary, Σ|p_s−p| = Σ|c_st·N − c_t·n_s|/(n_s·N)
+    // has an INTEGER numerator summed order-free; the absent-token tail
+    // is Σ_{t∉Vs} p = (N − Σ_{t∈Vs} c_t)/N, integer again. Two exact
+    // sums, two divisions, one add, one multiply — oracle-bit-exact.
+    // Scale shape: one (source, tok) partial agg over the exploded
+    // corpus; the global df table is vocabulary-sized → broadcast; the
+    // per-source totals are |sources| rows → broadcast.
+    "ns36_domain_shift" -> ((s, d) => {
+      val td = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val n = td.count()
+      val per = td.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c_st"))
+      val glob = per.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+      val totS = per.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      per.join(broadcast(glob), Seq("tok"))
+        .join(broadcast(totS), Seq("source"))
+        .groupBy(col("source"), col("n_s"))
+        .agg(
+          sum(abs(col("c_st") * lit(n) - col("c_t") * col("n_s"))
+            .cast("decimal(38,0)")).as("s1"),
+          sum(col("c_t")).as("s2"),
+          count(lit(1)).as("vocab"))
+        .select(col("source"), col("n_s").as("n_tokens"), col("vocab"),
+          (lit(0.5) * (col("s1").cast("double")
+              / (col("n_s") * lit(n)).cast("double")
+            + (lit(n) - col("s2")).cast("double") / lit(n.toDouble)))
+            .as("tv"))
+        .orderBy(col("source"))
+    }),
+
     // Triangle counting + local clustering coefficients over the
     // fuzzy-match graph (ns31's verified edge set) — the third
     // graph-analytics member beside ns12's connected components and
@@ -748,35 +785,8 @@ object TextQueries {
       val pairs = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
         .filter(levenshtein(col("title_a"), col("title_b")) <= 5)
         .select(col("id_a"), col("id_b"))
-      val deg = pairs.select(col("id_a").as("v"))
-        .unionByName(pairs.select(col("id_b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val e = pairs
-        .join(deg.select(col("v").as("id_a"), col("deg").as("da")), Seq("id_a"))
-        .join(deg.select(col("v").as("id_b"), col("deg").as("db")), Seq("id_b"))
-      val lowFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("id_a") < col("id_b"))
-      val oriented = e.select(
-        when(lowFirst, col("id_a")).otherwise(col("id_b")).as("u"),
-        when(lowFirst, col("id_b")).otherwise(col("id_a")).as("w"),
-        when(lowFirst, col("db")).otherwise(col("da")).as("dw"))
-      // ordered out-neighbor pairs in the SAME (degree, id) total
-      // order, so the closing edge is oriented w1 → w2
-      val x = oriented.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
-      val y = oriented.select(col("u"), col("w").as("w2"), col("dw").as("d2"))
-      val wedges = x.join(y, Seq("u")).filter(col("d1") < col("d2") ||
-        (col("d1") === col("d2") && col("w1") < col("w2")))
-      val tri = wedges
-        .join(oriented.select(col("u").as("w1"), col("w").as("w2")),
-          Seq("w1", "w2"))
-        .select(col("u").as("c1"), col("w1").as("c2"), col("w2").as("c3"))
-      val perNode = tri
-        .select(explode(array(col("c1"), col("c2"), col("c3"))).as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
-      perNode.join(deg, Seq("v"))
-        .select(col("v").as("doc_id"), col("deg"), col("triangles"),
-          ((col("triangles") * 2).cast("double") /
-            (col("deg") * (col("deg") - lit(1))).cast("double")).as("lcc"))
+      graft.operators.GraphOps.triangleCounts(pairs, "id_a", "id_b")
+        .withColumnRenamed("v", "doc_id")
         .orderBy(col("doc_id"))
     }),
 
@@ -1272,6 +1282,27 @@ object TextQueries {
         |    ROW_NUMBER() OVER (ORDER BY lift DESC, ta ASC, tb ASC) AS rn
         |  FROM lifted) t
         |WHERE rn <= 20 ORDER BY lift DESC, ta, tb""".stripMargin,
+    "ns36_domain_shift" ->
+      """WITH td AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM td),
+        |per AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+        |        FROM td GROUP BY 1, 2),
+        |gfreq AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM per GROUP BY 1),
+        |tot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM per GROUP BY 1),
+        |agg AS (
+        |  SELECT p.source, tot.n_s,
+        |    SUM(CAST(abs(p.c_st * nn.n - g.c_t * tot.n_s) AS DECIMAL(38,0))) AS s1,
+        |    CAST(SUM(g.c_t) AS BIGINT) AS s2,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab
+        |  FROM per p JOIN gfreq g USING (tok)
+        |    JOIN tot ON tot.source = p.source CROSS JOIN nn
+        |  GROUP BY 1, 2)
+        |SELECT source, n_s AS n_tokens, vocab,
+        |  0.5 * (CAST(s1 AS DOUBLE) / CAST(n_s * (SELECT n FROM nn) AS DOUBLE)
+        |    + CAST((SELECT n FROM nn) - s2 AS DOUBLE)
+        |      / CAST((SELECT n FROM nn) AS DOUBLE)) AS tv
+        |FROM agg ORDER BY source""".stripMargin,
     "ns35_triangles" ->
       """WITH t AS (
         |  SELECT doc_id,

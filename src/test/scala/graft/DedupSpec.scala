@@ -160,6 +160,24 @@ class DedupSpec extends SparkSuite {
       s"SQ8 recall degraded: $hits/${sq8.length}")
   }
 
+  test("rangeSearch equals brute-force scores filtered at the threshold") {
+    // the threshold filter must keep EXACTLY the pairs whose brute-force
+    // cosine clears it — same fold order, bit-identical scores, so set
+    // equality is exact (no tolerance)
+    val qs = emb.filter($"vec_id" < 10)
+    val n = emb.count().toInt
+    val all = Similarity.bruteForceTopK(qs, emb, k = n)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+    val tau = 0.2
+    val expected = all.filter(_._3 >= tau).map(t => (t._1, t._2, t._3)).toSet
+    val got = Similarity.rangeSearch(qs, emb, tau)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"range search diverged: ${got.size} vs ${expected.size} pairs")
+    assert(got.nonEmpty, "fixture threshold should keep some pairs")
+  }
+
   test("PQ product-quantized search recall@3 vs brute force is bounded") {
     // a 16-codeword × 8-subspace codebook is a coarse reconstruction, so
     // unlike SQ8 the pass-1 shortlist CAN miss true neighbors — the
