@@ -30,7 +30,15 @@ object GraphOps {
     *         in at least one triangle
     */
   def triangleCounts(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val p = pairs.select(col(srcCol).as("id_a"), col(dstCol).as("id_b"))
+    // The edge list feeds the degree agg AND the orientation join, and
+    // the oriented set feeds BOTH wedge sides plus the closure join —
+    // lazy plans would re-run the (often expensive) pair computation
+    // once per consumer. Materialize each tier once, durably
+    // (Checkpoints.reliable: cluster-visible, recomputable on executor
+    // loss — the ns32/componentLabels posture for corpus-scale reuse).
+    val p = Checkpoints.reliable(
+      pairs.select(col(srcCol).as("id_a"), col(dstCol).as("id_b")),
+      "graphops-edges")
     val deg = p.select(col("id_a").as("v"))
       .unionByName(p.select(col("id_b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -39,10 +47,11 @@ object GraphOps {
       .join(deg.select(col("v").as("id_b"), col("deg").as("db")), Seq("id_b"))
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("id_a") < col("id_b"))
-    val oriented = e.select(
+    val oriented = Checkpoints.reliable(e.select(
       when(lowFirst, col("id_a")).otherwise(col("id_b")).as("u"),
       when(lowFirst, col("id_b")).otherwise(col("id_a")).as("w"),
-      when(lowFirst, col("db")).otherwise(col("da")).as("dw"))
+      when(lowFirst, col("db")).otherwise(col("da")).as("dw")),
+      "graphops-oriented")
     // ordered out-neighbor pairs in the SAME (degree, id) total order,
     // so the closing edge is oriented w1 → w2
     val x = oriented.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
