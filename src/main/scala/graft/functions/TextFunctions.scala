@@ -54,6 +54,29 @@ object TextFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     array_distinct(transform(shingles(tokens(text), n), portableHash _))
 
+  /** Winnowed fingerprint set (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * scheme): slide a window of `w` consecutive positions over the
+    * position-ordered k-gram hash sequence and keep each window's
+    * minimum. Guarantee: any substring match of at least w+k-1 tokens
+    * contributes at least one SHARED selected fingerprint to both
+    * documents, so overlap on this set is a substring-level (not
+    * whole-document) duplication signal. Returned as the DISTINCT
+    * selected hashes — position info is dropped, which is all
+    * overlap-counting needs. Documents with fewer than k tokens yield
+    * an empty set; with fewer than w k-grams, the single window covers
+    * the whole sequence (global min).
+    *
+    * Pure codegen'd higher-order builtins, same shape as [[shingles]] —
+    * no UDF, exact DuckDB twin via list comprehension + list_min. */
+  def winnowedFingerprints(text: Column, k: Int, w: Int): Column = {
+    val hs = transform(shingles(tokens(text), k), portableHash _)
+    when(size(hs) >= 1,
+      array_distinct(
+        transform(sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+          i => array_min(slice(hs, i, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** MinHash signature: k permutations h_j(x) = ((2j+1)x + 7j+3) mod p,
     * signature[j] = min over the shingle-hash set. Native expression;
     * [[minhashSignatureHof]] is the builtins cross-check. */

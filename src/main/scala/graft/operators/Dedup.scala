@@ -354,4 +354,65 @@ object Dedup {
     df.select(col(idCol).as("id"),
       simhash(array_distinct(
         transform(tokens(col(textCol)), portableHash _))).as("simhash"))
+
+  /** Per-document duplicated-span diagnostic: the fraction of a
+    * document's distinct n-token shingles that occur in at least one
+    * OTHER document (doc-frequency ≥ 2). This is the corpus-level
+    * substring-duplication signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"): pairwise near-dup
+    * detection ([[minhashNearDups]]) misses boilerplate spans smeared
+    * across MANY documents, while a high `dup_frac` flags exactly those.
+    * Documents with fewer than n tokens have no shingles and are absent
+    * from the output.
+    *
+    * Scale shape: explode to (doc, shingle-hash) rows, one hash-shuffle
+    * on the shingle for doc-frequency (map-side partials collapse
+    * repeats), an equi-join back on the shingle (co-partitioned with the
+    * agg — Catalyst reuses the exchange), and one final keyed agg per
+    * doc. Same plan family as chunk-level dedup (ns28); no window over
+    * the shingle key, so a hub shingle (boilerplate in millions of docs)
+    * stays splittable by AQE instead of pinning one partition. */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), shingleN)).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_shingles"))
+      .select(col("id"), col("n_shingles"), col("dup_shingles"),
+        (col("dup_shingles").cast("double") /
+          col("n_shingles").cast("double")).as("dup_frac"))
+  }
+
+  /** Substring-level near-duplicate candidates via winnowed fingerprints
+    * ([[graft.functions.TextFunctions.winnowedFingerprints]]): pairs of
+    * documents sharing ≥ `minShared` selected fingerprints. Catches
+    * copied PASSAGES between otherwise-different documents — the case
+    * whole-document Jaccard ([[blockedJaccardPairs]]) scores near 0.
+    *
+    * `maxDf` is the stopword-fingerprint guard: a fingerprint present in
+    * d documents generates O(d²) candidate pairs, and one shared by more
+    * than `maxDf` documents is boilerplate with no discriminative value
+    * (the standard frequency cut in fingerprint-based plagiarism/dedup
+    * systems). With it, the pair join is an equi-join on the fingerprint
+    * whose per-key fan-out is bounded by maxDf² — no cross join, AQE
+    * splits any residual skew.
+    *
+    * @return (id_a, id_b, shared_prints) with id_a < id_b */
+  def winnowedPairs(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, window: Int = 4,
+                    minShared: Int = 3, maxDf: Int = 10): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      explode(winnowedFingerprints(col(textCol), shingleN, window)).as("fp"))
+    val shared = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+    val fpR = fp.join(shared.select(col("fp")), Seq("fp"))
+    fpR.as("a").join(fpR.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_prints"))
+      .filter(col("shared_prints") >= minShared)
+  }
 }

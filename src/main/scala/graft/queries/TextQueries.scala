@@ -790,6 +790,32 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicated-span fraction per document (Lee et al. 2022): the share
+    // of a doc's distinct 3-token shingles with corpus doc-frequency ≥ 2.
+    // Flags boilerplate smeared across MANY documents — invisible to
+    // pairwise near-dup (ns04/ns05), which normalizes per pair. Plan:
+    // explode → shingle-keyed doc-frequency agg (map-side partials) →
+    // equi-join back on the shingle → per-doc agg. No shingle-keyed
+    // window, so hub shingles stay AQE-splittable.
+    "ns37_dup_span" -> ((s, d) => {
+      Dedup.dupSpanStats(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Substring-level near-dup candidates via MOSS winnowing
+    // (Schleimer et al. 2003): min-hash per sliding window over the
+    // position-ordered shingle-hash sequence; pairs sharing ≥ 2 selected
+    // fingerprints. Catches copied PASSAGES between documents whose
+    // whole-document Jaccard is near 0. The df ≤ 10 stopword-print cut
+    // bounds per-fingerprint join fan-out (the standard frequency guard
+    // in fingerprint dedup) — equi-join only, no cross join.
+    "ns38_winnow_pairs" -> ((s, d) => {
+      Dedup.winnowedPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, window = 4, minShared = 2, maxDf = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Containment overlap — the asymmetric dedup measure: |a∩b| over the
     // SMALLER set, catching subset duplication (quotes, excerpts,
     // boilerplate wrappers) that Jaccard's union normalization dilutes.
@@ -1303,6 +1329,39 @@ object TextQueries {
         |    + CAST((SELECT n FROM nn) - s2 AS DOUBLE)
         |      / CAST((SELECT n FROM nn) AS DOUBLE)) AS tv
         |FROM agg ORDER BY source""".stripMargin,
+    "ns37_dup_span" ->
+      s"""$shingleHashCte,
+         |ex AS (SELECT doc_id, unnest(hashes) AS h FROM hs),
+         |dfreq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY h)
+         |SELECT e.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+         |  CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+         |FROM ex e JOIN dfreq d USING (h)
+         |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin,
+    "ns38_winnow_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, [t[i] || '_' || t[i+1] || '_' || t[i+2]
+         |                  for i in range(1, len(t) - 1)] AS g
+         |  FROM toks),
+         |hp AS (
+         |  SELECT doc_id, list_transform(g, s -> ${hashSql("s")}) AS H FROM sh),
+         |wins AS (
+         |  SELECT doc_id, CASE WHEN len(H) >= 1 THEN list_distinct(
+         |    [list_min(H[i:i+3]) for i in range(1, greatest(len(H) - 3, 1) + 1)])
+         |    ELSE [] END AS fps
+         |  FROM hp),
+         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+         |shared AS (
+         |  SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 10)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  COUNT(*) AS shared_prints
+         |FROM fp a JOIN shared USING (fp)
+         |  JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
     "ns35_triangles" ->
       """WITH t AS (
         |  SELECT doc_id,

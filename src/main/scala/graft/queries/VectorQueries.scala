@@ -155,6 +155,28 @@ object VectorQueries {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // Semantic-cluster-balanced sampling: assign each vector to its
+    // sign-LSH bucket (vs12's semantic partition) and keep a
+    // deterministic bottom-k-by-hash sample per bucket — the
+    // embedding-space counterpart of ns13's column-stratified sample,
+    // used to mix training data evenly across semantic regions instead
+    // of metadata strata. The bounded-heap BottomK aggregate ships k
+    // (hash, id) pairs per partition-group instead of window-sorting
+    // each bucket — the same scale posture as ns17.
+    "vs18_cluster_sample" -> ((s, d) => {
+      val h = graft.functions.TextFunctions.portableHash(
+        concat(lit("cs:"), col("vec_id").cast("string")))
+      Tables.embeddings(s, d)
+        .select(signBucket(col("embedding"), 4).as("bucket"),
+          col("vec_id"), h.as("h"))
+        .groupBy(col("bucket"))
+        .agg(graft.functions.BottomK.bottomK(col("h"), col("vec_id"), 8)
+          .as("picks"))
+        .select(col("bucket"), explode(col("picks")).as("p"))
+        .select(col("bucket"), col("p.h").as("h"), col("p.id").as("vec_id"))
+        .orderBy(col("bucket"), col("h"), col("vec_id"))
+    }),
+
     // SemDeDup-style semantic dedup composed end to end (Abbas et al.
     // 2023): embedding near-dup pairs within sign-LSH buckets (vs04's
     // shape, at the HIGHER threshold semantic dedup actually uses —
@@ -617,6 +639,20 @@ object VectorQueries {
          |FROM c JOIN q ON query_id <> neighbor_id
          |WHERE ${cosSql("qv", "cv")} >= 0.25
          |ORDER BY query_id, neighbor_id""".stripMargin,
+    "vs18_cluster_sample" ->
+      s"""WITH b AS (
+         |  SELECT ${bucketSql("embedding", 4)} AS bucket, vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |      range(1, length('cs:' || CAST(vec_id AS VARCHAR)) + 1),
+         |      i -> CAST(unicode(substr('cs:' || CAST(vec_id AS VARCHAR),
+         |             CAST(i AS INT), 1)) AS BIGINT))),
+         |      (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+         |  FROM embeddings)
+         |SELECT bucket, h, vec_id
+         |FROM (SELECT bucket, h, vec_id, ROW_NUMBER() OVER (
+         |        PARTITION BY bucket ORDER BY h, vec_id) AS rn
+         |      FROM b) t
+         |WHERE rn <= 8 ORDER BY bucket, h, vec_id""".stripMargin,
     "vs14_ivfpq_search" ->
       s"""WITH ${ivfTrainCtes(k = 8, iters = 2)},
          |indexed AS (

@@ -216,6 +216,67 @@ class DedupSpec extends SparkSuite {
     assert(flags(23L) == ((0L, false)))
   }
 
+  // Local twin of TextFunctions.portableHash / shingles — the spec-side
+  // ground truth for the span/winnowing operators below.
+  private def localHash(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+  private def localShingleHashes(text: String, n: Int): Seq[Long] = {
+    val t = text.split(" ", -1)
+    if (t.length < n) Seq.empty
+    else t.sliding(n).map(g => localHash(g.mkString("_"))).toSeq
+  }
+  private def localWinnow(text: String, k: Int, w: Int): Set[Long] = {
+    val hs = localShingleHashes(text, k)
+    if (hs.isEmpty) Set.empty
+    else (1 to math.max(hs.length - (w - 1), 1))
+      .map(i => hs.slice(i - 1, i - 1 + w).min).toSet
+  }
+
+  test("dupSpanStats matches a local brute-force doc-frequency count") {
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val perDoc = texts.map { case (id, t) =>
+      id -> localShingleHashes(t, 3).distinct
+    }.filter(_._2.nonEmpty)
+    val dfreq = perDoc.flatMap(_._2).groupBy(identity).map { case (h, o) => h -> o.length }
+    val expected = perDoc.map { case (id, hs) =>
+      val dup = hs.count(h => dfreq(h) >= 2)
+      (id, hs.length.toLong, dup.toLong, dup.toDouble / hs.length)
+    }.toSet
+    val got = Dedup.dupSpanStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    assert(expected.exists(_._3 > 0), "fixture should contain shared shingles")
+  }
+
+  test("winnowedFingerprints == local reference on every fixture doc") {
+    import graft.functions.TextFunctions
+    val got = docs.select($"doc_id",
+        TextFunctions.winnowedFingerprints($"text", 3, 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    docs.select($"doc_id", $"text").as[(Long, String)].collect().foreach {
+      case (id, t) =>
+        assert(got(id).toSet == localWinnow(t, 3, 4), s"doc $id")
+        assert(got(id).distinct == got(id), s"doc $id: fingerprints not distinct")
+    }
+  }
+
+  test("winnowing guarantee: a shared passage of >= w+k-1 tokens yields a shared print") {
+    // k=3, w=4: any common substring of >= 6 tokens must share a fingerprint.
+    val passage = "one two three four five six"
+    val d = Seq(
+      (1L, s"aa bb cc $passage dd ee"),
+      (2L, s"zz yy $passage xx ww vv uu"),
+      (3L, "totally unrelated words without any overlap at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedPairs(d, "doc_id", "text",
+      shingleN = 3, window = 4, minShared = 1, maxDf = 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      "documents sharing a 6-token passage must be candidates")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated document must not pair with anything")
+  }
+
   test("multimodal payload plumbing: stable schema, deterministic stub features") {
     val media = Multimodal.attachPayload(docs, "doc_id", "text", "text/plain")
     assert(media.schema == Multimodal.mediaType)
