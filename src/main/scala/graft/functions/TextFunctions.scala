@@ -68,14 +68,24 @@ object TextFunctions {
     *
     * Pure codegen'd higher-order builtins, same shape as [[shingles]] —
     * no UDF, exact DuckDB twin via list comprehension + list_min. */
-  def winnowedFingerprints(text: Column, k: Int, w: Int): Column = {
-    val hs = transform(shingles(tokens(text), k), portableHash _)
+  def winnowedFingerprints(text: Column, k: Int, w: Int): Column =
+    winnowSelect(transform(shingles(tokens(text), k), portableHash _), w)
+
+  /** The window-min selection step of [[winnowedFingerprints]], over a
+    * position-ordered k-gram hash sequence column. Interpreted
+    * higher-order expressions get no common-subexpression elimination,
+    * so if `hs` is itself an expression it is re-evaluated inside EVERY
+    * window lambda — O(len²·|shingle|) per document instead of
+    * O(len·w). Callers on the hot path must materialize the hash
+    * sequence first (projection + repartition barrier, the
+    * [[graft.operators.Dedup.minhashNearDups]] pattern) and pass the
+    * materialized column here. */
+  def winnowSelect(hs: Column, w: Int): Column =
     when(size(hs) >= 1,
       array_distinct(
         transform(sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
           i => array_min(slice(hs, i, lit(w))))))
       .otherwise(array().cast("array<bigint>"))
-  }
 
   /** MinHash signature: k permutations h_j(x) = ((2j+1)x + 7j+3) mod p,
     * signature[j] = min over the shingle-hash set. Native expression;

@@ -374,8 +374,15 @@ object Dedup {
     * stays splittable by AQE instead of pinning one partition. */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3): DataFrame = {
+    // Barrier before the fan-out: (id, h) feeds both the doc-frequency
+    // agg and the join back, and without it each consumer re-runs the
+    // full shingle-hash computation from the scan. Behind the
+    // repartition the hash work happens once; the two consumers re-read
+    // the (reused) exchange instead.
     val ex = df.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), shingleN)).as("h"))
+        shingleHashes(col(textCol), shingleN).as("hs"))
+      .repartition(col("id"))
+      .select(col("id"), explode(col("hs")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     ex.join(dfreq, Seq("h"))
       .groupBy(col("id"))
@@ -404,8 +411,22 @@ object Dedup {
   def winnowedPairs(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int = 3, window: Int = 4,
                     minShared: Int = 3, maxDf: Int = 10): DataFrame = {
-    val fp = df.select(col(idCol).as("id"),
-      explode(winnowedFingerprints(col(textCol), shingleN, window)).as("fp"))
+    // Materialization barrier (the minhashNearDups pattern): without it,
+    // projection collapse inlines the position-ordered hash sequence
+    // into every window-min lambda — no CSE for interpreted HOFs, so the
+    // whole hash array is recomputed per window position (O(len²) per
+    // doc) and again per downstream join consumer. One narrow shuffle of
+    // (id, hs) makes winnowing O(len·w) exactly once per document.
+    val hashed = df.select(col(idCol).as("id"),
+        transform(shingles(tokens(col(textCol)), shingleN),
+          portableHash _).as("hs"))
+      .repartition(col("id"))
+    // The fingerprint set feeds three consumers (df agg + both sides of
+    // the pair join); materialize it once, durably (GraphOps posture).
+    val fp = Checkpoints.reliable(
+      hashed.select(col("id"),
+        explode(winnowSelect(col("hs"), window)).as("fp")),
+      "winnow-fp")
     val shared = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
     val fpR = fp.join(shared.select(col("fp")), Seq("fp"))
