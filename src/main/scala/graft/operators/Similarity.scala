@@ -174,14 +174,46 @@ object Similarity {
   }
 
   /** Argmax-cosine centroid assignment: `(vec_id, embedding, label)`. */
-  private def assignToCentroid(vectors: DataFrame, cent: DataFrame): DataFrame = {
+  private def assignToCentroid(vectors: DataFrame, cent: DataFrame): DataFrame =
+    assignScored(vectors, cent)
+      .select(col("vec_id"), col("embedding"), col("label"))
+
+  /** [[assignToCentroid]] keeping the winning cosine as `score`. */
+  private def assignScored(vectors: DataFrame, cent: DataFrame): DataFrame = {
     val scored = vectors.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cent))
       .withColumn("score", cosineHof(col("embedding"), col("cvec")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").desc, col("label").asc)
     scored.withColumn("arnk", row_number().over(w)).filter(col("arnk") === 1)
-      .select(col("vec_id"), col("embedding"), col("label"))
+      .select(col("vec_id"), col("embedding"), col("label"), col("score"))
+  }
+
+  /** Per-cluster quality diagnostics over trained centroids — the
+    * monitoring face of semantic curation (vs18's sampler and SemDeDup's
+    * pruning both assume clusters are tight; this is the query that
+    * checks). For each centroid: member count and the min / max /
+    * mean cosine of members to their assigned centroid.
+    *
+    * The mean is a QUANTIZED mean (scores floored to 2⁻²⁰ before
+    * summation): floating-point sums are order-dependent, and a
+    * per-cluster sum at corpus scale visits members in partition order —
+    * quantizing makes the sum an exact integer (decimal(38,0), overflow-
+    * free at any corpus size) and the mean deterministic on any engine
+    * and any partitioning, the same trick [[ivfTrain]] uses for centroid
+    * means. Scale shape: one broadcast of k centroids, one corpus-keyed
+    * window for the argmax, one partial agg per label. */
+  def clusterStats(corpus: DataFrame, cent: DataFrame): DataFrame = {
+    val quant = 1048576L // 2^20
+    assignScored(corpus, cent)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("score")).as("min_cos"),
+        max(col("score")).as("max_cos"),
+        (sum(floor(col("score") * quant).cast("long"))
+          .cast("decimal(38,0)").cast("double")
+          / (lit(quant.toDouble) * count(lit(1)).cast("double")))
+          .as("mean_cos"))
   }
 
   /** IVF search against TRAINED centroids ([[ivfTrain]]): the corpus is

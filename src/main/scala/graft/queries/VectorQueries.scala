@@ -163,6 +163,17 @@ object VectorQueries {
     // of metadata strata. The bounded-heap BottomK aggregate ships k
     // (hash, id) pairs per partition-group instead of window-sorting
     // each bucket — the same scale posture as ns17.
+    // Per-cluster quality diagnostics over the TRAINED coarse quantizer
+    // (vs08's Lloyd centroids): member count + min/max/quantized-mean
+    // cosine to the assigned centroid — the dashboard query behind
+    // cluster-balanced curation. The quantized mean (floor to 2^-20,
+    // integer sum) is order-free, so the double is oracle-bit-exact.
+    "vs19_cluster_stats" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.clusterStats(emb, Similarity.ivfTrain(emb, 8, 2))
+        .orderBy(col("label"))
+    }),
+
     "vs18_cluster_sample" -> ((s, d) => {
       val h = graft.functions.TextFunctions.portableHash(
         concat(lit("cs:"), col("vec_id").cast("string")))
@@ -639,6 +650,22 @@ object VectorQueries {
          |FROM c JOIN q ON query_id <> neighbor_id
          |WHERE ${cosSql("qv", "cv")} >= 0.25
          |ORDER BY query_id, neighbor_id""".stripMargin,
+    "vs19_cluster_stats" ->
+      s"""WITH ${ivfTrainCtes(k = 8, iters = 2)},
+         |scored AS (
+         |  SELECT vec_id, label, score FROM (
+         |    SELECT e.vec_id, c.label,
+         |      ${cosSql("e.embedding", "c.cv")} AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.label ASC
+         |      ) AS arnk
+         |    FROM embeddings e CROSS JOIN cvec2 c) s
+         |  WHERE arnk = 1)
+         |SELECT label, COUNT(*) AS n_members,
+         |  MIN(score) AS min_cos, MAX(score) AS max_cos,
+         |  CAST(SUM(CAST(FLOOR(score * 1048576) AS BIGINT)) AS DOUBLE)
+         |    / (1048576.0 * CAST(COUNT(*) AS DOUBLE)) AS mean_cos
+         |FROM scored GROUP BY label ORDER BY label""".stripMargin,
     "vs18_cluster_sample" ->
       s"""WITH b AS (
          |  SELECT ${bucketSql("embedding", 4)} AS bucket, vec_id,

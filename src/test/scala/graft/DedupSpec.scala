@@ -277,6 +277,23 @@ class DedupSpec extends SparkSuite {
       "the unrelated document must not pair with anything")
   }
 
+  test("clusterStats: exhaustive membership, mean bounded, partition-invariant") {
+    val cent = Similarity.ivfTrain(emb, 8, 2)
+    val stats = Similarity.clusterStats(emb, cent).collect()
+    assert(stats.map(_.getLong(1)).sum == emb.count(),
+      "every vector must be assigned to exactly one cluster")
+    stats.foreach { r =>
+      val (mn, mx, mean) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= mx)
+      // quantized mean floors each score by at most 2^-20
+      assert(mean >= mn - 1.0 / (1 << 20) && mean <= mx)
+    }
+    val re = Similarity.clusterStats(emb.repartition(7), cent).collect()
+    assert(re.map(r => (r.getInt(0), r.getLong(1), r.getDouble(4))).toSet ==
+      stats.map(r => (r.getInt(0), r.getLong(1), r.getDouble(4))).toSet,
+      "quantized mean must not depend on partitioning")
+  }
+
   test("multimodal payload plumbing: stable schema, deterministic stub features") {
     val media = Multimodal.attachPayload(docs, "doc_id", "text", "text/plain")
     assert(media.schema == Multimodal.mediaType)
