@@ -157,6 +157,77 @@ object Dedup {
           least(size(a), size(b)).cast("double"),
       outCol = "containment", threshold = threshold)
 
+  /** All-pairs containment join WITHOUT length blocking — the scale path
+    * for asymmetric (subset/quote) duplication that
+    * [[blockedContainmentPairs]] scopes out: a short excerpt inside a
+    * much longer page is exactly the pair length-blocking discards.
+    *
+    * Prefix filtering (the SSJoin/PPJoin family, Chaudhuri et al. 2006 /
+    * Xiao et al. 2008): order every document's shingle-hash set by a
+    * global (doc-frequency asc, hash) order and keep each document's
+    * PREFIX — its `|x| − ⌊τ·|x|⌋ + 1` rarest elements (floor, not ceil:
+    * float rounding may only ever LENGTHEN the prefix, so the bound
+    * stays lossless). If `|a∩b| ≥ τ·min(|a|,|b|)` then at most
+    * `⌈τ·|m|⌉ − 1` elements of the min side `m` lie outside its prefix,
+    * so at least one intersection element is IN the prefix — every
+    * qualifying pair is found by an equi-join of min-side prefix
+    * postings against full postings, and the exact merge-only
+    * verification keeps precision at 1. Rare-first ordering is what
+    * bounds the join: a boilerplate shingle (huge full posting list)
+    * appears in almost no prefixes, so per-hash candidate fan-out stays
+    * P(h)·F(h) with P(h) small exactly where F(h) is large.
+    *
+    * Shuffles are all linear in postings: doc-frequency agg, prefix
+    * selection (one per-doc sort of its own postings), the candidate
+    * equi-join on the hash, a distinct, and two id-keyed array joins for
+    * verification. No quadratic block anywhere.
+    *
+    * @return (id_a, id_b, containment) with id_a < id_b, containment =
+    *         |a∩b| / min(|a|,|b|) ≥ `threshold` */
+  def prefixContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int = 3,
+                             threshold: Double = 0.8): DataFrame = {
+    // Materialization barrier: hash once (minhashNearDups pattern).
+    val sh = df.select(col(idCol).as("id"),
+        sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
+      .filter(size(col("hashes")) >= 1)
+      .select(col("id"), col("hashes"), size(col("hashes")).as("sz"))
+      .repartition(col("id"))
+    val ex = sh.select(col("id"), col("sz"), explode(col("hashes")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // Per-doc prefix in (df asc, h) order: the rarest ⌊(1−τ)·sz⌋+1
+    // elements. One per-doc sort of that doc's own postings — bounded by
+    // document size, never corpus size.
+    val prefLen = (col("sz") - floor(lit(threshold) * col("sz")) + 1)
+      .cast("int")
+    val pref = ex.join(dfreq, Seq("h"))
+      .groupBy(col("id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("id"), col("sz"),
+        explode(transform(slice(col("ord"), lit(1), prefLen),
+          p => p("h"))).as("h"))
+    // Min-side prefix postings × full postings; each unordered pair
+    // generated with the smaller set (ties: smaller id) as the probe, so
+    // the lossless-cover guarantee applies and each pair appears once
+    // per shared prefix hash — distinct collapses the multiplicity
+    // before the (exact) verification join.
+    val cand = pref.as("p").join(ex.as("f"), Seq("h"))
+      .filter(col("p.sz") < col("f.sz") ||
+        (col("p.sz") === col("f.sz") && col("p.id") < col("f.id")))
+      .select(least(col("p.id"), col("f.id")).as("id_a"),
+        greatest(col("p.id"), col("f.id")).as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("hashes").as("h_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("hashes").as("h_b")), Seq("id_b"))
+      .withColumn("containment",
+        graft.functions.TextFunctions.overlapSorted(col("h_a"), col("h_b"))
+          .cast("double") /
+          least(size(col("h_a")), size(col("h_b"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Connected components over a near-dup pair graph: every document
     * labeled with the SMALLEST doc id reachable through near-dup edges —
     * the canonical-representative step of a production dedup pipeline

@@ -816,6 +816,18 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // UNBLOCKED all-pairs containment via prefix filtering (SSJoin/
+    // PPJoin): df-ascending-ordered prefixes make every qualifying pair
+    // share a prefix hash with the min side — the scale path for the
+    // subset-duplication face ns33's length blocking scopes out, at
+    // precision 1 (exact merge verification). Oracle is full quadratic
+    // brute force: the prefix filter must lose nothing.
+    "ns39_prefix_containment" -> ((s, d) => {
+      Dedup.prefixContainmentPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Containment overlap — the asymmetric dedup measure: |a∩b| over the
     // SMALLER set, catching subset duplication (quotes, excerpts,
     // boilerplate wrappers) that Jaccard's union normalization dilutes.
@@ -1361,6 +1373,16 @@ object TextQueries {
          |FROM fp a JOIN shared USING (fp)
          |  JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ns39_prefix_containment" ->
+      s"""$shingleHashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.hashes, b.hashes)) * 1.0
+         |    / least(len(a.hashes), len(b.hashes)) AS containment
+         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |WHERE len(a.hashes) >= 1 AND len(b.hashes) >= 1
+         |  AND len(list_intersect(a.hashes, b.hashes)) * 1.0
+         |    / least(len(a.hashes), len(b.hashes)) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
     "ns35_triangles" ->
       """WITH t AS (

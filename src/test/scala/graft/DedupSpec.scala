@@ -277,6 +277,23 @@ class DedupSpec extends SparkSuite {
       "the unrelated document must not pair with anything")
   }
 
+  test("prefixContainmentPairs == quadratic brute force (lossless prefix filter)") {
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val sets = texts.map { case (id, t) =>
+      id -> localShingleHashes(t, 3).distinct.toSet
+    }.filter(_._2.nonEmpty)
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+      if c >= 0.8
+    } yield (ia, ib, c)).toSet
+    val got = Dedup.prefixContainmentPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "fixture should contain containment pairs")
+  }
+
   test("clusterStats: exhaustive membership, mean bounded, partition-invariant") {
     val cent = Similarity.ivfTrain(emb, 8, 2)
     val stats = Similarity.clusterStats(emb, cent).collect()
