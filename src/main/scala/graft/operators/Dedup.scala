@@ -186,7 +186,30 @@ object Dedup {
     *         |a∩b| / min(|a|,|b|) ≥ `threshold` */
   def prefixContainmentPairs(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int = 3,
-                             threshold: Double = 0.8): DataFrame = {
+                             threshold: Double = 0.8): DataFrame =
+    prefixFilteredPairs(df, idCol, textCol, shingleN, threshold,
+      measure = (a, b) =>
+        graft.functions.TextFunctions.overlapSorted(a, b).cast("double") /
+          least(size(a), size(b)).cast("double"),
+      outCol = "containment")
+
+  /** Exact all-pairs n-gram JACCARD join via the same lossless prefix
+    * filter — the unblocked twin of [[blockedJaccardPairs]] and the
+    * exact counterpart of [[minhashNearDups]] (LSH trades a bounded miss
+    * probability for speed; this trades nothing: `J ≥ τ ⇒ |a∩b| ≥
+    * τ·max ≥ τ·min`, so the min-side prefix bound of the containment
+    * join covers Jaccard too and recall is exactly 1). */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3,
+                         threshold: Double = 0.8): DataFrame =
+    prefixFilteredPairs(df, idCol, textCol, shingleN, threshold,
+      measure = jaccardSorted(_, _).cast("double"), outCol = "jaccard")
+
+  private def prefixFilteredPairs(df: DataFrame, idCol: String,
+                                  textCol: String, shingleN: Int,
+                                  threshold: Double,
+                                  measure: (Column, Column) => Column,
+                                  outCol: String): DataFrame = {
     // Materialization barrier: hash once (minhashNearDups pattern).
     val sh = df.select(col(idCol).as("id"),
         sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
@@ -220,12 +243,9 @@ object Dedup {
     cand
       .join(sh.select(col("id").as("id_a"), col("hashes").as("h_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("hashes").as("h_b")), Seq("id_b"))
-      .withColumn("containment",
-        graft.functions.TextFunctions.overlapSorted(col("h_a"), col("h_b"))
-          .cast("double") /
-          least(size(col("h_a")), size(col("h_b"))).cast("double"))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("containment"))
+      .withColumn(outCol, measure(col("h_a"), col("h_b")))
+      .filter(col(outCol) >= threshold)
+      .select(col("id_a"), col("id_b"), col(outCol))
   }
 
   /** Connected components over a near-dup pair graph: every document

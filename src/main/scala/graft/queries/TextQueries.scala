@@ -828,6 +828,16 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // EXACT all-pairs Jaccard via the same lossless prefix filter — the
+    // recall-1 counterpart of ns05's MinHash-LSH (which has a bounded
+    // per-pair miss probability) and the unblocked twin of ns04. Same
+    // brute-force oracle as ns05: precision and recall must both be 1.
+    "ns40_prefix_jaccard" -> ((s, d) => {
+      Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Containment overlap — the asymmetric dedup measure: |a∩b| over the
     // SMALLER set, catching subset duplication (quotes, excerpts,
     // boilerplate wrappers) that Jaccard's union normalization dilutes.
@@ -1383,6 +1393,13 @@ object TextQueries {
          |WHERE len(a.hashes) >= 1 AND len(b.hashes) >= 1
          |  AND len(list_intersect(a.hashes, b.hashes)) * 1.0
          |    / least(len(a.hashes), len(b.hashes)) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ns40_prefix_jaccard" ->
+      s"""$shingleHashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |WHERE len(a.hashes) >= 1 AND len(b.hashes) >= 1
+         |  AND $jaccardSql >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
     "ns35_triangles" ->
       """WITH t AS (

@@ -294,6 +294,16 @@ class DedupSpec extends SparkSuite {
     assert(brute.nonEmpty, "fixture should contain containment pairs")
   }
 
+  test("prefixJaccardPairs == minhash brute-force ground truth (recall exactly 1)") {
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val pf = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pf == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("clusterStats: exhaustive membership, mean bounded, partition-invariant") {
     val cent = Similarity.ivfTrain(emb, 8, 2)
     val stats = Similarity.clusterStats(emb, cent).collect()
