@@ -178,16 +178,25 @@ object Similarity {
     assignScored(vectors, cent)
       .select(col("vec_id"), col("embedding"), col("label"))
 
-  /** [[assignToCentroid]] keeping the winning cosine as `score`. */
-  private def assignScored(vectors: DataFrame, cent: DataFrame): DataFrame = {
-    val scored = vectors.select(col("vec_id"), col("embedding"))
+  /** [[assignToCentroid]] keeping the winning cosine as `score`.
+    *
+    * The argmax is a partial-aggregable `max(struct(score, −label))` —
+    * identical winner to a `row_number` over (score desc, label asc)
+    * (ties impossible beyond score: labels are distinct per vector), but
+    * the map side collapses the k centroid rows per vector BEFORE the
+    * shuffle, so the exchange carries the corpus once instead of k× and
+    * needs no per-vector sort. At 1B vectors × k=1024 centroids that is
+    * the difference between shuffling the corpus and shuffling a
+    * thousand corpora. */
+  private def assignScored(vectors: DataFrame, cent: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cent))
       .withColumn("score", cosineHof(col("embedding"), col("cvec")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("label").asc)
-    scored.withColumn("arnk", row_number().over(w)).filter(col("arnk") === 1)
-      .select(col("vec_id"), col("embedding"), col("label"), col("score"))
-  }
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(max(struct(col("score"), (-col("label")).as("nl"))).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.nl")).cast("int").as("label"),
+        col("best.score").as("score"))
 
   /** Per-cluster quality diagnostics over trained centroids — the
     * monitoring face of semantic curation (vs18's sampler and SemDeDup's
