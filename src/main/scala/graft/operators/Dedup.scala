@@ -157,6 +157,50 @@ object Dedup {
           least(size(a), size(b)).cast("double"),
       outCol = "containment", threshold = threshold)
 
+  /** The ACTION face of [[dupSpanStats]]: rewrite each document with its
+    * duplicated spans REMOVED — a token is dropped iff it is covered by
+    * at least one n-token shingle whose total corpus occurrence count
+    * (counting multiplicity, so within-document repeats count too —
+    * Lee et al. 2022 dedup any repeated span, not just cross-document
+    * ones) is ≥ 2. Documents with fewer than n tokens pass through
+    * unchanged.
+    *
+    * Scale shape: positional-shingle explode → one hash-keyed frequency
+    * agg (map-side partials) → equi-join + per-doc collect of duplicate
+    * START positions (bounded by document length, never corpus size) →
+    * one left join back to the corpus → per-row array rewrite in
+    * codegen'd higher-order functions. No window over the shingle key.
+    *
+    * @return (id, n_tokens, n_removed, text_clean) */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3): DataFrame = {
+    // Barrier: position-ordered hashes computed once (minhashNearDups
+    // pattern), feeding both the frequency agg and the starts collect.
+    val hp = df.select(col(idCol).as("id"),
+        transform(shingles(tokens(col(textCol)), shingleN),
+          portableHash _).as("hs"))
+      .repartition(col("id"))
+    val pos = hp.select(col("id"),
+      posexplode(col("hs")).as(Seq("i0", "h")))
+    val freq = pos.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val starts = pos.join(freq, Seq("h"))
+      .filter(col("c") >= 2)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("i0") + 1)).as("st"))
+    val covered = flatten(transform(col("st"),
+      j => array((0 until shingleN).map(o => j + o): _*)))
+    val keptIdx = filter(sequence(lit(1), size(col("t"))),
+      i => !array_contains(col("covered"), i))
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .join(starts, Seq("id"), "left_outer")
+      .withColumn("st", coalesce(col("st"), array().cast("array<int>")))
+      .withColumn("covered", covered)
+      .withColumn("kept", transform(keptIdx, i => element_at(col("t"), i)))
+      .select(col("id"), size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text_clean"))
+  }
+
   /** All-pairs containment join WITHOUT length blocking — the scale path
     * for asymmetric (subset/quote) duplication that
     * [[blockedContainmentPairs]] scopes out: a short excerpt inside a

@@ -828,6 +828,18 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The removal ACTION behind ns37's diagnostic (Lee et al. 2022):
+    // rewrite each doc dropping every token covered by a shingle whose
+    // corpus occurrence count (with multiplicity — within-doc repeats
+    // count) is >= 2. Positional explode → frequency agg → per-doc
+    // duplicate-start collect (doc-length bounded) → one left join back
+    // → codegen'd HOF array rewrite.
+    "ns41_span_removal" -> ((s, d) => {
+      Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // EXACT all-pairs Jaccard via the same lossless prefix filter — the
     // recall-1 counterpart of ns05's MinHash-LSH (which has a bounded
     // per-pair miss probability) and the unblocked twin of ns04. Same
@@ -1394,6 +1406,38 @@ object TextQueries {
          |  AND len(list_intersect(a.hashes, b.hashes)) * 1.0
          |    / least(len(a.hashes), len(b.hashes)) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "ns41_span_removal" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, [t[i] || '_' || t[i+1] || '_' || t[i+2]
+         |                  for i in range(1, len(t) - 1)] AS g
+         |  FROM toks),
+         |hp AS (
+         |  SELECT doc_id, list_transform(g, s -> ${hashSql("s")}) AS H FROM sh),
+         |ex AS (
+         |  SELECT doc_id, s['i'] AS i, s['h'] AS h
+         |  FROM (SELECT doc_id,
+         |          unnest([{'i': i, 'h': H[i]} for i in range(1, len(H) + 1)]) AS s
+         |        FROM hp)),
+         |freq AS (SELECT h, COUNT(*) AS c FROM ex GROUP BY h),
+         |starts AS (
+         |  SELECT doc_id, list(i ORDER BY i) AS st
+         |  FROM ex JOIN freq USING (h) WHERE c >= 2 GROUP BY doc_id),
+         |base AS (
+         |  SELECT tk.doc_id, tk.t,
+         |    flatten(list_transform(coalesce(s.st, []),
+         |      j -> [j, j + 1, j + 2])) AS covered
+         |  FROM toks tk LEFT JOIN starts s USING (doc_id)),
+         |kept AS (
+         |  SELECT doc_id, t,
+         |    [t[i] for i in range(1, len(t) + 1)
+         |     if NOT list_contains(covered, i)] AS k
+         |  FROM base)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(t) - len(k) AS BIGINT) AS n_removed,
+         |  array_to_string(k, ' ') AS text_clean
+         |FROM kept ORDER BY doc_id""".stripMargin,
     "ns40_prefix_jaccard" ->
       s"""$shingleHashCte
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
