@@ -23,8 +23,12 @@ object Verify {
     // step would report it as a phantom rows-only entry forever.
     if (only.isEmpty) {
       val live = SparkEntry.queries.keySet
+      // Scope the reconciliation to directories that are demonstrably OUR
+      // stale dumps (they contain Spark's _SUCCESS marker) — a user file or
+      // unrelated directory sitting in outDir must never be deleted.
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && !live.contains(f.getName))
+        .filter(f => f.isDirectory && !live.contains(f.getName) &&
+          new java.io.File(f, "_SUCCESS").exists())
         .foreach { stale =>
           System.err.println(s"[verify] removing stale dump ${stale.getName}")
           def rm(f: java.io.File): Unit = {
@@ -34,6 +38,11 @@ object Verify {
           rm(stale)
         }
     }
+    // Failures are recorded EXPLICITLY (errors.json below): a query that
+    // throws must show up as an err entry in the driver's correctness
+    // report, not silently vanish from it — round 11 lost 38 entries to a
+    // fixture regression precisely because missing looked like absent.
+    var errors = List.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -41,6 +50,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors ::= name -> s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(2000)
+        // A half-written dump from the failed attempt would read as a
+        // phantom (possibly truncated) result — remove it.
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -59,6 +76,14 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object on a clean run) so its absence means
+    // "old Verify", never "no failures".
+    val errJson = errors.reverse
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.reverse.map(_._1).mkString(", "))
     spark.stop()
   }
 }

@@ -189,8 +189,12 @@ object Dedup {
       .agg(sort_array(collect_list(col("i0") + 1)).as("st"))
     val covered = flatten(transform(col("st"),
       j => array((0 until shingleN).map(o => j + o): _*)))
-    val keptIdx = filter(sequence(lit(1), size(col("t"))),
-      i => !array_contains(col("covered"), i))
+    // sequence(1, 0) yields a DESCENDING [1, 0] (inferred step −1), and
+    // element_at(t, 0) then throws — so an empty token array needs an
+    // explicit empty index list, not the sequence.
+    val idxAll = when(size(col("t")) > 0, sequence(lit(1), size(col("t"))))
+      .otherwise(array().cast("array<int>"))
+    val keptIdx = filter(idxAll, i => !array_contains(col("covered"), i))
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
       .join(starts, Seq("id"), "left_outer")
       .withColumn("st", coalesce(col("st"), array().cast("array<int>")))

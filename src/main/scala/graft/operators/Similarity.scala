@@ -219,8 +219,10 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"),
         min(col("score")).as("min_cos"),
         max(col("score")).as("max_cos"),
-        (sum(floor(col("score") * quant).cast("long"))
-          .cast("decimal(38,0)").cast("double")
+        // Accumulate in decimal: a long accumulator of 2^20-scaled
+        // summands wraps at ~8.8e12 members; decimal(38,0) never does.
+        (sum(floor(col("score") * quant).cast("decimal(38,0)"))
+          .cast("double")
           / (lit(quant.toDouble) * count(lit(1)).cast("double")))
           .as("mean_cos"))
   }

@@ -747,8 +747,10 @@ object TextQueries {
         .join(broadcast(totS), Seq("source"))
         .groupBy(col("source"), col("n_s"))
         .agg(
-          sum(abs(col("c_st") * lit(n) - col("c_t") * col("n_s"))
-            .cast("decimal(38,0)")).as("s1"),
+          // Multiply in decimal, not long: at a ~3e9-token corpus the
+          // long products c_st·N / c_t·n_s would wrap before the cast.
+          sum(abs(col("c_st").cast("decimal(38,0)") * lit(n)
+              - col("c_t").cast("decimal(38,0)") * col("n_s"))).as("s1"),
           sum(col("c_t")).as("s2"),
           count(lit(1)).as("vocab"))
         .select(col("source"), col("n_s").as("n_tokens"), col("vocab"),
@@ -1436,7 +1438,9 @@ object TextQueries {
          |  FROM base)
          |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
          |  CAST(len(t) - len(k) AS BIGINT) AS n_removed,
-         |  array_to_string(k, ' ') AS text_clean
+         |  -- DuckDB's array_to_string([]) is NULL; a fully-removed doc is
+         |  -- an EMPTY rewrite, not a missing one (Spark array_join = '').
+         |  coalesce(array_to_string(k, ' '), '') AS text_clean
          |FROM kept ORDER BY doc_id""".stripMargin,
     "ns40_prefix_jaccard" ->
       s"""$shingleHashCte

@@ -248,6 +248,23 @@ class DedupSpec extends SparkSuite {
     assert(expected.exists(_._3 > 0), "fixture should contain shared shingles")
   }
 
+  test("removeDupSpans survives empty and sub-shingle documents") {
+    val d = Seq(
+      (1L, ""),                        // zero tokens — the sequence(1,0) trap
+      (2L, "just two"),                // < shingleN tokens: passes through
+      (3L, "dup span here and dup span here and more"), // within-doc repeat
+      (4L, "dup span here")            // cross-doc repeat, fully covered
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(d, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0)._1 == 1L && got(0)._3 == 0L)
+    assert(got(1) == ((2L, 2L, 0L, "just two")))
+    assert(got(2)._3 > 0L, "within-doc repeated shingle must be removed")
+    // doc 4 is one shingle repeated in doc 3 → every token covered →
+    // empty (not null) rewrite.
+    assert(got(3) == ((4L, 3L, 3L, "")))
+  }
+
   test("winnowedFingerprints == local reference on every fixture doc") {
     import graft.functions.TextFunctions
     val got = docs.select($"doc_id",
