@@ -44,9 +44,13 @@ object HBaseShaped {
   final case class MutCell(family: Array[Byte], qualifier: Array[Byte],
                            value: Array[Byte])
 
+  /** Mirror of `client.Mutation`, the common parent `BufferedMutator
+    * .mutate` accepts — both row-addressed write kinds below extend it. */
+  sealed trait Mutation { def row: Array[Byte] }
+
   /** Mirror of `client.Put`: a row key plus accumulated `addColumn`
     * cells, applied atomically per row by `HTable.put`. */
-  final class Put(val row: Array[Byte]) {
+  final class Put(val row: Array[Byte]) extends Mutation {
     private val buf = Seq.newBuilder[MutCell]
     def addColumn(family: Array[Byte], qualifier: Array[Byte],
                   value: Array[Byte]): Put = {
@@ -57,7 +61,30 @@ object HBaseShaped {
   }
 
   /** Mirror of `client.Delete`: whole-row removal. */
-  final class Delete(val row: Array[Byte])
+  final class Delete(val row: Array[Byte]) extends Mutation
+
+  /** Approximate wire weight of a mutation — what the live client
+    * tracks against `writeBufferSize` to decide an auto-flush. */
+  def mutationBytes(m: Mutation): Long = m match {
+    case p: Put => p.row.length.toLong + p.cells.iterator.map(c =>
+      c.family.length.toLong + c.qualifier.length +
+        Option(c.value).map(_.length).getOrElse(0)).sum
+    case d: Delete => d.row.length.toLong
+  }
+
+  /** Mirror of `client.BufferedMutator` — HBase's PUBLIC batching
+    * surface (`Connection.getBufferedMutator(BufferedMutatorParams)`):
+    * mutations accumulate client-side and ship as batched RPCs when the
+    * buffered weight crosses `writeBufferSize`, on `flush()`, and on
+    * `close()`. This is the posture a 100 TB CDC apply needs — the
+    * reference's per-record `Table.put` loop (CDCHBase.java:83-86) costs
+    * one RPC per row. */
+  trait BufferedMutator extends AutoCloseable {
+    def mutate(m: Mutation): Unit
+    def mutate(ms: Seq[Mutation]): Unit = ms.foreach(mutate)
+    def flush(): Unit
+    def close(): Unit
+  }
 
   trait HTable {
     def put(p: Put): Unit
@@ -73,6 +100,36 @@ object HBaseShaped {
     def getAdmin: Admin
     def getTable(name: String): HTable
     def close(): Unit
+
+    /** Mirror of `client.Connection.getBufferedMutator`. The default is
+      * a client-side buffer draining through [[getTable]] in arrival
+      * order on flush — semantically what the live mutator guarantees
+      * per-mutator (ordered application, batched transport), so an
+      * in-memory binding inherits correct behavior and a live binding
+      * overrides with the real `conn.getBufferedMutator(params)`.
+      * NOT thread-safe per instance, matching the live client's
+      * "one mutator per worker thread" contract. */
+    def getBufferedMutator(name: String,
+                           writeBufferSize: Long = 2L * 1024 * 1024): BufferedMutator =
+      new BufferedMutator {
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[Mutation]
+        private var weight = 0L
+        override def mutate(m: Mutation): Unit = {
+          buf += m
+          weight += mutationBytes(m)
+          if (weight >= writeBufferSize) flush()
+        }
+        override def flush(): Unit = if (buf.nonEmpty) {
+          val t = getTable(name)
+          buf.foreach {
+            case p: Put    => t.put(p)
+            case d: Delete => t.delete(d)
+          }
+          buf.clear()
+          weight = 0L
+        }
+        override def close(): Unit = flush()
+      }
   }
 }
 
@@ -85,10 +142,11 @@ object HBaseShaped {
   * schema registry lives client-side (the reference re-parses it from
   * every DML record; recording it at DDL time is the same information
   * one hop earlier). */
-class HBaseShapedWriter(conn: HBaseShaped.Connection) extends CdcWriter {
+class HBaseShapedWriter(protected val conn: HBaseShaped.Connection)
+    extends CdcWriter {
   import HBaseShaped._
 
-  private val family = CellCodec.ColumnFamily
+  protected val family: Array[Byte] = CellCodec.ColumnFamily
   private val schemas = new ConcurrentHashMap[String, StructType]()
 
   override def createTableIfAbsent(table: String, schema: StructType,
@@ -103,13 +161,24 @@ class HBaseShapedWriter(conn: HBaseShaped.Connection) extends CdcWriter {
     schemas.computeIfPresent(table, (_, cur) => StructType(
       cur.fields.filterNot(f => drop.exists(_.equalsIgnoreCase(f.name))) ++ add))
 
-  private def ensureTable(table: String): HTable = {
+  protected def ensureCreated(table: String): Unit = {
     // DML before any DDL auto-creates, the reference sink posture
     // (CDCTableUtil.java:57-64 runs per DDL record; our writer contract
     // lets DML lead — InMemoryStore documents the same)
     val admin = conn.getAdmin
     if (!admin.tableExists(table)) admin.createTable(table, family)
-    conn.getTable(table)
+  }
+
+  /** Transport seam: every mutation funnels through here, so a subclass
+    * can swap row-at-a-time `HTable` calls for a batching transport
+    * without touching the cell/row-key/schema logic above it. */
+  protected def submit(table: String, m: Mutation): Unit = {
+    ensureCreated(table)
+    val t = conn.getTable(table)
+    m match {
+      case p: Put    => t.put(p)
+      case d: Delete => t.delete(d)
+    }
   }
 
   override def upsert(table: String, key: String,
@@ -123,14 +192,77 @@ class HBaseShapedWriter(conn: HBaseShaped.Connection) extends CdcWriter {
     val put = new Put(CellCodec.rowKeyBytes(key))
     cells.foreach(c =>
       put.addColumn(family, CellCodec.encodeString(c.column), c.value))
-    ensureTable(table).put(put)
+    submit(table, put)
   }
 
   override def delete(table: String, key: String): Unit =
-    ensureTable(table).delete(new Delete(CellCodec.rowKeyBytes(key)))
+    submit(table, new Delete(CellCodec.rowKeyBytes(key)))
 
   override def schemaOf(table: String): Option[StructType] =
     Option(schemas.get(table))
+}
+
+/** SNK3 at scale: the same cell/row-key/schema logic as
+  * [[HBaseShapedWriter]], but every mutation rides a per-table
+  * [[HBaseShaped.BufferedMutator]] — HBase's public batching client —
+  * instead of a per-row `HTable` RPC. A 100 TB CDC apply writes
+  * millions of rows per partition; the reference's row-at-a-time
+  * `Table.put` loop (CDCHBase.java:83-86) makes every one a network
+  * round-trip, which is THE throughput ceiling of that sink. One
+  * mutator per (writer, table), arrival-ordered, auto-flushing past
+  * `writeBufferSize`, drained on [[flush]]/[[close]] — call [[close]]
+  * at partition end (foreachPartition / ForeachWriter.close), exactly
+  * where the live client's try-with-resources sits. */
+class BufferedHBaseWriter(c: HBaseShaped.Connection,
+                          writeBufferSize: Long = 2L * 1024 * 1024)
+    extends HBaseShapedWriter(c) with AutoCloseable {
+  import HBaseShaped._
+
+  // Single-threaded per writer (the per-partition contract), so a plain
+  // map: a ConcurrentHashMap.computeIfAbsent would imply cross-thread
+  // sharing the mutator itself does not support.
+  private val mutators = scala.collection.mutable.Map.empty[String, BufferedMutator]
+
+  override protected def submit(table: String, m: Mutation): Unit =
+    mutators.getOrElseUpdate(table, {
+      ensureCreated(table)
+      conn.getBufferedMutator(table, writeBufferSize)
+    }).mutate(m)
+
+  /** Drain every table's buffer; mutations become visible to readers. */
+  def flush(): Unit = mutators.values.foreach(_.flush())
+
+  /** Flush + release; the writer stays usable (a new mutator is opened
+    * lazily on the next write), mirroring live-client reconnect. */
+  override def close(): Unit = {
+    mutators.values.foreach(_.close())
+    mutators.clear()
+  }
+}
+
+/** SNK2 (Bigtable) over the SAME client SPI: the reference's Bigtable
+  * sink drives the HBase client API end to end — its connection is
+  * `BigtableConfiguration.connect(...)`'s HBase-compatible `Connection`
+  * and every subsequent call is `Admin`/`Table`/`Put`/`Delete`
+  * (CDCBigTable.java:19-20 imports, :73-95 run loop — byte-identical to
+  * CDCHBase's), so the live Bigtable binding is the same 1:1 delegation
+  * documented on [[HBaseShaped]], handed a Bigtable-backed connection.
+  * What Bigtable adds is a NAMING constraint: ids must match
+  * `[_a-zA-Z0-9][-_.a-zA-Z0-9]*` — dots fine, colons rejected by the
+  * service with INVALID_ARGUMENT (CDCBigTable.java:78-83 documents the
+  * grpc failure). Validating client-side turns a mid-stream grpc error
+  * into an immediate, nameable one. */
+class BigtableShapedWriter(c: HBaseShaped.Connection,
+                           writeBufferSize: Long = 2L * 1024 * 1024)
+    extends BufferedHBaseWriter(c, writeBufferSize) {
+  private val ValidId = "[_a-zA-Z0-9][-_.a-zA-Z0-9]*".r
+
+  override protected def submit(table: String, m: HBaseShaped.Mutation): Unit = {
+    require(ValidId.matches(table),
+      s"Bigtable table id '$table' must match [_a-zA-Z0-9][-_.a-zA-Z0-9]* " +
+        "(colons are rejected by the service; strip the namespace first)")
+    super.submit(table, m)
+  }
 }
 
 /** In-memory fake cluster over the client-shaped SPI — the offline
