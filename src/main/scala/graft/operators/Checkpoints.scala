@@ -40,8 +40,18 @@ object Checkpoints {
       require(sc.isLocal,
         "reliable checkpoints need a cluster-visible checkpoint dir: call " +
           "spark.sparkContext.setCheckpointDir(<shared storage path>)")
-      val d = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-      sc.setCheckpointDir(d)
+      val d = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      // We created this root, so we own its lifetime: without this hook a
+      // long local session (bench loops, sbt test) leaks one tree per JVM
+      // under /tmp. An explicitly-set checkpoint dir is never touched.
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(d.toFile)
+      }))
+      sc.setCheckpointDir(d.toString)
       sc.getCheckpointDir.get
     }
   }
