@@ -375,6 +375,45 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Temperature-weighted source mixing — the DoReMi/Gopher-style
+    // refinement of ns16's uniform split: a source's budget share is
+    // tokens_s^α / Σ tokens_t^α, so α=1 reproduces natural proportions,
+    // α→0 approaches uniform, and the classic α=1/2 (used here) damps
+    // a 100× size gap to 10×. Determinism without float-fold tricks:
+    // IEEE sqrt is correctly rounded, so quantizing each weight to
+    // 2^-20 units BEFORE the cross-source sum keeps every later step —
+    // sum, products, floor-div — in order-free integer arithmetic
+    // (the ns36/vs19 pattern), bit-reproducible on any engine and any
+    // partitioning. Products ride decimal(38,0), overflow-free at any
+    // corpus size. Scale shape: two agg shuffles (per-source totals, a
+    // sources-count-sized weight sum) + one broadcast join back; the
+    // keep decision is the ns13 salted-hash per-mille gate, scan-local.
+    "ns42_temperature_mix" -> ((s, d) => {
+      val budgetTokens = 10000L
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).as("n_tok"))
+      val stats = base.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("tokens_total"))
+        .withColumn("w_q",
+          floor(sqrt(col("tokens_total").cast("double")) * lit(1048576L))
+            .cast("long"))
+      val tot = stats.agg(sum(col("w_q")).as("w_total"))
+      val rates = stats.crossJoin(broadcast(tot))
+        .withColumn("thr_per_mille", least(lit(1000L),
+          expr(s"(CAST(w_q AS DECIMAL(38,0)) * ${budgetTokens * 1000L}) div " +
+            "(CAST(w_total AS DECIMAL(38,0)) * tokens_total)")))
+      val keep = pmod(portableHash(
+        concat(lit("tmix:"), col("doc_id").cast("string"))), lit(1000)) <
+        col("thr_per_mille")
+      base.join(broadcast(rates), Seq("source"))
+        .groupBy(col("source"), col("tokens_total"), col("w_q"),
+          col("thr_per_mille"))
+        .agg(sum(when(keep, 1).otherwise(0)).as("n_kept"),
+          sum(when(keep, col("n_tok")).otherwise(0)).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // The composed training-data-prep pipeline in one plan: quality gate
     // (token-count band + stopword presence) → exact dedup (min doc_id
     // per text) → per-source accounting of what survived. Each stage is
@@ -1121,6 +1160,35 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN $keepSql THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
          |FROM d JOIN r USING (source)
          |GROUP BY r.source, r.tokens_total, r.thr_per_mille
+         |ORDER BY r.source""".stripMargin
+    },
+    "ns42_temperature_mix" -> {
+      val keepSql =
+        s"(${hashSql("'tmix:' || CAST(doc_id AS VARCHAR)")}) % 1000 < thr_per_mille"
+      s"""WITH d AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+         |  FROM documents),
+         |st AS (
+         |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tokens_total
+         |  FROM d GROUP BY source),
+         |w AS (
+         |  SELECT source, tokens_total,
+         |    CAST(floor(sqrt(tokens_total) * 1048576) AS BIGINT) AS w_q
+         |  FROM st),
+         |t AS (SELECT CAST(SUM(w_q) AS BIGINT) AS w_total FROM w),
+         |r AS (
+         |  SELECT source, tokens_total, w_q,
+         |    LEAST(CAST(1000 AS BIGINT), CAST(
+         |      (CAST(w_q AS HUGEINT) * 10000000)
+         |        // (CAST(w_total AS HUGEINT) * tokens_total) AS BIGINT))
+         |      AS thr_per_mille
+         |  FROM w CROSS JOIN t)
+         |SELECT r.source, r.tokens_total, r.w_q, r.thr_per_mille,
+         |  CAST(SUM(CASE WHEN $keepSql THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN $keepSql THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens
+         |FROM d JOIN r USING (source)
+         |GROUP BY r.source, r.tokens_total, r.w_q, r.thr_per_mille
          |ORDER BY r.source""".stripMargin
     },
     "ns12_dedup_clusters" ->
