@@ -41,6 +41,16 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # Verify records per-query exceptions here (missing file = old dump);
+    # surface them as ERR so a thrown query can never read as "absent".
+    n_err = 0
+    try:
+        with open(f"{out_dir}/errors.json") as f:
+            for name, msg in sorted(json.load(f).items()):
+                print(f"ERR  {name}: {msg[:300]}")
+                n_err += 1
+    except FileNotFoundError:
+        pass
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
@@ -84,8 +94,9 @@ def main():
         if os.path.isdir(p) and name not in oracles:
             n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
             print(f"ROWS {name}: {n} rows (no oracle)")
-    print(f"\n{n_pass} passed, {n_fail} failed")
-    sys.exit(1 if n_fail else 0)
+    tail = f", {n_err} errored" if n_err else ""
+    print(f"\n{n_pass} passed, {n_fail} failed{tail}")
+    sys.exit(1 if (n_fail or n_err) else 0)
 
 
 if __name__ == "__main__":
