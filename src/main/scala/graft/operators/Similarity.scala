@@ -36,6 +36,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive embedding training (the
+    * in-batch-random-negatives upgrade every retrieval-model pipeline
+    * runs — ANCE-style): for each anchor, the k corpus vectors MOST
+    * similar to it among those carrying a DIFFERENT label. Near-miss
+    * negatives carry the gradient signal random negatives lack; the
+    * label inequality is what makes them negatives. Scale shape:
+    * identical to [[bruteForceTopK]] — anchors broadcast, corpus
+    * scanned once, the label predicate rides the broadcast join, one
+    * per-anchor window over the scored slice; at index scale the
+    * bucketed/IVF candidate families substitute exactly as for plain
+    * top-k. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = anchors.select(col("vec_id").as("query_id"),
+      col("label").as("query_label"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos", dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("rank"), col("cos"))
+  }
+
   /** Threshold (range) search: EVERY corpus vector with cosine ≥
     * `threshold` to each query — the "all similar enough" retrieval
     * face (FAISS range_search), where top-k's fixed budget would

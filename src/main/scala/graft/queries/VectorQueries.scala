@@ -98,6 +98,17 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hard-negative mining — the contrastive-training data op (ANCE
+    // posture): per anchor, the 5 most-similar DIFFERENT-label vectors.
+    // Exact over the label-filtered pair space; same broadcast/
+    // no-corpus-shuffle shape as vs01, so the bucketed/IVF families
+    // substitute unchanged when the index outgrows brute force.
+    "vs20_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 8), emb, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF-PQ composed — the canonical large-index shape (FAISS
     // IVFx,PQy): trained coarse quantizer partitions the corpus,
     // queries probe their 2 nearest partitions, pass 1 scores only the
@@ -327,6 +338,25 @@ object VectorQueries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rank, cos FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "vs20_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+         |             embedding AS qv
+         |           FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+         |        embedding AS cv
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         |    ${cosSql("qv", "cv")} AS cos
+         |  FROM c JOIN q ON query_id <> neighbor_id
+         |    AND query_label <> neighbor_label),
+         |ranked AS (
+         |  SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "vs01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 5),
