@@ -435,6 +435,36 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Filter-funnel ablation — the observability table every corpus
+    // pipeline publishes (Dolma/FineWeb style): how many documents
+    // survive each gate APPLIED IN SEQUENCE, so a rule's marginal cost
+    // is visible before it ships. Gates: token-length band → contains a
+    // stopword → declared-English → exact-dedup representative. One
+    // scan + one dedup shuffle + one single-row aggregate; every count
+    // is an exact integer, so the funnel is engine-exact at any scale.
+    "ns43_filter_funnel" -> ((s, d) => {
+      val t = tokens(col("text"))
+      val flags = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"),
+          size(t).as("n_tok"),
+          (size(filter(t, w => w.isin(stopEn: _*))) > 0).as("has_stop"))
+      val keep = flags.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
+      flags.join(keep, Seq("text"))
+        .select(
+          (col("n_tok") >= 10 && col("n_tok") <= 400).as("p_len"),
+          col("has_stop").as("p_stop"),
+          (col("lang") === "en").as("p_lang"),
+          (col("doc_id") === col("keep_id")).as("p_dedup"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("p_len"), 1L).otherwise(0L)).as("after_length"),
+          sum(when(col("p_len") && col("p_stop"), 1L).otherwise(0L))
+            .as("after_stopword"),
+          sum(when(col("p_len") && col("p_stop") && col("p_lang"), 1L)
+            .otherwise(0L)).as("after_lang"),
+          sum(when(col("p_len") && col("p_stop") && col("p_lang") &&
+            col("p_dedup"), 1L).otherwise(0L)).as("after_dedup"))
+    }),
+
     // Canonical text normalization — the first stage of every training
     // pipeline: casefold → strip non-alphanumerics → collapse runs of
     // spaces → trim. Pure scan-local codegen'd string expressions (no
@@ -1162,6 +1192,29 @@ object TextQueries {
          |GROUP BY r.source, r.tokens_total, r.thr_per_mille
          |ORDER BY r.source""".stripMargin
     },
+    "ns43_filter_funnel" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text, lang,
+         |    len(string_split(text, ' ')) AS n_tok,
+         |    len(list_intersect(string_split(text, ' '),
+         |      ['the','a','of','and','to','in','is'])) > 0 AS has_stop
+         |  FROM documents),
+         |k AS (SELECT text, MIN(doc_id) AS keep_id FROM f GROUP BY text),
+         |s AS (
+         |  SELECT (n_tok >= 10 AND n_tok <= 400) AS p_len,
+         |    has_stop AS p_stop, (lang = 'en') AS p_lang,
+         |    (doc_id = keep_id) AS p_dedup
+         |  FROM f JOIN k USING (text))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(SUM(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS after_length,
+         |  CAST(SUM(CASE WHEN p_len AND p_stop THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS after_stopword,
+         |  CAST(SUM(CASE WHEN p_len AND p_stop AND p_lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS after_lang,
+         |  CAST(SUM(CASE WHEN p_len AND p_stop AND p_lang AND p_dedup
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup
+         |FROM s""".stripMargin,
     "ns42_temperature_mix" -> {
       val keepSql =
         s"(${hashSql("'tmix:' || CAST(doc_id AS VARCHAR)")}) % 1000 < thr_per_mille"
