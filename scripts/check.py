@@ -43,16 +43,23 @@ def main():
         oracles = json.load(f)
     # Verify records per-query exceptions here (missing file = old dump);
     # surface them as ERR so a thrown query can never read as "absent".
-    n_err = 0
+    # An errored query is then SKIPPED below — its dump was deleted, so
+    # the oracle compare would re-report the same root cause as a second
+    # FAIL ("no files found") and double-count one failure.
+    errored = {}
     try:
         with open(f"{out_dir}/errors.json") as f:
-            for name, msg in sorted(json.load(f).items()):
-                print(f"ERR  {name}: {msg[:300]}")
-                n_err += 1
+            errored = json.load(f)
     except FileNotFoundError:
         pass
+    n_err = 0
+    for name, msg in sorted(errored.items()):
+        print(f"ERR  {name}: {msg[:300]}")
+        n_err += 1
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if name in errored:
+            continue
         sql = oracles[name]
         try:
             oracle = con.sql(sql)
@@ -91,8 +98,14 @@ def main():
     import os
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
-        if os.path.isdir(p) and name not in oracles:
-            n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
+        if os.path.isdir(p) and name not in oracles and name not in errored:
+            # Verify leaves non-dump directories alone, so a user dir can
+            # legitimately sit here — note it instead of crashing on it.
+            try:
+                n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
+            except Exception:
+                print(f"SKIP {name}: not a result dump (no readable parquet)")
+                continue
             print(f"ROWS {name}: {n} rows (no oracle)")
     tail = f", {n_err} errored" if n_err else ""
     print(f"\n{n_pass} passed, {n_fail} failed{tail}")

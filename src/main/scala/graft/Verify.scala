@@ -24,18 +24,24 @@ object Verify {
     if (only.isEmpty) {
       val live = SparkEntry.queries.keySet
       // Scope the reconciliation to directories that are demonstrably OUR
-      // stale dumps (they contain Spark's _SUCCESS marker) — a user file or
-      // unrelated directory sitting in outDir must never be deleted.
+      // stale dumps — a user file or unrelated directory sitting in outDir
+      // must never be deleted. "Ours" = completed (Spark's _SUCCESS
+      // marker) OR a crashed half-write: empty, or containing only
+      // Spark-output-shaped entries (part files, markers, crc sidecars).
+      // Without the half-write arm, a dump killed mid-write and then
+      // renamed would survive forever as a phantom rows-only entry.
+      def sparkOutputShaped(f: java.io.File): Boolean =
+        new java.io.File(f, "_SUCCESS").exists() ||
+          Option(f.listFiles()).getOrElse(Array.empty).forall { c =>
+            val n = c.getName
+            n.startsWith("part-") || n.startsWith("_") || n.startsWith(".")
+          }
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && !live.contains(f.getName) &&
-          new java.io.File(f, "_SUCCESS").exists())
+          sparkOutputShaped(f))
         .foreach { stale =>
           System.err.println(s"[verify] removing stale dump ${stale.getName}")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          rm(stale)
+          Fs.deleteRecursively(stale)
         }
     }
     // Failures are recorded EXPLICITLY (errors.json below): a query that
@@ -53,11 +59,7 @@ object Verify {
         errors ::= name -> s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(2000)
         // A half-written dump from the failed attempt would read as a
         // phantom (possibly truncated) result — remove it.
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(s"$outDir/$name"))
+        Fs.deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -44,13 +44,8 @@ object Checkpoints {
       // We created this root, so we own its lifetime: without this hook a
       // long local session (bench loops, sbt test) leaks one tree per JVM
       // under /tmp. An explicitly-set checkpoint dir is never touched.
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(d.toFile)
-      }))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(d.toFile)))
       sc.setCheckpointDir(d.toString)
       sc.getCheckpointDir.get
     }

@@ -151,9 +151,9 @@ class HBaseShapedWriter(protected val conn: HBaseShaped.Connection)
 
   override def createTableIfAbsent(table: String, schema: StructType,
                                    pks: Seq[String]): Unit = {
-    val admin = conn.getAdmin
-    if (!admin.tableExists(table)) admin.createTable(table, family)
+    ensureCreated(table)
     schemas.putIfAbsent(table, schema)
+    ()
   }
 
   override def alterTable(table: String, add: Seq[StructField],
@@ -257,11 +257,15 @@ class BigtableShapedWriter(c: HBaseShaped.Connection,
     extends BufferedHBaseWriter(c, writeBufferSize) {
   private val ValidId = "[_a-zA-Z0-9][-_.a-zA-Z0-9]*".r
 
-  override protected def submit(table: String, m: HBaseShaped.Mutation): Unit = {
+  // The validation seam is table CREATION, which both entry points funnel
+  // through — the DDL path (createTableIfAbsent) and the DML-leading
+  // auto-create inside submit — so a colon-named table can neither be
+  // created nor written through this tier.
+  override protected def ensureCreated(table: String): Unit = {
     require(ValidId.matches(table),
       s"Bigtable table id '$table' must match [_a-zA-Z0-9][-_.a-zA-Z0-9]* " +
         "(colons are rejected by the service; strip the namespace first)")
-    super.submit(table, m)
+    super.ensureCreated(table)
   }
 }
 

@@ -82,6 +82,12 @@ class BufferedHBaseWriterSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       w.upsert("ns:bad", "1", Map("id" -> "1")))
     assert(e.getMessage.contains("ns:bad"))
+    // ...on the DDL-leading path too (UpsertSink drives
+    // createTableIfAbsent directly): nothing may be created either
+    val e2 = intercept[IllegalArgumentException](
+      w.createTableIfAbsent("ns:bad", schema, Seq("id")))
+    assert(e2.getMessage.contains("ns:bad"))
+    assert(cluster.rows("ns:bad").isEmpty && cluster.family("ns:bad").isEmpty)
   }
 
   test("buffered and unbuffered writers land byte-identical state") {
