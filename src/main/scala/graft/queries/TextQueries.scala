@@ -290,6 +290,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Cluster-representative selection — the decision ns12's clusters
+    // exist to enable: per near-dup cluster keep the BEST document
+    // (here: most tokens; ties to the lower id), not the arbitrary
+    // min-id member — the dedup policy real pipelines apply (keep the
+    // longest/highest-quality variant, drop the rest). Composition of
+    // the verified LSH→CC chain with a per-cluster windowed argmax
+    // (partitioned window — cluster-sized, never corpus-wide).
+    "ns44_cluster_best" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      val labels = Dedup.componentLabels(pairs, docs, "doc_id")
+        .select(col("id").as("doc_id"), col("component"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+      val byCluster = Window.partitionBy(col("component"))
+      labels.join(scored, Seq("doc_id"))
+        .withColumn("rnk", row_number().over(
+          byCluster.orderBy(col("n_tok").desc, col("doc_id").asc)))
+        .withColumn("n_docs", count(lit(1)).over(byCluster))
+        .filter(col("rnk") === 1)
+        .select(col("component"), col("doc_id").as("kept_id"),
+          col("n_tok").as("kept_tokens"), col("n_docs"))
+        .orderBy(col("component"))
+    }),
+
     // Deterministic stratified sampling — the data-mixing step of a
     // training-data pipeline: each document's keep/drop decision is a
     // salted portable hash of its id against a per-source rate (here
@@ -1258,6 +1285,31 @@ object TextQueries {
          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          |SELECT id AS doc_id, MIN(r) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "ns44_cluster_best" ->
+      s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardSql >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS component
+         |         FROM reach GROUP BY id),
+         |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+         |        FROM documents),
+         |j AS (
+         |  SELECT component, doc_id, n_tok,
+         |    ROW_NUMBER() OVER (PARTITION BY component
+         |      ORDER BY n_tok DESC, doc_id ASC) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY component) AS n_docs
+         |  FROM comp JOIN tok USING (doc_id))
+         |SELECT component, doc_id AS kept_id, n_tok AS kept_tokens,
+         |  CAST(n_docs AS BIGINT) AS n_docs
+         |FROM j WHERE rnk = 1 ORDER BY component""".stripMargin,
     "ns14_neardup_prep" ->
       s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |pairs AS (
