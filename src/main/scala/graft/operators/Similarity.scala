@@ -88,6 +88,42 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"))
   }
 
+  /** Progressive-refinement (Matryoshka-style) search: rank by cosine
+    * over only the first `prefixDim` dimensions, keep `k·overfetch`
+    * candidates per query, then rescore exactly on the full vectors and
+    * take the true top-k of the candidates. The cheap pass reads
+    * prefixDim/dim of the bytes per vector — at index scale the prefix
+    * is a separate stored column (or an MRL-truncated sibling table),
+    * so pass 1's scan cost drops proportionally while pass 2 touches
+    * only k·overfetch full rows per query. Both passes are the same
+    * in-order cosine fold, so candidates and final scores are
+    * oracle-bit-exact; recall < 1 exactly when a true neighbor's prefix
+    * rank falls outside the overfetch window (the knob callers tune). */
+  def truncatedRescoreTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                           prefixDim: Int, overfetch: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"),
+      slice(col("embedding"), 1, prefixDim).as("qp"))
+      .withColumn("qpn", norm(col("qp")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"),
+      slice(col("embedding"), 1, prefixDim).as("cp"))
+      .withColumn("cpn", norm(col("cp")))
+    val coarse = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("pcos", dotProduct(col("qp"), col("cp")) / (col("qpn") * col("cpn")))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val cands = coarse.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= k * overfetch)
+    val rescored = cands.withColumn("cos",
+      dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Bucketed ANN: both sides hashed to a sign-bucket over the first
     * `bits` dimensions; candidates only within the same bucket (recall
     * trades off with `bits`). The join is a plain equi-join on bucket. */

@@ -261,6 +261,37 @@ object ApiQueries {
         ORDER BY numwait DESC, s_name""")
     }),
 
+    // TPC-H Q17 shape: the correlated per-group scalar-aggregate
+    // threshold ("lines with quantity below 20% of this part's average")
+    // — decorrelated by hand into its efficient join form: brand-filter
+    // part ONCE, broadcast it to prune BOTH lineitem passes at the scan
+    // (the avg pass only aggregates parts that can survive), then
+    // broadcast the per-part aggregate back. Neither lineitem scan
+    // shuffles; the threshold predicate is pure int64 (5·qty·cnt < Σqty
+    // ≡ qty < 0.2·avg — quantities are integral, so no division and no
+    // float drift), and revenue is the exact decimal sum. At 100 TB the
+    // brand slice of part stays broadcastable and lineitem is read
+    // twice with partkey pushdown — the classic trade vs one shuffled
+    // re-grouping, chosen because the filtered part set is tiny.
+    "q55_corr_avg_threshold" -> ((s, d) => {
+      val pp = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2"))
+        .select(col("p_partkey"), col("p_brand"))
+      val qty = col("l_quantity").cast("bigint")
+      val avgq = Tables.lineitem(s, d)
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(qty).as("sq"), count(lit(1)).as("cq"))
+      Tables.lineitem(s, d)
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(avgq), Seq("l_partkey"))
+        .filter(qty * lit(5) * col("cq") < col("sq"))
+        .groupBy(col("p_brand"))
+        .agg(sumd2(col("l_extendedprice")).as("small_lot_revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Window-partition COUNT(DISTINCT): Spark rejects COUNT(DISTINCT)
     // OVER, so the idiomatic plan is dense_rank over the value order +
     // max over the bare partition — two window passes on ONE user
@@ -641,6 +672,23 @@ object ApiQueries {
         |      AND l3.l_shipdate > l1.l_shipdate)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q55_corr_avg_threshold" ->
+      """WITH pp AS (
+        |  SELECT p_partkey, p_brand FROM part
+        |  WHERE p_brand IN ('Brand#1', 'Brand#2')),
+        |a AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sq,
+        |    COUNT(*) AS cq
+        |  FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |  GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS small_lot_revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN pp ON l_partkey = p_partkey JOIN a USING (l_partkey)
+        |WHERE CAST(FLOOR(l_quantity) AS BIGINT) * 5 * cq < sq
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q53_window_distinct" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority, d.n_priorities
         |FROM orders o JOIN (

@@ -317,6 +317,47 @@ object TextQueries {
         .orderBy(col("component"))
     }),
 
+    // Perplexity-bucketed corpus composition — the CCNet curation split
+    // (Wenzek et al. 2020): score every document with the exact
+    // in-corpus bigram LM (ns30's verified product fold, source carried
+    // through), then cut each source into head/middle/tail thirds of
+    // the score order with ntile(3). ntile is integer-exact and the
+    // (lm_score desc, doc_id) order is total, so bucket assignment is
+    // deterministic on both engines. Scale shape: the count tables are
+    // vocabulary²-bounded broadcasts (web-scale → shuffled equi-joins,
+    // same family); the ntile window is a per-source sort of (doc_id,
+    // score) pairs — CCNet itself computes the cuts from sampled
+    // percentile thresholds, the broadcast-threshold variant this
+    // per-source external sort degrades to gracefully.
+    "ns45_perplexity_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = tokens(col("text"))
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), posexplode(
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as(Seq("pos", "ab")))
+        .select(col("doc_id"), col("source"), col("pos"),
+          col("ab.a").as("a"), col("ab.b").as("b"))
+      val cnt = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      val pre = bg.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      val scored = bg.join(broadcast(cnt), Seq("a", "b"))
+        .join(broadcast(pre), Seq("a"))
+        .withColumn("pr", col("c").cast("double") / col("ca").cast("double"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(array_sort(collect_list(struct(col("pos"), col("pr")))),
+            lit(1.0), (acc, x) => acc * x.getField("pr")).as("lm_score"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("lm_score").desc, col("doc_id").asc)
+      scored.withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("sum_bigrams"),
+          min(col("lm_score")).as("min_score"),
+          max(col("lm_score")).as("max_score"))
+        .orderBy(col("source"), col("bucket"))
+    }),
+
     // Deterministic stratified sampling — the data-mixing step of a
     // training-data pipeline: each document's keep/drop decision is a
     // salted portable hash of its id against a per-source rate (here
@@ -1310,6 +1351,38 @@ object TextQueries {
          |SELECT component, doc_id AS kept_id, n_tok AS kept_tokens,
          |  CAST(n_docs AS BIGINT) AS n_docs
          |FROM j WHERE rnk = 1 ORDER BY component""".stripMargin,
+    "ns45_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, pr['pos'] AS pos, pr['a'] AS a, pr['b'] AS b
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest([{'pos': i, 'a': t[i], 'b': t[i + 1]}
+        |              for i in range(1, len(t))]) AS pr
+        |    FROM toks) s),
+        |cnt AS (
+        |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY a, b),
+        |pre AS (
+        |  SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM bg GROUP BY a),
+        |p AS (
+        |  SELECT bg.doc_id, bg.source, bg.pos,
+        |    CAST(cnt.c AS DOUBLE) / CAST(pre.ca AS DOUBLE) AS pr
+        |  FROM bg JOIN cnt USING (a, b) JOIN pre USING (a)),
+        |scored AS (
+        |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(1.0, list(pr ORDER BY pos)),
+        |      (acc, x) -> acc * x) AS lm_score
+        |  FROM p GROUP BY doc_id, source),
+        |b AS (
+        |  SELECT source, n_bigrams, lm_score,
+        |    CAST(NTILE(3) OVER (PARTITION BY source
+        |      ORDER BY lm_score DESC, doc_id ASC) AS INT) AS bucket
+        |  FROM scored)
+        |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+        |  MIN(lm_score) AS min_score, MAX(lm_score) AS max_score
+        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
     "ns14_neardup_prep" ->
       s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |pairs AS (

@@ -109,6 +109,20 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Progressive-refinement search (the Matryoshka/MRL serving shape):
+    // pass 1 ranks by cosine over only the first 16 of 64 dimensions —
+    // a quarter of the bytes per vector; at index scale a separate
+    // stored prefix column, so the scan cost drops with the prefix —
+    // pass 2 rescores the 4×-overfetched shortlist on full vectors.
+    // Deterministic end to end (same in-order cosine fold both passes),
+    // so the accuracy/cost trade sits under the oracle exactly.
+    "vs21_truncated_rescore" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.truncatedRescoreTopK(emb.filter(col("vec_id") < 5), emb,
+        k = 10, prefixDim = 16, overfetch = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF-PQ composed — the canonical large-index shape (FAISS
     // IVFx,PQy): trained coarse quantizer partitions the corpus,
     // queries probe their 2 nearest partitions, pass 1 scores only the
@@ -368,6 +382,27 @@ object VectorQueries {
          |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "vs21_truncated_rescore" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |             embedding[1:16] AS qp
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |        embedding[1:16] AS cp
+         |      FROM embeddings),
+         |coarse AS (
+         |  SELECT query_id, neighbor_id, qv, cv, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${cosSql("qp", "cp")} DESC, neighbor_id ASC) AS crank
+         |  FROM c JOIN q ON query_id <> neighbor_id),
+         |resc AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+         |  FROM coarse WHERE crank <= 40),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM resc)
          |SELECT query_id, neighbor_id, rank, cos FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "vs02_knn_bucketed" ->

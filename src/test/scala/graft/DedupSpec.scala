@@ -178,6 +178,51 @@ class DedupSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture threshold should keep some pairs")
   }
 
+  test("truncated-rescore search: exact scores, monotone recall, exact at full window") {
+    // The scheme's actual guarantees, each pinned: (1) every emitted
+    // score is BIT-IDENTICAL to the brute-force cosine for that pair —
+    // the rescore is the same in-order fold over the same full vectors;
+    // (2) recall is monotone in overfetch — widening the candidate
+    // window can only add candidates, and a candidate that displaces a
+    // true top-3 hit after exact rescoring would itself be a true top-3
+    // hit; (3) when the window covers the whole corpus the result
+    // EQUALS brute force exactly. What is deliberately NOT claimed: a
+    // recall floor at small overfetch — this fixture's embeddings are
+    // spectrum-flat (near-random), the adversarial case for prefix
+    // ranking; MRL-trained embeddings front-load variance precisely so
+    // the small-prefix pass ranks well. The measured fixture curve
+    // (prefix=16: 0.3@4× → 0.53@16×; prefix=48: 1.0@8×) is the
+    // documentation of that dependence, not a regression.
+    val qs = emb.filter($"vec_id" < 10)
+    val n = emb.count().toInt
+    val exactRows = Similarity.bruteForceTopK(qs, emb, k = n)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+    val exactCos = exactRows.map(t => (t._1, t._2) -> t._3).toMap
+    val exactTop3 = exactRows.groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).take(3).map(_._2).toSet).toMap
+    def run(overfetch: Int): Array[(Long, Long, Double)] =
+      Similarity.truncatedRescoreTopK(qs, emb, k = 3,
+        prefixDim = 16, overfetch = overfetch)
+        .select($"query_id", $"neighbor_id", $"cos")
+        .as[(Long, Long, Double)].collect()
+    def recall(rows: Array[(Long, Long, Double)]): Double =
+      rows.count { case (q, nb, _) => exactTop3(q).contains(nb) }.toDouble / rows.length
+    val r4 = run(4)
+    assert(r4.length == 30, "3 neighbors per query expected")
+    r4.foreach { case (q, nb, c) =>
+      assert(exactCos((q, nb)) == c, s"rescored cosine drifted for ($q,$nb)")
+    }
+    val r16 = run(16)
+    assert(recall(r16) >= recall(r4) - 1e-12,
+      s"recall must be monotone in overfetch: ${recall(r16)} < ${recall(r4)}")
+    // full window: candidates = whole corpus → exactly brute force
+    val full = run((n + 2) / 3 + 1)
+    val exactSet = exactTop3.toSeq.flatMap { case (q, s) => s.map(q -> _) }.toSet
+    assert(full.map(t => (t._1, t._2)).toSet == exactSet,
+      "full-window truncated-rescore must equal brute force")
+  }
+
   test("PQ product-quantized search recall@3 vs brute force is bounded") {
     // a 16-codeword × 8-subspace codebook is a coarse reconstruction, so
     // unlike SQ8 the pass-1 shortlist CAN miss true neighbors — the
