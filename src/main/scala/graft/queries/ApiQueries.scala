@@ -292,6 +292,36 @@ object ApiQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // TPC-H Q22 shape (schema-adapted — no phone column, so the
+    // market segment plays cntrycode): customers above the global
+    // positive-balance average with no urgent order. Exercises the
+    // remaining classic subquery combo: an UNCORRELATED scalar aggregate
+    // feeding a comparison, plus NOT EXISTS → left-anti. The threshold
+    // compare is cross-multiplied in exact decimal (bal·cnt > Σbal ≡
+    // bal > avg) so no division and no float drift on the boundary; the
+    // one-row aggregate broadcasts (BroadcastNestedLoopJoin over a
+    // single row — free), and the anti join equi-keys on custkey: at
+    // 100 TB that is one shuffle of customer against orders' custkey
+    // projection, with AQE free to flip it to broadcast when the
+    // rich-customer slice is small.
+    "q56_global_avg_anti" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("tsum"),
+          count(lit(1)).as("tcnt"))
+      cust.join(broadcast(thr))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("tcnt")
+          > col("tsum"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sumd2(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Window-partition COUNT(DISTINCT): Spark rejects COUNT(DISTINCT)
     // OVER, so the idiomatic plan is dense_rank over the value order +
     // max over the bare partition — two window passes on ONE user
@@ -689,6 +719,19 @@ object ApiQueries {
         |FROM lineitem JOIN pp ON l_partkey = p_partkey JOIN a USING (l_partkey)
         |WHERE CAST(FLOOR(l_quantity) AS BIGINT) * 5 * cq < sq
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q56_global_avg_anti" ->
+      """WITH t AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tsum,
+        |    COUNT(*) AS tcnt
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment,
+        |  COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, t
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * tcnt > tsum
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q53_window_distinct" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority, d.n_priorities
         |FROM orders o JOIN (

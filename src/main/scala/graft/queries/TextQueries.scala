@@ -358,6 +358,31 @@ object TextQueries {
         .orderBy(col("source"), col("bucket"))
     }),
 
+    // Lexical-diversity profile per source — the corpus-health gauge a
+    // curation pipeline reads before mixing: hapax count (tokens seen
+    // exactly once in the source), distinct vocabulary, total tokens,
+    // and the hapax/vocabulary ratio (high ⇒ productive natural text;
+    // low ⇒ template/boilerplate-heavy source worth a dedup pass).
+    // Scale shape: one corpus shuffle to the (source, token) partial
+    // agg — map-side combine eats the heavy tail — then a
+    // vocabulary-sized rollup per source; no window, no sort until the
+    // final source-count-sized presentation ORDER BY. The ratio divides
+    // two exactly-representable longs, so both engines round the same
+    // IEEE quotient.
+    "ns46_hapax_ratio" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("source"))
+        .agg(sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c")).as("n_tokens"))
+        .withColumn("hapax_ratio",
+          col("n_hapax").cast("double") / col("n_distinct").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // Deterministic stratified sampling — the data-mixing step of a
     // training-data pipeline: each document's keep/drop decision is a
     // salted portable hash of its id against a per-source rate (here
@@ -1383,6 +1408,20 @@ object TextQueries {
         |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
         |  MIN(lm_score) AS min_score, MAX(lm_score) AS max_score
         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    "ns46_hapax_ratio" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY source, tok)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "ns14_neardup_prep" ->
       s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |pairs AS (
