@@ -239,6 +239,58 @@ object Similarity {
     cent
   }
 
+  /** k-means||-style scalable seeding (Bahmani, Moseley, Vassilvitskii,
+    * Vattani, Kumar — "Scalable k-means++", VLDB 2012), in its
+    * deterministic hard-selection form: instead of sampling each point
+    * with probability ∝ its distance-to-center cost, each of `rounds`
+    * passes ADDS the `perRound` corpus points farthest from the current
+    * center set (min cosine to any center — the batch generalization of
+    * Gonzalez's farthest-point traversal, which k-means||'s oversampling
+    * approximates in expectation). Deterministic ⇒ oracle-verifiable:
+    * the seed is the lowest vec_id, per-round selection is the total
+    * order (nearest-cos ASC, vec_id ASC), and every score is plain IEEE
+    * dot/norm arithmetic both engines round identically. A center's own
+    * cosine to itself is 1, so existing centers sort last and are never
+    * re-picked — no explicit exclusion join needed.
+    *
+    * Scale shape — the reason k-means|| exists: k-means++ is k
+    * SEQUENTIAL corpus scans (one per center), unusable at 1B vectors;
+    * this is `rounds` scans picking `perRound` centers each. Per round:
+    * centers are a ≤(1+rounds·perRound)-vector broadcast, the
+    * per-vector nearest-cos is a partial-aggregable max (corpus shuffles
+    * once, map-side-combined), the pick is a TakeOrdered heap (no global
+    * sort), and the round's collect is center-count metadata that
+    * truncates lineage exactly like [[ivfTrain]].
+    *
+    * @return (round int, vec_id, cvec array<double>, far_score double) —
+    *         far_score is the vector's nearest-center cosine at the
+    *         moment it was selected (1.0 for the seed). */
+  def kmeansParallelInit(corpus: DataFrame, perRound: Int, rounds: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seed = corpus.orderBy(col("vec_id").asc).limit(1)
+      .select(lit(0).as("round"), col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"),
+        lit(1.0).as("far_score"))
+    var centers = seed.as[(Int, Long, Seq[Double], Double)].collect().toSeq
+    for (r <- 1 to rounds) {
+      val cent = centers.toDF("round", "c_id", "cvec", "fs")
+        .select(col("c_id"), col("cvec"))
+      val far = corpus.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cent))
+        .withColumn("cos", cosineHof(col("embedding"), col("cvec")))
+        .groupBy(col("vec_id"), col("embedding"))
+        .agg(max(col("cos")).as("near_cos"))
+        .orderBy(col("near_cos").asc, col("vec_id").asc)
+        .limit(perRound)
+        .select(lit(r).as("round"), col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"),
+          col("near_cos").as("far_score"))
+      centers = centers ++ far.as[(Int, Long, Seq[Double], Double)].collect().toSeq
+    }
+    centers.toDF("round", "vec_id", "cvec", "far_score")
+  }
+
   /** Argmax-cosine centroid assignment: `(vec_id, embedding, label)`. */
   private def assignToCentroid(vectors: DataFrame, cent: DataFrame): DataFrame =
     assignScored(vectors, cent)

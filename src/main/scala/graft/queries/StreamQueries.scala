@@ -27,6 +27,31 @@ object StreamQueries {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // Windowed approximate-distinct — the streaming cardinality shape
+    // (distinct users per window at stream scale is a sketch, never an
+    // exact set): per tumbling hour, the exact count stands next to the
+    // HLL estimate with a ≤5% (≈3σ at p=12) gate. The sketch is a
+    // fixed-size mergeable partial (splitmix64-hashed, deterministic ⇒
+    // oracle-gateable exactly like q22); under `readStream` the same
+    // aggregate runs per watermarked window with sketch-sized state.
+    // The gate carries an absolute ±3 floor beside the 5% band: at tiny
+    // per-window cardinalities linear counting loses ~1 per register
+    // collision (10 users over 4096 registers collide in ~1% of
+    // windows), which is correct sketch behavior, not drift.
+    "st18_windowed_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          graft.functions.HllSketchAgg.approxDistinct(col("user_id"))
+            .as("hll_users"),
+          count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("exact_users"), col("n"),
+          (abs(col("hll_users") - col("exact_users"))
+            <= greatest(col("exact_users") * 0.05, lit(3.0)))
+            .as("hll_within_5pct"))
+        .orderBy(col("win_start"))
+    }),
+
     // Sliding window (1 hour, 30-minute slide): each event lands in two
     // epoch-aligned windows.
     "st02_sliding_window" -> ((s, d) => {
@@ -293,6 +318,12 @@ object StreamQueries {
          | COUNT(*) AS n,
          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "st18_windowed_distinct" ->
+      s"""SELECT date_trunc('hour', $tsSql) AS win_start,
+         | COUNT(DISTINCT user_id) AS exact_users,
+         | COUNT(*) AS n,
+         | TRUE AS hll_within_5pct
+         |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin,
     "st17_windowed_topk" ->
       s"""WITH agg AS (
          |  SELECT date_trunc('hour', $tsSql) AS win_start, event_type,

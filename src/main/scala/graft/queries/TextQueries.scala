@@ -383,6 +383,43 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Vocabulary-growth (Heaps-law) curve — the dedup/coverage gauge
+    // that tells a curation pipeline whether more of a source still
+    // adds vocabulary or just repeats it: ingest the corpus in doc_id
+    // order, cut it into 10 arithmetic buckets, and report per bucket
+    // the NEW tokens (first occurrence lands in that bucket), the
+    // bucket's token volume, and both cumulative curves. A flattening
+    // cum_vocab curve ⇒ the source is exhausted. Scale shape: the
+    // bucket id is scan-local arithmetic (no global ntile over the
+    // corpus), first-occurrence is one (token → min bucket) agg, and
+    // the cumulative window runs over exactly 10 rows — bucket-count-
+    // bounded metadata, not corpus data.
+    "ns47_vocab_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val bucket = floor(col("doc_id") * lit(10) / lit(n.toDouble)).cast("int")
+      val toks = docs.select(bucket.as("bucket"),
+        explode(tokens(col("text"))).as("tok"))
+      val firstSeen = toks.groupBy(col("tok"))
+        .agg(min(col("bucket")).as("bucket"))
+      val newPerBucket = firstSeen.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("new_tokens"))
+      val totPerBucket = toks.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bucket_tokens"))
+      // left join from totals: a late bucket can introduce zero new
+      // tokens but still carries volume the cumulative curve must count
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      totPerBucket.join(newPerBucket, Seq("bucket"), "left")
+        .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+        .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
+        .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+        .select(col("bucket"), col("new_tokens"), col("bucket_tokens"),
+          col("cum_vocab"), col("cum_tokens"))
+        .orderBy(col("bucket"))
+    }),
+
     // Deterministic stratified sampling — the data-mixing step of a
     // training-data pipeline: each document's keep/drop decision is a
     // salted portable hash of its id against a per-source rate (here
@@ -1422,6 +1459,26 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "ns47_vocab_growth" ->
+      """WITH d AS (
+        |  SELECT CAST(FLOOR(doc_id * 10.0
+        |      / (SELECT COUNT(*) FROM documents)) AS INT) AS bucket,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |fs AS (SELECT tok, MIN(bucket) AS bucket FROM d GROUP BY tok),
+        |np AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_tokens
+        |       FROM fs GROUP BY bucket),
+        |tp AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS bucket_tokens
+        |       FROM d GROUP BY bucket)
+        |SELECT tp.bucket,
+        |  COALESCE(new_tokens, CAST(0 AS BIGINT)) AS new_tokens,
+        |  bucket_tokens,
+        |  CAST(SUM(COALESCE(new_tokens, 0)) OVER (ORDER BY tp.bucket)
+        |    AS BIGINT) AS cum_vocab,
+        |  CAST(SUM(bucket_tokens) OVER (ORDER BY tp.bucket)
+        |    AS BIGINT) AS cum_tokens
+        |FROM tp LEFT JOIN np USING (bucket)
+        |ORDER BY tp.bucket""".stripMargin,
     "ns14_neardup_prep" ->
       s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |pairs AS (

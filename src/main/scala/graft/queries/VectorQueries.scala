@@ -199,6 +199,51 @@ object VectorQueries {
         .orderBy(col("label"))
     }),
 
+    // k-means|| scalable seeding (Bahmani et al., VLDB 2012) in its
+    // deterministic farthest-point form: `rounds` corpus scans each
+    // adding the `perRound` vectors farthest from the current center
+    // set — the init that replaces k-means++'s k sequential scans at
+    // corpus scale. Output: each selected center with its selection
+    // round and nearest-center cosine at pick time, joined to the
+    // resulting cluster diagnostics (member count, min/max/quantized-
+    // mean cosine) so the query also exercises the assignment the seeds
+    // exist for.
+    "vs22_kmeans_par_init" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centers = Similarity.kmeansParallelInit(emb, perRound = 4, rounds = 2)
+      val cent = centers.select(col("vec_id").cast("int").as("label"),
+        col("cvec"))
+      val stats = Similarity.clusterStats(emb, cent)
+      centers.select(col("round"), col("vec_id"), col("far_score"))
+        .join(stats, col("vec_id").cast("int") === stats("label"))
+        .select(col("round"), col("vec_id"), col("far_score"),
+          col("n_members"), col("min_cos"), col("max_cos"), col("mean_cos"))
+        .orderBy(col("round"), col("vec_id"))
+    }),
+
+    // Semantic decontamination — ns15's n-gram decontamination lifted
+    // to embedding space (the leakage paraphrase rewriting hides from
+    // exact grams): every corpus vector scored by max cosine to the
+    // benchmark set, flagged at the threshold. The benchmark is a
+    // broadcast (evaluation suites are tiny vs a training corpus), the
+    // per-vector argmax is a partial-aggregable max(struct) — corpus
+    // scanned once, shuffled once map-side-combined, never sorted.
+    "vs23_semantic_decontam" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val bench = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("bench_id"), col("embedding").as("bv"))
+      emb.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(bench))
+        .withColumn("cos", cosine(col("embedding"), col("bv")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("best"))
+        .select(col("vec_id"),
+          (-col("best.nb")).as("nearest_bench"),
+          col("best.cos").as("max_cos"),
+          (col("best.cos") >= 0.35).as("contaminated"))
+        .orderBy(col("vec_id"))
+    }),
+
     "vs18_cluster_sample" -> ((s, d) => {
       val h = graft.functions.TextFunctions.portableHash(
         concat(lit("cs:"), col("vec_id").cast("string")))
@@ -731,6 +776,68 @@ object VectorQueries {
          |  CAST(SUM(CAST(FLOOR(score * 1048576) AS BIGINT)) AS DOUBLE)
          |    / (1048576.0 * CAST(COUNT(*) AS DOUBLE)) AS mean_cos
          |FROM scored GROUP BY label ORDER BY label""".stripMargin,
+    "vs23_semantic_decontam" ->
+      s"""WITH b AS (
+         |  SELECT vec_id AS bench_id, embedding AS bv
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (
+         |  SELECT e.vec_id, b.bench_id,
+         |    ${cosSql("e.embedding", "b.bv")} AS cos
+         |  FROM embeddings e CROSS JOIN b WHERE e.vec_id >= 5),
+         |m AS (
+         |  SELECT vec_id, bench_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, bench_id ASC) AS rn
+         |  FROM c)
+         |SELECT vec_id, bench_id AS nearest_bench, cos AS max_cos,
+         |  cos >= 0.35 AS contaminated
+         |FROM m WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "vs22_kmeans_par_init" ->
+      s"""WITH c0 AS (
+         |  SELECT 0 AS round, vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+         |    1.0 AS far_score
+         |  FROM embeddings ORDER BY vec_id LIMIT 1),
+         |f1 AS (
+         |  SELECT 1 AS round, vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+         |    near_cos AS far_score
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      MAX(${cosSql("e.embedding", "c.cv")}) AS near_cos
+         |    FROM embeddings e CROSS JOIN c0 c
+         |    GROUP BY e.vec_id, e.embedding) s
+         |  ORDER BY near_cos ASC, vec_id ASC LIMIT 4),
+         |c1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM f1),
+         |f2 AS (
+         |  SELECT 2 AS round, vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+         |    near_cos AS far_score
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      MAX(${cosSql("e.embedding", "c.cv")}) AS near_cos
+         |    FROM embeddings e CROSS JOIN c1 c
+         |    GROUP BY e.vec_id, e.embedding) s
+         |  ORDER BY near_cos ASC, vec_id ASC LIMIT 4),
+         |centers AS (SELECT * FROM c1 UNION ALL SELECT * FROM f2),
+         |scored AS (
+         |  SELECT vec_id, label, score FROM (
+         |    SELECT e.vec_id, CAST(c.vec_id AS INT) AS label,
+         |      ${cosSql("e.embedding", "c.cv")} AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+         |          CAST(c.vec_id AS INT) ASC) AS arnk
+         |    FROM embeddings e CROSS JOIN centers c) s
+         |  WHERE arnk = 1),
+         |stats AS (
+         |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    MIN(score) AS min_cos, MAX(score) AS max_cos,
+         |    CAST(SUM(CAST(FLOOR(score * 1048576) AS BIGINT)) AS DOUBLE)
+         |      / (1048576.0 * CAST(COUNT(*) AS DOUBLE)) AS mean_cos
+         |  FROM scored GROUP BY label)
+         |SELECT c.round, c.vec_id, c.far_score,
+         |  s.n_members, s.min_cos, s.max_cos, s.mean_cos
+         |FROM centers c JOIN stats s ON CAST(c.vec_id AS INT) = s.label
+         |ORDER BY c.round, c.vec_id""".stripMargin,
     "vs18_cluster_sample" ->
       s"""WITH b AS (
          |  SELECT ${bucketSql("embedding", 4)} AS bucket, vec_id,

@@ -223,6 +223,40 @@ class DedupSpec extends SparkSuite {
       "full-window truncated-rescore must equal brute force")
   }
 
+  test("k-means|| init == exact batched farthest-point traversal") {
+    // replicate the engine's fold order exactly (in-index-order dot,
+    // sqrt norms) so the selection comparison is bit-exact, no tolerance
+    val vecs: Map[Long, Array[Double]] = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val perRound = 4; val rounds = 2
+    var centers = List(vecs.keys.min)
+    var expect = Map(0 -> List(vecs.keys.min))
+    for (r <- 1 to rounds) {
+      val picks = vecs.toSeq
+        .map { case (id, v) => (id, centers.map(c => cos(v, vecs(c))).max) }
+        .sortBy { case (id, nc) => (nc, id) }
+        .take(perRound).map(_._1).toList
+      expect += r -> picks
+      centers = centers ++ picks
+    }
+    val got = Similarity.kmeansParallelInit(emb, perRound, rounds)
+      .select($"round", $"vec_id").as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 to rounds).foreach { r =>
+      assert(got(r) == expect(r).toSet, s"round $r picks diverged")
+    }
+    val all = got.values.flatten.toSeq
+    assert(all.size == 1 + rounds * perRound && all.distinct.size == all.size,
+      "centers must be distinct and complete")
+  }
+
   test("PQ product-quantized search recall@3 vs brute force is bounded") {
     // a 16-codeword × 8-subspace codebook is a coarse reconstruction, so
     // unlike SQ8 the pass-1 shortlist CAN miss true neighbors — the
