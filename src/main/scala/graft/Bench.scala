@@ -101,6 +101,12 @@ object Bench {
     val results: Map[String, Option[(Double, Double)]] =
       selected.map { case (name, fn) =>
         def sample(): Option[Double] = {
+          // Per-SAMPLE hygiene, untimed: the eager checkpoint/fixpoint
+          // queries (vs12, ns12, ns14, ns44) leave a broadcast+shuffle
+          // reclamation backlog that grows ACROSS samples of the same
+          // query, inflating medians 2-3x over mins while calib stays
+          // flat — the per-query GC below can't see it.
+          System.gc()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
