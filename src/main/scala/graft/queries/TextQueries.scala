@@ -383,6 +383,38 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Cross-source overlap matrix — the source-level redundancy map
+    // that tells a mixing pipeline which sources are mirrors of each
+    // other before it double-counts them: for every source pair, the
+    // distinct 5-gram hashes they share and the Jaccard overlap of
+    // their gram sets. Scale shape: (source, gram-hash) is distinct-ed
+    // once (fixed-width int64 keys, map-side combined), the pair
+    // counts come from a gram-keyed self equi-join whose per-gram
+    // fan-out is bounded by source-count² (sources are dozens, not
+    // data-scaled), and the per-source totals broadcast back onto the
+    // pair-count-sized result.
+    "ns48_source_overlap" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("source"), explode(shingleHashes(col("text"), 5)).as("g"))
+        .distinct()
+      val counts = grams.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      val shared = grams.select(col("g"), col("source").as("src_a"))
+        .join(grams.select(col("g"), col("source").as("src_b")), Seq("g"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+      shared
+        .join(broadcast(counts.select(col("source").as("src_a"),
+          col("cnt").as("n_a"))), Seq("src_a"))
+        .join(broadcast(counts.select(col("source").as("src_b"),
+          col("cnt").as("n_b"))), Seq("src_b"))
+        .withColumn("jaccard", col("shared_grams").cast("double")
+          / (col("n_a") + col("n_b") - col("shared_grams")).cast("double"))
+        .select(col("src_a"), col("src_b"), col("shared_grams"),
+          col("n_a"), col("n_b"), col("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Vocabulary-growth (Heaps-law) curve — the dedup/coverage gauge
     // that tells a curation pipeline whether more of a source still
     // adds vocabulary or just repeats it: ingest the corpus in doc_id
@@ -1459,6 +1491,30 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "ns48_source_overlap" -> {
+      val gram5 = "t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_' || t[i+4]"
+      s"""WITH toks AS (
+         |  SELECT source, string_split(text, ' ') AS t FROM documents),
+         |gd AS (
+         |  SELECT source, unnest(list_distinct(list_transform(
+         |    [$gram5 for i in range(1, len(t) - 3)],
+         |    s -> ${hashSql("s")}))) AS g
+         |  FROM toks),
+         |g AS (SELECT DISTINCT source, g FROM gd),
+         |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM g GROUP BY source),
+         |sh AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(COUNT(*) AS BIGINT) AS shared_grams
+         |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared_grams, ca.cnt AS n_a, cb.cnt AS n_b,
+         |  CAST(shared_grams AS DOUBLE)
+         |    / CAST(ca.cnt + cb.cnt - shared_grams AS DOUBLE) AS jaccard
+         |FROM sh JOIN c ca ON ca.source = sh.src_a
+         |  JOIN c cb ON cb.source = sh.src_b
+         |ORDER BY src_a, src_b""".stripMargin
+    },
     "ns47_vocab_growth" ->
       """WITH d AS (
         |  SELECT CAST(FLOOR(doc_id * 10.0

@@ -221,6 +221,31 @@ object VectorQueries {
         .orderBy(col("round"), col("vec_id"))
     }),
 
+    // ANN recall evaluation — the operator every approximate index
+    // deployment runs beside the index itself: recall@10 of the
+    // sign-bucketed ANN against the brute-force ground truth, per
+    // query. The hit count is a semi-join of the two top-k sets on
+    // (query, neighbor) — never a re-scan of the corpus — so the eval
+    // costs two searches plus a query-set-sized join at any corpus
+    // size. A recall regression after an index parameter change shows
+    // up here as a number, not as silently worse retrieval.
+    "vs24_ann_recall_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(qs, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.bucketedTopK(qs, emb, k = 10, bits = 6)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_at_10",
+          col("n_hit").cast("double") / col("n_exact").cast("double"))
+        .orderBy(col("query_id"))
+    }),
+
     // Semantic decontamination — ns15's n-gram decontamination lifted
     // to embedding space (the leakage paraphrase rewriting hides from
     // exact grams): every corpus vector scored by max cosine to the
@@ -776,6 +801,43 @@ object VectorQueries {
          |  CAST(SUM(CAST(FLOOR(score * 1048576) AS BIGINT)) AS DOUBLE)
          |    / (1048576.0 * CAST(COUNT(*) AS DOUBLE)) AS mean_cos
          |FROM scored GROUP BY label ORDER BY label""".stripMargin,
+    "vs24_ann_recall_eval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |             ${bucketSql("embedding", 6)} AS bucket
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |        ${bucketSql("embedding", 6)} AS bucket
+         |      FROM embeddings),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id ASC) AS rank
+         |    FROM c JOIN q ON query_id <> neighbor_id) s
+         |  WHERE rank <= 10),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, c.neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.neighbor_id ASC
+         |    ) AS rank
+         |    FROM c JOIN q ON c.bucket = q.bucket
+         |    WHERE q.query_id <> c.neighbor_id) s
+         |  WHERE rank <= 10),
+         |h AS (
+         |  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM exact e JOIN approx a
+         |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |  GROUP BY e.query_id),
+         |x AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM exact GROUP BY query_id)
+         |SELECT x.query_id, n_exact,
+         |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)
+         |    AS recall_at_10
+         |FROM x LEFT JOIN h ON x.query_id = h.query_id
+         |ORDER BY x.query_id""".stripMargin,
     "vs23_semantic_decontam" ->
       s"""WITH b AS (
          |  SELECT vec_id AS bench_id, embedding AS bv
