@@ -25,6 +25,75 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
 
+  /** Shared LSH build: `(hashed, banded)` where `hashed` is
+    * `(id, sorted distinct shingle hashes)` and `banded` is one row per
+    * (doc, band) with the band's bucket hash — the join key is
+    * (band, bucket), a plain shuffled equi-join at any scale. The
+    * banded form IS the persistable index an incremental pipeline
+    * stores ([[incrementalNearDups]]).
+    *
+    * The repartitions are deliberate materialization barriers. Catalyst
+    * collapses adjacent projections, and interpreted higher-order
+    * expressions get no common-subexpression elimination — so without a
+    * barrier the shingle-hash expression is inlined and recomputed
+    * inside all k permutation lambdas, and the signature inside all
+    * `bands` band hashes: O(k × |shingles| × |shingle|) per doc instead
+    * of O(k × |shingles| + |shingles| × |shingle|). Two narrow shuffles
+    * of (id, hashes[, sig]) are far cheaper at any scale (and at 100 TB
+    * the first doubles as the candidate-join pre-partitioning).
+    * Hash sets are sorted ONCE here (behind the barrier): the
+    * verification joins evaluate jaccard per candidate pair, and the
+    * sorted form makes that a merge with no per-pair sort. The
+    * signature is order-independent (min over elements). */
+  private def lshIndex(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
+    val r = k / bands
+    val hashed = df.select(col(idCol).as("id"),
+        sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
+      .repartition(col("id"))
+    val sh = hashed
+      .withColumn("sig", minhashSignature(col("hashes"), k))
+      .repartition(col("id"))
+    val banded = sh.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"), bandHash(col("sig"), b, r).as("bucket")))).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    (hashed, banded)
+  }
+
+  /** Incremental near-dup detection — the continuous-ingest shape: flag
+    * each NEW document whose exact Jaccard to any HISTORY document meets
+    * the threshold, without ever pairing history against itself. Same
+    * LSH machinery as [[minhashNearDups]] (identical signatures, so the
+    * recall guarantees carry over), but the band join is ASYMMETRIC
+    * (history bands × batch bands): candidate count scales with the
+    * increment, not the corpus. At 100 TB the history's banded/hashed
+    * form is the persisted index, built once and amortized across
+    * increments; each increment signatures only itself and equi-joins
+    * into the index.
+    *
+    * @return (id_new, id_hist, jaccard), one row per verified cross pair
+    */
+  def incrementalNearDups(history: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val (hHashed, hBanded) = lshIndex(history, idCol, textCol, shingleN, k, bands)
+    val (bHashed, bBanded) = lshIndex(batch, idCol, textCol, shingleN, k, bands)
+    val cand = bBanded.as("n")
+      .join(hBanded.as("h"),
+        col("n.band") === col("h.band") && col("n.bucket") === col("h.bucket"))
+      .select(col("n.id").as("id_new"), col("h.id").as("id_hist"))
+      .dropDuplicates("id_new", "id_hist")
+    cand
+      .join(bHashed.select(col("id").as("id_new"), col("hashes").as("h_n")), "id_new")
+      .join(hHashed.select(col("id").as("id_hist"), col("hashes").as("h_h")), "id_hist")
+      .withColumn("jaccard", jaccardSorted(col("h_n"), col("h_h")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_hist"), col("jaccard"))
+  }
+
   /** MinHash-LSH near-duplicate pairs, exact-verified.
     *
     * @param df        documents
@@ -40,32 +109,7 @@ object Dedup {
                       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
-    // The repartitions are deliberate materialization barriers. Catalyst
-    // collapses adjacent projections, and interpreted higher-order
-    // expressions get no common-subexpression elimination — so without a
-    // barrier the shingle-hash expression is inlined and recomputed
-    // inside all k permutation lambdas, and the signature inside all
-    // `bands` band hashes: O(k × |shingles| × |shingle|) per doc instead
-    // of O(k × |shingles| + |shingles| × |shingle|). Two narrow shuffles
-    // of (id, hashes[, sig]) are far cheaper at any scale (and at 100 TB
-    // the first doubles as the candidate-join pre-partitioning).
-    // Hash sets are sorted ONCE here (behind the barrier): the
-    // verification join below evaluates jaccard per candidate pair, and
-    // the sorted form makes that a merge with no per-pair sort. The
-    // signature is order-independent (min over elements).
-    val hashed = df.select(col(idCol).as("id"),
-        sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
-      .repartition(col("id"))
-    val sh = hashed
-      .withColumn("sig", minhashSignature(col("hashes"), k))
-      .repartition(col("id"))
-    // One row per (doc, band) with the band's bucket hash; join key is
-    // (band, bucket) — a plain shuffled equi-join at any scale.
-    val banded = sh.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"), bandHash(col("sig"), b, r).as("bucket")))).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val (hashed, banded) = lshIndex(df, idCol, textCol, shingleN, k, bands)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -383,6 +383,30 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Incremental near-dedup — the continuous-ingest shape every crawl
+    // pipeline runs daily: flag each NEW document (here the doc_id%10
+    // slice, deterministic and scale-free) whose Jaccard to any HISTORY
+    // document meets 0.8, via the asymmetric LSH band join
+    // (Dedup.incrementalNearDups) — candidates scale with the
+    // increment, never history×history. Output is per new doc: match
+    // count, best Jaccard (NULL when clean), and the drop flag.
+    "ns49_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val pairs = Dedup.incrementalNearDups(hist, batch, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      val agg = pairs.groupBy(col("id_new"))
+        .agg(count(lit(1)).as("n_dups"), max(col("jaccard")).as("max_jaccard"))
+      batch.select(col("doc_id"))
+        .join(agg, col("doc_id") === col("id_new"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("max_jaccard"),
+          col("id_new").isNotNull.as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-source overlap matrix — the source-level redundancy map
     // that tells a mixing pipeline which sources are mirrors of each
     // other before it double-counts them: for every source pair, the
@@ -1491,6 +1515,23 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "ns49_incremental_dedup" ->
+      s"""$shingleHashCte,
+         |p AS (
+         |  SELECT b.doc_id AS id_new, a.doc_id AS id_hist, $jaccardSql AS jaccard
+         |  FROM hs a JOIN hs b
+         |    ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+         |f AS (
+         |  SELECT id_new, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |    MAX(jaccard) AS max_jaccard
+         |  FROM p WHERE jaccard >= 0.8 GROUP BY id_new)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(n_dups, 0) AS BIGINT) AS n_dups,
+         |  max_jaccard,
+         |  f.id_new IS NOT NULL AS is_dup
+         |FROM documents d LEFT JOIN f ON f.id_new = d.doc_id
+         |WHERE d.doc_id % 10 = 0
+         |ORDER BY d.doc_id""".stripMargin,
     "ns48_source_overlap" -> {
       val gram5 = "t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_' || t[i+4]"
       s"""WITH toks AS (

@@ -223,6 +223,26 @@ class DedupSpec extends SparkSuite {
       "full-window truncated-rescore must equal brute force")
   }
 
+  test("incremental near-dups == brute cross pairs; history never self-pairs") {
+    val hist = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val inc = Dedup.incrementalNearDups(hist, batch, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      .select($"id_new", $"id_hist").as[(Long, Long)].collect().toSet
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        (a % 10, b % 10) match {
+          case (0, h) if h != 0 => Some((a, b))
+          case (h, 0) if h != 0 => Some((b, a))
+          case _ => None
+        }
+      }.toSet
+    assert(brute.nonEmpty, "fixture should contain cross-split near-dups")
+    assert(inc == brute)
+    assert(inc.forall { case (n, h) => n % 10 == 0 && h % 10 != 0 })
+  }
+
   test("k-means|| init == exact batched farthest-point traversal") {
     // replicate the engine's fold order exactly (in-index-order dot,
     // sqrt norms) so the selection comparison is bit-exact, no tolerance
