@@ -52,6 +52,32 @@ object StreamQueries {
         .orderBy(col("win_start"))
     }),
 
+    // EWMA smoothing of hourly event volume per type — the
+    // anomaly-baseline analytic a monitoring pipeline keeps per key
+    // (s₁=x₁, sᵢ=α·xᵢ+(1−α)·sᵢ₋₁ over observed hours, α=0.5 so every
+    // multiply is exact halving — bit-stable on any engine). EWMA is
+    // inherently sequential, so the fold runs per key over the
+    // hour-ordered aggregate list: one windowed partial agg collapses
+    // the stream to (type, hour) counts first, so the per-key array is
+    // hours-long, never events-long — bounded state, the same shape
+    // mapGroupsWithState keeps incrementally under readStream.
+    "st19_ewma_hourly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("n")).as("total"),
+          aggregate(
+            array_sort(collect_list(struct(col("h"), col("n")))),
+            lit(Double.NaN),
+            (acc, x) => when(isnan(acc), x.getField("n").cast("double"))
+              .otherwise(lit(0.5) * x.getField("n").cast("double")
+                + lit(0.5) * acc))
+            .as("ewma"))
+        .orderBy(col("event_type"))
+    }),
+
     // Sliding window (1 hour, 30-minute slide): each event lands in two
     // epoch-aligned windows.
     "st02_sliding_window" -> ((s, d) => {
@@ -318,6 +344,18 @@ object StreamQueries {
          | COUNT(*) AS n,
          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "st19_ewma_hourly" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', $tsSql) AS h,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         |  CAST(SUM(n) AS BIGINT) AS total,
+         |  list_reduce(list_prepend(CAST('NaN' AS DOUBLE),
+         |      list_transform(list(n ORDER BY h), v -> CAST(v AS DOUBLE))),
+         |    (acc, x) -> CASE WHEN isnan(acc) THEN x
+         |                     ELSE 0.5 * x + 0.5 * acc END) AS ewma
+         |FROM hourly GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st18_windowed_distinct" ->
       s"""SELECT date_trunc('hour', $tsSql) AS win_start,
          | COUNT(DISTINCT user_id) AS exact_users,
