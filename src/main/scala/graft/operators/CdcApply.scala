@@ -76,6 +76,50 @@ object CdcApply {
       .filter(opCol =!= graft.model.OpType.Delete)
   }
 
+  /** Net (compact) a change log to the minimal equivalent changelog:
+    * per key, the ordered composition of all ops collapses to at most one —
+    *
+    *   - first=INSERT, last≠DELETE → INSERT carrying the latest image
+    *   - first=INSERT, last=DELETE → nothing (key created and destroyed
+    *     inside the window, invisible to a downstream checkpoint)
+    *   - first≠INSERT, last=DELETE → DELETE
+    *   - otherwise                 → UPDATE carrying the latest image
+    *
+    * This is standard changelog compaction (Kafka compacted topics, Flink
+    * changelog normalization). The reference replays every change against
+    * the sink one Put/Delete at a time (reference
+    * src/main/java/io/cdap/plugin/cdc/sink/CDCTableUtil.java:72-96);
+    * netting first turns O(changes) sink RPCs into O(live keys) per
+    * checkpoint interval — the difference between feasible and not when a
+    * hot key takes thousands of updates between checkpoints.
+    *
+    * Output = the last change row per surviving key, plus `net_op` and
+    * `n_ops` (how many raw changes the row nets over). At scale: ONE hash
+    * shuffle on the key; first/last/count all ride a single window
+    * partition (one WindowExec, no join); AQE splits skewed keys.
+    */
+  def netChanges(changes: DataFrame, keys: Seq[String], opCol: Column,
+                 version: Column, tieBreak: Column*): DataFrame = {
+    import graft.model.OpType
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((version.asc +: tieBreak.map(_.asc)): _*)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__first_op", first(opCol).over(w))
+      .withColumn("__has_next", lead(lit(1), 1).over(w))
+      .filter(col("__has_next").isNull) // keep only the last change per key
+      .withColumn("net_op",
+        when(col("__first_op") === OpType.Insert && opCol =!= OpType.Delete,
+          OpType.Insert)
+          .when(col("__first_op") === OpType.Insert && opCol === OpType.Delete,
+            lit(null).cast("string"))
+          .when(opCol === OpType.Delete, OpType.Delete)
+          .otherwise(OpType.Update))
+      .filter(col("net_op").isNotNull)
+      .withColumn("n_ops", col("__rn").cast("long"))
+      .drop("__rn", "__first_op", "__has_next")
+  }
+
   /** The reference's row-key derivation: PK *names* sorted lexically, and
     * the corresponding values joined with ':' in that name order
     * (reference CDCTableUtil.java:98-105 — `primaryKeys.stream().sorted()`

@@ -384,8 +384,27 @@ object Similarity {
   }
 
   def ivfSearch(queries: DataFrame, corpus: DataFrame, cent: DataFrame,
-                k: Int, nprobe: Int = 1): DataFrame = {
-    val indexed = assignToCentroid(corpus, cent)
+                k: Int, nprobe: Int = 1): DataFrame =
+    ivfSearchIndexed(queries, ivfIndex(corpus, cent), cent, k, nprobe)
+
+  /** Materialize the IVF postings index for a corpus against trained
+    * centroids: `(vec_id, embedding, label)`. Persist this beside the
+    * centroids and ANN serving needs no training or assignment pass —
+    * and INCREMENTAL ingest becomes assignment of just the new batch
+    * against the SAME centroids, unioned onto the stored postings
+    * (vs25): candidate generation stays label-keyed, so the append
+    * costs O(batch), never a retrain or an O(corpus) re-index. */
+  def ivfIndex(corpus: DataFrame, cent: DataFrame): DataFrame =
+    assignToCentroid(corpus, cent)
+
+  /** IVF search over a PREBUILT postings index ([[ivfIndex]] output —
+    * freshly computed, loaded from storage, or a stored base unioned
+    * with an incremental batch). Same plan tail as [[ivfSearch]]: probe
+    * assignments broadcast, candidates meet the postings in a label
+    * equi-join, per-query top-k by exact cosine. */
+  def ivfSearchIndexed(queries: DataFrame, index: DataFrame, cent: DataFrame,
+                       k: Int, nprobe: Int = 1): DataFrame = {
+    val indexed = index
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         norm(col("embedding")).as("cn"), col("label").as("probe_label"))
     val assigned = probeAssignments(queries, cent, nprobe)

@@ -322,6 +322,59 @@ object ApiQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // In-pass pipeline accounting via Dataset.observe: QC counters ride
+    // the MAIN action as accumulator-backed aggregates instead of a
+    // second scan (contrast q50, which pays one extra aggregation pass
+    // per audited metric — at 100 TB each audit re-reads the corpus;
+    // observe reads it zero extra times). The noop sink materializes the
+    // pass with no output I/O; the observed metrics surface as a one-row
+    // DataFrame. Money sums decimal-exact per Q.scala, so the metric is
+    // hash-comparable, not just plausible.
+    "q57_observe_metrics" -> ((s, d) => {
+      import org.apache.spark.sql.Observation
+      val obs = Observation("qc")
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 10)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      // l_shipdate is parquet timestamp[us] → TIMESTAMP_NTZ, so the
+      // observed min/max come back as LocalDateTime; the encoder maps
+      // them back to TIMESTAMP_NTZ, matching the DuckDB oracle's type.
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_price").asInstanceOf[Double],
+        m("min_ship").asInstanceOf[java.time.LocalDateTime],
+        m("max_ship").asInstanceOf[java.time.LocalDateTime]))
+        .toDF("n_rows", "sum_price", "min_ship", "max_ship")
+    }),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): hierarchy walk over a
+    // deterministic parent edge (custkey -> custkey DIV 2, the implicit
+    // binary-heap tree) for the first 64 customers — per node its depth
+    // to the root and the exact sum of keys on the path. Recursion depth
+    // is log2(max key): bounded by KEY WIDTH, not data size, so the
+    // iteration count is scale-free; each step is one self-join the
+    // optimizer plans like any other.
+    "q58_recursive_cte" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        WITH RECURSIVE walk(custkey, node, depth) AS (
+          SELECT c_custkey, c_custkey, 0
+          FROM customer_v WHERE c_custkey < 64
+          UNION ALL
+          SELECT custkey, node DIV 2, depth + 1 FROM walk WHERE node > 1
+        )
+        SELECT custkey, MAX(depth) AS depth,
+               SUM(node) AS path_sum
+        FROM walk GROUP BY custkey ORDER BY custkey""")
+    }),
+
     // Window-partition COUNT(DISTINCT): Spark rejects COUNT(DISTINCT)
     // OVER, so the idiomatic plan is dense_rank over the value order +
     // max over the bare partition — two window passes on ONE user
@@ -954,5 +1007,20 @@ object ApiQueries {
         |        COUNT(*) AS n
         |      FROM orders GROUP BY 1) t
         |ORDER BY yr""".stripMargin,
+    "q57_observe_metrics" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price,
+        | MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        |FROM lineitem WHERE l_quantity > 10""".stripMargin,
+    "q58_recursive_cte" ->
+      """WITH RECURSIVE walk(custkey, node, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 64
+        |  UNION ALL
+        |  SELECT custkey, node // 2, depth + 1 FROM walk WHERE node > 1
+        |)
+        |SELECT custkey, MAX(depth) AS depth,
+        |  CAST(SUM(node) AS BIGINT) AS path_sum
+        |FROM walk GROUP BY custkey ORDER BY custkey""".stripMargin,
   )
 }

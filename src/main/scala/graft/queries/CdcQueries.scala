@@ -782,6 +782,22 @@ object CdcQueries {
         .select(col("user_id"), col("version"), col("op"), col("c_name"))
         .orderBy(col("user_id"))
     }),
+
+    // Changelog netting (compaction): collapse each key's change history
+    // between two checkpoints to its minimal equivalent op — the
+    // created-and-destroyed keys vanish, hot keys become one row
+    // (CdcApply.netChanges). Turns O(changes) sink RPCs into O(live keys)
+    // before the upsert sink ever sees the batch. One key-hash shuffle,
+    // one WindowExec, no join — flat to any scale; AQE splits hot keys.
+    "cdc28_changelog_net" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("op", opFromEvent)
+      CdcApply.netChanges(ev, Seq("user_id"), col("op"),
+        col("ts"), col("event_id"))
+        .select(col("user_id"), col("net_op"),
+          when(col("net_op") =!= "DELETE", col("value")).as("value"),
+          col("event_id").as("last_event_id"), col("n_ops"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   private val opFromEventSql =
@@ -1032,5 +1048,26 @@ object CdcQueries {
          |        AND event_id <= (SELECT (MAX(event_id) // 5) * 3 FROM events)) t
          |LEFT JOIN customer ON user_id = c_custkey
          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "cdc28_changelog_net" ->
+      s"""WITH c AS (
+         |  SELECT user_id, event_id, value, $opFromEventSql AS op,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+         |    FIRST_VALUE($opFromEventSql) OVER (PARTITION BY user_id
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS first_op
+         |  FROM events),
+         |l AS (SELECT * FROM c WHERE rn = n),
+         |net AS (
+         |  SELECT user_id,
+         |    CASE WHEN first_op = 'INSERT' AND op <> 'DELETE' THEN 'INSERT'
+         |         WHEN first_op = 'INSERT' AND op = 'DELETE' THEN NULL
+         |         WHEN op = 'DELETE' THEN 'DELETE'
+         |         ELSE 'UPDATE' END AS net_op,
+         |    CASE WHEN op <> 'DELETE' THEN value END AS value,
+         |    event_id AS last_event_id, CAST(rn AS BIGINT) AS n_ops
+         |  FROM l)
+         |SELECT * FROM net WHERE net_op IS NOT NULL
+         |ORDER BY user_id""".stripMargin,
   )
 }

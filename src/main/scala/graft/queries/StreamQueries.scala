@@ -78,6 +78,41 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Watermark-sizing profile — the measurement a streaming deploy runs
+    // BEFORE picking `withWatermark`'s delay: out-of-orderness = running
+    // max event time minus this event's time, in arrival order. The
+    // fixture is perfectly time-ordered, so arrival is modeled as
+    // multi-partition consumption: a deterministic multiplicative
+    // scramble of event_id (Knuth 2654435761 mod 1000003 — exact 64-bit
+    // integer arithmetic on both engines) stands in for the unordered
+    // merge of source partitions. Bucketed into a lateness histogram
+    // (in-order / ≤1m / ≤5m / ≤30m / beyond) with each bucket's share of
+    // events — read the row where the cumulative share crosses your loss
+    // budget. Scale shape: one user-hash shuffle for the running-max
+    // window, then a 5-row global agg; the percentage divides two exact
+    // longs.
+    "st20_watermark_profile" -> ((s, d) => {
+      val arrival = (col("event_id") * lit(2654435761L)) % lit(1000003L)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(arrival.asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val late = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("late_us",
+          unix_micros(max(col("ts")).over(w)) - unix_micros(col("ts")))
+      val bucket = when(col("late_us") === 0L, "0_in_order")
+        .when(col("late_us") <= 60000000L, "1_le_1m")
+        .when(col("late_us") <= 300000000L, "2_le_5m")
+        .when(col("late_us") <= 1800000000L, "3_le_30m")
+        .otherwise("4_gt_30m")
+      late.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("late_us")).as("max_late_us"))
+        .withColumn("pct", col("n_events") * lit(100.0)
+          / sum(col("n_events")).over(Window.partitionBy()).cast("double"))
+        .orderBy(col("bucket"))
+    }),
+
     // Sliding window (1 hour, 30-minute slide): each event lands in two
     // epoch-aligned windows.
     "st02_sliding_window" -> ((s, d) => {
@@ -538,5 +573,24 @@ object StreamQueries {
          |    PARTITION BY user_id ORDER BY $tsSql DESC, event_id DESC) AS rn
          |  FROM events) t
          |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "st20_watermark_profile" ->
+      s"""WITH l AS (
+         |  SELECT epoch_us(MAX($tsSql) OVER (PARTITION BY user_id
+         |      ORDER BY (event_id * 2654435761) % 1000003, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |    - epoch_us($tsSql) AS late_us
+         |  FROM events),
+         |b AS (
+         |  SELECT CASE WHEN late_us = 0 THEN '0_in_order'
+         |              WHEN late_us <= 60000000 THEN '1_le_1m'
+         |              WHEN late_us <= 300000000 THEN '2_le_5m'
+         |              WHEN late_us <= 1800000000 THEN '3_le_30m'
+         |              ELSE '4_gt_30m' END AS bucket, late_us
+         |  FROM l)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+         |  CAST(COUNT(*) AS DOUBLE) * 100.0
+         |    / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS pct
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

@@ -383,6 +383,36 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Zipf rank-frequency curve — the corpus-naturalness gauge: natural
+    // text keeps rank×frequency roughly constant (Zipf's law, exponent
+    // ≈1); machine-generated or template-heavy corpora bend the curve.
+    // Probed at power-of-two ranks so the whole diagnostic stays in
+    // EXACT integer arithmetic (the log-log regression form needs ln(),
+    // which is not correctly rounded and differs across libm — the
+    // products ARE the slope signal: a flat rank_x_freq column is
+    // exponent 1, decay below/above 1.0 reads as the local deviation).
+    // Scale shape: token counts are one map-side-combined shuffle, the
+    // top-512 cut is a TakeOrderedAndProject (no global sort), and both
+    // windows run over ≤512 surviving rows — rank-bounded metadata, not
+    // corpus data.
+    "ns50_zipf_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val top = cnt.orderBy(col("c").desc, col("tok").asc).limit(512)
+      val w = Window.orderBy(col("c").desc, col("tok").asc)
+      val w2 = Window.orderBy(col("rank"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank").bitwiseAND(col("rank") - 1) === 0)
+        .withColumn("rank_x_freq", col("rank") * col("c"))
+        .withColumn("decay", col("rank_x_freq").cast("double")
+          / lag(col("rank_x_freq"), 1).over(w2).cast("double"))
+        .select(col("rank"), col("tok"), col("c"), col("rank_x_freq"),
+          col("decay"))
+        .orderBy(col("rank"))
+    }),
+
     // Incremental near-dedup — the continuous-ingest shape every crawl
     // pipeline runs daily: flag each NEW document (here the doc_id%10
     // slice, deterministic and scale-free) whose Jaccard to any HISTORY
@@ -1515,6 +1545,21 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "ns50_zipf_curve" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM t GROUP BY tok),
+        |top AS (SELECT tok, c FROM c ORDER BY c DESC, tok LIMIT 512),
+        |r AS (SELECT tok, c, CAST(ROW_NUMBER() OVER (
+        |        ORDER BY c DESC, tok) AS BIGINT) AS rank
+        |      FROM top),
+        |p AS (SELECT rank, tok, c, rank * c AS rank_x_freq
+        |      FROM r WHERE (rank & (rank - 1)) = 0)
+        |SELECT rank, tok, c, rank_x_freq,
+        |  CAST(rank_x_freq AS DOUBLE)
+        |    / CAST(LAG(rank_x_freq) OVER (ORDER BY rank) AS DOUBLE) AS decay
+        |FROM p ORDER BY rank""".stripMargin,
     "ns49_incremental_dedup" ->
       s"""$shingleHashCte,
          |p AS (

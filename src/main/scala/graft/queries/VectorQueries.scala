@@ -38,12 +38,16 @@ object VectorQueries {
     * argmax-cosine assignment (ties to lower label), quantized-exact
     * per-dimension means. Deterministic on both engines because every
     * fold is in index order and every mean is an int64 sum. */
-  private def ivfTrainCtes(k: Int, iters: Int): String = {
+  private def ivfTrainCtes(k: Int, iters: Int, where: String = ""): String = {
+    val andWhere = if (where.isEmpty) "" else s" AND ($where)"
+    val trainSrc =
+      if (where.isEmpty) "embeddings"
+      else s"(SELECT * FROM embeddings WHERE $where)"
     val sb = new StringBuilder(
       s"""cvec0 AS (
          |  SELECT CAST(vec_id AS INT) AS label,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM embeddings WHERE vec_id < $k)""".stripMargin)
+         |  FROM embeddings WHERE vec_id < $k$andWhere)""".stripMargin)
     for (t <- 1 to iters) {
       sb.append(s""",
                    |assign$t AS (
@@ -52,7 +56,7 @@ object VectorQueries {
                    |      PARTITION BY e.vec_id
                    |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.label ASC
                    |    ) AS arnk
-                   |    FROM embeddings e CROSS JOIN cvec${t - 1} c) s
+                   |    FROM $trainSrc e CROSS JOIN cvec${t - 1} c) s
                    |  WHERE arnk = 1),
                    |cvec$t AS (
                    |  SELECT label, list(c ORDER BY i) AS cv FROM (
@@ -338,6 +342,32 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Incremental index append — the continuous-ingest ANN shape: train
+    // centroids on the HISTORY corpus only, persist centroids + postings
+    // (the index), then ingest the new batch (vec_id%10 slice) by
+    // ASSIGNING it against the stored centroids and unioning onto the
+    // stored postings — no retrain, no O(corpus) re-index; the append
+    // costs O(batch). Search runs over the merged postings exactly as if
+    // the index had been built whole (label-keyed candidates, exact
+    // rescore), which is precisely what the oracle pins: train-on-history
+    // + assign-everyone must equal the merged index's answers.
+    "vs25_incremental_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val hist = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val dir = freshDir("ivf-inc")
+      val cent = Similarity.ivfTrain(hist, kCentroids = 8, iters = 3)
+      cent.write.mode("overwrite").parquet(s"$dir/centroids")
+      Similarity.ivfIndex(hist, cent)
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      val loadedCent = s.read.parquet(s"$dir/centroids")
+      val merged = s.read.parquet(s"$dir/postings")
+        .unionByName(Similarity.ivfIndex(batch, loadedCent))
+      val qs = emb.filter(col("vec_id") < 10)
+      Similarity.ivfSearchIndexed(qs, merged, loadedCent, k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Recall@3 of the IVF index against the exact brute-force neighbors,
     // per query and per nprobe — the ANN quality claim as an
     // oracle-gated number instead of an assertion in prose. One brute
@@ -617,6 +647,36 @@ object VectorQueries {
          |ORDER BY i.nprobe, i.query_id""".stripMargin,
     "vs16_persisted_index" ->
       s"""WITH ${ivfTrainCtes(k = 8, iters = 3)},
+         |indexed AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS cv2, label AS probe_label
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.label, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.label ASC
+         |    ) AS arnk
+         |    FROM embeddings e CROSS JOIN cvec3 c) s
+         |  WHERE arnk = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT query_id, qv, label FROM (
+         |    SELECT query_id, qv, label, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${cosSql("qv", "c.cv")} DESC, label ASC) AS arnk
+         |    FROM q CROSS JOIN cvec3 c) t WHERE arnk <= 2),
+         |cand AS (
+         |  SELECT query_id, label AS probe_label, i.neighbor_id,
+         |    ${cosSql("qv", "i.cv2")} AS cos
+         |  FROM probes p JOIN indexed i ON i.probe_label = p.label
+         |  WHERE i.neighbor_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, probe_label, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand)
+         |SELECT query_id, probe_label, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "vs25_incremental_index" ->
+      s"""WITH ${ivfTrainCtes(k = 8, iters = 3, where = "vec_id % 10 <> 0")},
          |indexed AS (
          |  SELECT vec_id AS neighbor_id, embedding AS cv2, label AS probe_label
          |  FROM (

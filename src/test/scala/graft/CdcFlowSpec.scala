@@ -106,4 +106,35 @@ class CdcFlowSpec extends SparkSuite {
     // the deleted key contributes no open row
     assert(!hist.exists { case (id, _, _, to, cur) => id == 2L && (to == -1L || cur) })
   }
+
+  test("netChanges compacts each key's history to its minimal net op") {
+    val changes = Seq(
+      // key 1: INSERT → UPDATE → UPDATE ⇒ net INSERT with the last image
+      dml(OpType.Insert, 1, 1L, "a0", 1.0),
+      dml(OpType.Update, 4, 1L, "a1", 1.5),
+      dml(OpType.Update, 6, 1L, "a2", 2.0),
+      // key 2: INSERT → DELETE ⇒ vanishes entirely
+      dml(OpType.Insert, 2, 2L, "b0", 9.0),
+      dml(OpType.Delete, 5, 2L, "b0", 9.0),
+      // key 3: UPDATE → UPDATE ⇒ net UPDATE with the last image
+      dml(OpType.Update, 3, 3L, "c0", 5.0),
+      dml(OpType.Update, 7, 3L, "c1", 5.5),
+      // key 4: UPDATE → DELETE ⇒ net DELETE
+      dml(OpType.Update, 8, 4L, "d0", 7.0),
+      dml(OpType.Delete, 9, 4L, "d0", 7.0),
+      // key 5: lone INSERT passes through
+      dml(OpType.Insert, 10, 5L, "e0", 3.0)).toDS().toDF()
+    val flat = DmlFlattener.flatten(changes, rowSchema, includeCdcColumns = true)
+    val net = CdcApply.netChanges(flat, Seq("id"),
+      col(DmlFlattener.OpTypeCol), col(DmlFlattener.VersionCol).cast("long"))
+      .select($"id", $"net_op", $"name", $"n_ops")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(net == Set(
+      (1L, OpType.Insert, "a2", 3L),
+      (3L, OpType.Update, "c1", 2L),
+      (4L, OpType.Delete, "d0", 2L),
+      (5L, OpType.Insert, "e0", 1L)))
+  }
 }
