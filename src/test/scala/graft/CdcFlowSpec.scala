@@ -137,4 +137,31 @@ class CdcFlowSpec extends SparkSuite {
       (4L, OpType.Delete, "d0", 2L),
       (5L, OpType.Insert, "e0", 1L)))
   }
+
+  test("netChanges is apply-equivalent: netted log converges to the raw log's state") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val logGen = Gen.listOfN(60, for {
+      id <- Gen.choose(0L, 12L) // few keys → long per-key histories
+      op <- Gen.oneOf(OpType.Insert, OpType.Update, OpType.Delete)
+      v <- Gen.choose(-1000.0, 1000.0)
+    } yield (id, op, v))
+    (1L to 5L).foreach { seed =>
+      val rows = sample(logGen, seed).zipWithIndex
+        .map { case ((id, op, v), i) => (id, op, v, i.toLong) }
+      val df = rows.toDF("id", "op", "v", "ver")
+      def state(changes: org.apache.spark.sql.DataFrame, opCol: String) =
+        CdcApply.applyChanges(changes, Seq("id"), col(opCol), col("ver"))
+          .select($"id", $"v").as[(Long, Double)].collect().toSet
+      val raw = state(df, "op")
+      val net = CdcApply.netChanges(df, Seq("id"), col("op"), col("ver"))
+      assert(state(net, "net_op") == raw, s"seed=$seed")
+      // netting emits at most one row per key, and none for keys whose
+      // history both begins with INSERT and ends with DELETE
+      val perKey = net.groupBy($"id").count().as[(Long, Long)].collect()
+      assert(perKey.forall(_._2 == 1L), s"seed=$seed")
+    }
+  }
 }
