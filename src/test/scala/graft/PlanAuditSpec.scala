@@ -276,6 +276,40 @@ class PlanAuditSpec extends SparkSuite {
       s"q54's correlation degenerated to a nested loop:\n$p")
   }
 
+  test("cdc28's changelog netting is one window over one key shuffle, no join") {
+    val p = executedPlan("cdc28_changelog_net")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("Window"), s"cdc28 lost its window:\n$p")
+    assert(!finalPlan.contains("Join"), s"cdc28 should not join:\n$p")
+    // one key-hash exchange for the window + the presentation sort's
+    // range exchange — anything more means first/last/count stopped
+    // sharing the single window partitioning
+    assert(finalPlan.split("Exchange ").length - 1 <= 2,
+      s"cdc28 grew extra shuffles:\n$p")
+  }
+
+  test("ns50's top-512 cut is a TakeOrdered heap, never a global vocab sort") {
+    val p = executedPlan("ns50_zipf_curve")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      s"ns50 lost its TakeOrderedAndProject rank cut:\n$p")
+  }
+
+  test("st20's lateness profile is windows + aggregation over the user partitioning, no join") {
+    val p = executedPlan("st20_watermark_profile")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("Window"), s"st20 lost its running-max window:\n$p")
+    assert(!finalPlan.contains("Join"), s"st20 should not join:\n$p")
+  }
+
+  test("vs25's merged-index candidate join broadcasts the probe set, stays equi") {
+    val p = executedPlan("vs25_incremental_index")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vs25 lost the broadcast probe join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "vs25 degenerated to an all-pairs scan")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
