@@ -798,6 +798,41 @@ object CdcQueries {
           col("event_id").as("last_event_id"), col("n_ops"))
         .orderBy(col("user_id"))
     }),
+
+    // DDL-mid-stream apply: the reference streams DDL records in-band and
+    // alters the sink table before applying subsequent DML (reference
+    // src/main/java/io/cdap/plugin/cdc/sink/CDCTableUtil.java:38-70 —
+    // updateKuduTableSchema on a DDLRecord, then Puts carry the new
+    // column). Relationally that situation is an old epoch whose rows
+    // LACK the added column and a new epoch that carries it:
+    // unionByName(allowMissingColumns) null-pads the old epoch exactly
+    // like a freshly ALTERed nullable column, and the latest-state apply
+    // then runs over the merged log unchanged. The epoch boundary (the
+    // mean event_id, standing in for the DDL's change version) rides a
+    // one-row broadcast with an exact integer compare
+    // (event_id·n ≤ Σ event_id — no double rounding, no driver collect).
+    // Scale: broadcast of one row + the same single key-hash shuffle as
+    // cdc03; the union is a zero-shuffle concatenation.
+    "cdc29_schema_evolution" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("op", opFromEvent)
+      val cut = ev.agg(
+        sum(col("event_id").cast("decimal(28,0)")).as("esum"),
+        count(lit(1)).as("ecnt"))
+      val tagged = ev.join(broadcast(cut))
+      val pre = tagged
+        .filter(col("event_id").cast("decimal(28,0)") * col("ecnt")
+          <= col("esum"))
+        .drop("props", "esum", "ecnt")
+      val post = tagged
+        .filter(col("event_id").cast("decimal(28,0)") * col("ecnt")
+          > col("esum"))
+        .drop("esum", "ecnt")
+      CdcApply.applyChanges(
+          pre.unionByName(post, allowMissingColumns = true),
+          Seq("user_id"), col("op"), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id"), col("value"), col("props"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   private val opFromEventSql =
@@ -1069,5 +1104,24 @@ object CdcQueries {
          |  FROM l)
          |SELECT * FROM net WHERE net_op IS NOT NULL
          |ORDER BY user_id""".stripMargin,
+    "cdc29_schema_evolution" ->
+      s"""WITH cut AS (
+         |  SELECT SUM(CAST(event_id AS DECIMAL(28,0))) AS esum,
+         |    COUNT(*) AS ecnt FROM events),
+         |pre AS (
+         |  SELECT user_id, event_id, ts, value, $opFromEventSql AS op,
+         |    CAST(NULL AS VARCHAR) AS props
+         |  FROM events, cut
+         |  WHERE CAST(event_id AS DECIMAL(28,0)) * ecnt <= esum),
+         |post AS (
+         |  SELECT user_id, event_id, ts, value, $opFromEventSql AS op, props
+         |  FROM events, cut
+         |  WHERE CAST(event_id AS DECIMAL(28,0)) * ecnt > esum),
+         |u AS (SELECT * FROM pre UNION ALL SELECT * FROM post),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+         |      FROM u)
+         |SELECT user_id, event_id, value, props FROM r
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
   )
 }

@@ -368,6 +368,27 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Index maintenance under CDC deletes — the DELETE half of vs25's
+    // append story. Tombstoned ids anti-join the posting list BEFORE the
+    // probe join, so a deleted vector can never surface in a result and
+    // the index is never rebuilt: search cost is unchanged and the mask
+    // is one anti-join on the posting key (AQE broadcasts it while the
+    // tombstone set is small; past that it is a plain shuffled anti-join
+    // — either way no rebuild, no scan of the dead vectors). Compacting
+    // the tombstones back into the postings parquet is the same
+    // write-back as vs16's persisted index.
+    "vs26_index_tombstones" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cent = Similarity.ivfTrain(emb, kCentroids = 8, iters = 3)
+      val tomb = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id"))
+      val live = Similarity.ivfIndex(emb, cent)
+        .join(tomb, Seq("vec_id"), "left_anti")
+      val qs = emb.filter(col("vec_id") < 10)
+      Similarity.ivfSearchIndexed(qs, live, cent, k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Recall@3 of the IVF index against the exact brute-force neighbors,
     // per query and per nprobe — the ANN quality claim as an
     // oracle-gated number instead of an assertion in prose. One brute
@@ -686,6 +707,36 @@ object VectorQueries {
          |    ) AS arnk
          |    FROM embeddings e CROSS JOIN cvec3 c) s
          |  WHERE arnk = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT query_id, qv, label FROM (
+         |    SELECT query_id, qv, label, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${cosSql("qv", "c.cv")} DESC, label ASC) AS arnk
+         |    FROM q CROSS JOIN cvec3 c) t WHERE arnk <= 2),
+         |cand AS (
+         |  SELECT query_id, label AS probe_label, i.neighbor_id,
+         |    ${cosSql("qv", "i.cv2")} AS cos
+         |  FROM probes p JOIN indexed i ON i.probe_label = p.label
+         |  WHERE i.neighbor_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, probe_label, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand)
+         |SELECT query_id, probe_label, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "vs26_index_tombstones" ->
+      s"""WITH ${ivfTrainCtes(k = 8, iters = 3)},
+         |indexed AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS cv2, label AS probe_label
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.label, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.label ASC
+         |    ) AS arnk
+         |    FROM embeddings e CROSS JOIN cvec3 c) s
+         |  WHERE arnk = 1 AND s.vec_id % 7 <> 3),
          |q AS (SELECT vec_id AS query_id, embedding AS qv
          |      FROM embeddings WHERE vec_id < 10),
          |probes AS (
