@@ -164,4 +164,22 @@ class CdcFlowSpec extends SparkSuite {
       assert(perKey.forall(_._2 == 1L), s"seed=$seed")
     }
   }
+
+  test("schema-evolution apply: pre-DDL epoch null-pads the added column") {
+    // cdc29's semantics in miniature: an in-band DDL adds `tier` between
+    // version 2 and 3. Keys whose LAST change predates the DDL surface
+    // with tier NULL (exactly a freshly ALTERed nullable column); keys
+    // touched after it carry the value; a post-DDL DELETE still deletes.
+    val pre = Seq((1L, "INSERT", 1L, 10.0), (2L, "INSERT", 2L, 20.0),
+      (3L, "INSERT", 2L, 30.0)).toDF("id", "op", "ver", "score")
+    val post = Seq((2L, "UPDATE", 3L, 21.0, "gold"),
+      (3L, "DELETE", 4L, 30.0, "drop"))
+      .toDF("id", "op", "ver", "score", "tier")
+    val merged = pre.unionByName(post, allowMissingColumns = true)
+    assert(merged.schema("tier").nullable)
+    val state = CdcApply.applyChanges(merged, Seq("id"), col("op"), col("ver"))
+      .select($"id", $"score", $"tier").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(state == Set((1L, 10.0, None), (2L, 21.0, Some("gold"))))
+  }
 }

@@ -447,4 +447,31 @@ class DedupSpec extends SparkSuite {
     assert(f1 == f2, "features must not depend on partitioning")
     assert(f1.values.forall(v => v.length == 8 && v.forall(x => x >= 0f && x < 1f)))
   }
+
+  test("tombstone-masked search never surfaces a deleted vector, even a top-1") {
+    // vs26's invariant: masking happens on the POSTINGS, before ranking —
+    // so deleting a query's exact nearest neighbor both removes it from
+    // the results and backfills the next-best candidate (k is still met
+    // from the live set, not truncated).
+    val qs = emb.filter($"vec_id" < 5)
+    val cent = Similarity.ivfTrain(emb, kCentroids = 8, iters = 3)
+    val full = Similarity.ivfSearchIndexed(qs,
+      Similarity.ivfIndex(emb, cent), cent, k = 3, nprobe = 2)
+    // tombstone every query's current #1 neighbor
+    val top1 = full.filter($"rank" === 1)
+      .select($"neighbor_id").distinct()
+    val dead = top1.as[Long].collect().toSet
+    val live = Similarity.ivfIndex(emb, cent)
+      .join(top1.withColumnRenamed("neighbor_id", "vec_id"),
+        Seq("vec_id"), "left_anti")
+    val masked = Similarity.ivfSearchIndexed(qs, live, cent, k = 3, nprobe = 2)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    assert(masked.forall { case (_, n, _) => !dead.contains(n) },
+      "a tombstoned id surfaced in masked results")
+    val perQuery = masked.groupBy(_._1).view.mapValues(_.length).toMap
+    qs.select($"vec_id").as[Long].collect().foreach { q =>
+      assert(perQuery.getOrElse(q, 0) == 3, s"query $q not backfilled to k")
+    }
+  }
 }
