@@ -813,6 +813,51 @@ object CdcQueries {
     // (event_id·n ≤ Σ event_id — no double rounding, no driver collect).
     // Scale: broadcast of one row + the same single key-hash shuffle as
     // cdc03; the union is a zero-shuffle concatenation.
+    // Feed audit, loss side: CT admission control assumes the version
+    // sequence inside an (lo, hi] window is CONTIGUOUS — the reference
+    // drives CHANGETABLE by version range (reference
+    // src/main/java/io/cdap/plugin/cdc/source/sqlserver/
+    // CTInputDStream.java:148-169), so a hole means retention purged
+    // versions the reader never admitted. The audit is a self anti-join
+    // on version+1 (one shuffle on a computed key — no global
+    // window/sort, which would serialize the whole feed through one
+    // task) plus a one-row broadcast max to exclude the open end.
+    // "Retention already purged v where v % 101 = 5" is synthesized so
+    // the oracle pins a non-empty answer.
+    "cdc30_version_gaps" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(pmod(col("event_id"), lit(101)) =!= 5)
+        .select(col("event_id"))
+      val mx = ev.agg(max(col("event_id")).as("mx"))
+      ev.join(ev.select(col("event_id").as("succ_id")),
+          col("event_id") + 1 === col("succ_id"), "left_anti")
+        .join(broadcast(mx))
+        .filter(col("event_id") < col("mx"))
+        .select(col("event_id").as("gap_after"),
+          (col("event_id") + 1).as("first_missing"))
+        .orderBy(col("gap_after"))
+    }),
+
+    // Feed audit, duplication side: GoldenGate trails replay on restart,
+    // so delivery is at-least-once (reference
+    // src/main/java/io/cdap/plugin/cdc/source/oracle/
+    // GoldenGateKafka.java:116-169 resumes from the last committed
+    // offset — anything after it can arrive twice). A replayed tail
+    // (v % 97 = 0) is unioned in, and the audit surfaces every version
+    // delivered more than once with its delivery count — the number the
+    // exactly-once projection (distinct on the version key) absorbs.
+    // One union (zero-shuffle concat) + one hash agg.
+    "cdc31_replay_dupes" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val replay = ev.filter(pmod(col("event_id"), lit(97)) === 0)
+      ev.unionAll(replay)
+        .groupBy(col("event_id"), col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_deliveries"))
+        .filter(col("n_deliveries") > 1)
+        .orderBy(col("event_id"))
+    }),
+
     "cdc29_schema_evolution" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("op", opFromEvent)
       val cut = ev.agg(
@@ -1104,6 +1149,23 @@ object CdcQueries {
          |  FROM l)
          |SELECT * FROM net WHERE net_op IS NOT NULL
          |ORDER BY user_id""".stripMargin,
+    "cdc30_version_gaps" ->
+      """WITH v AS (SELECT event_id FROM events WHERE event_id % 101 <> 5)
+        |SELECT a.event_id AS gap_after, a.event_id + 1 AS first_missing
+        |FROM v a
+        |WHERE NOT EXISTS (SELECT 1 FROM v b WHERE b.event_id = a.event_id + 1)
+        |  AND a.event_id < (SELECT MAX(event_id) FROM v)
+        |ORDER BY gap_after""".stripMargin,
+    "cdc31_replay_dupes" ->
+      """WITH log AS (
+        |  SELECT event_id, user_id, event_type FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type FROM events
+        |  WHERE event_id % 97 = 0)
+        |SELECT event_id, user_id, event_type,
+        |  COUNT(*) AS n_deliveries
+        |FROM log GROUP BY event_id, user_id, event_type
+        |HAVING COUNT(*) > 1 ORDER BY event_id""".stripMargin,
     "cdc29_schema_evolution" ->
       s"""WITH cut AS (
          |  SELECT SUM(CAST(event_id AS DECIMAL(28,0))) AS esum,
