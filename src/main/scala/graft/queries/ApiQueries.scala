@@ -688,6 +688,27 @@ object ApiQueries {
         .agg(count(lit(1)).as("n"), sumd2(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderpriority"))
     }),
+
+    // ORC — the other columnar format Spark serves natively (vectorized
+    // reader, predicate pushdown, same partition-pruning machinery as
+    // parquet). Written partitioned by the filter key so the read-back
+    // scan lists only the matching directories — the layout lever
+    // TableWriterSpec pins for parquet, exercised here through the
+    // oracle gate on a second format. Partition-column inference types
+    // the key from the directory names; the explicit int cast pins the
+    // read-back schema to the source's regardless of inference conf.
+    "q59_orc_roundtrip" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val dir = freshDir("q59orc")
+      sup.write.mode("overwrite").partitionBy("s_nationkey").orc(dir)
+      s.read.orc(dir)
+        .withColumn("s_nationkey", col("s_nationkey").cast("int"))
+        .filter(col("s_nationkey") < 10)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sumd2(col("s_acctbal")).as("sum_acctbal"))
+        .orderBy(col("s_nationkey"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -989,6 +1010,11 @@ object ApiQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q59_orc_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier WHERE s_nationkey < 10
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q30_range_frame" ->
       """SELECT o_custkey, o_orderkey,
         | epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
