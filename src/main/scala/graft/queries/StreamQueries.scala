@@ -15,6 +15,55 @@ object StreamQueries {
   import Q._
 
   val queries: Map[String, QueryFn] = Map(
+    // Gap sessionization closed by EVENT-TIME TIMERS — a real
+    // `transformWithState` stream end-to-end (state v2, RocksDB store),
+    // not a batch twin: each key holds one fixed-size open-session
+    // aggregate and one armed timer at lastEvent+gap; the watermark
+    // passing it emits the closed session and clears the state
+    // (StatefulOps.SessionTimerProcessor). Ingest is the cdc24-style
+    // test double (driver-fed MemoryStream — the ingest is the test
+    // harness, not the operator); a far-future sentinel advances the
+    // watermark so every real session closes, exactly the oracle's
+    // batch gap-island semantics. 24h gap over users < 50.
+    "st21_timer_sessions" -> ((s, d) => {
+      import graft.streaming.StatefulOps
+      import s.implicits._
+      val gap = 86400000L
+      val evs = Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id").cast("long"), unix_millis(col("ts")))
+        .collect().map(r => StatefulOps.SessEv(r.getLong(0), r.getLong(1)))
+      val maxT = evs.iterator.map(_.tsMillis).max
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        implicit val ctx = s.sqlContext
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[StatefulOps.SessEv]
+        val qname = "st21_timer_sessions_out"
+        s.catalog.dropTempView(qname) // bench reps reuse the JVM
+        val q = StatefulOps.sessionizeWithTimers(in.toDS(), gap)
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", freshDir("st21-ckpt"))
+          .outputMode("append").start()
+        in.addData(evs.toSeq)
+        q.processAllAvailable()
+        in.addData(StatefulOps.SessEv(-1L, maxT + 2 * gap + 1))
+        q.processAllAvailable()
+        q.stop()
+        s.table(qname).filter(col("user") >= 0)
+          .select(col("user").as("user_id"),
+            col("startMillis").as("start_millis"),
+            col("endMillis").as("end_millis"),
+            col("nEvents").as("n_events"))
+          .orderBy(col("user_id"), col("start_millis"))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // Tumbling 1-hour event-time window: Spark's streaming `window()`
     // operator (struct start/end), counts + exact sums per window×type.
     "st01_tumbling_window" -> ((s, d) => {
@@ -374,6 +423,24 @@ object StreamQueries {
   private val tsSql = "CAST(ts AS TIMESTAMP)"
 
   val oracle: Map[String, String] = Map(
+    "st21_timer_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+        |  FROM events WHERE user_id < 50),
+        |s AS (
+        |  SELECT user_id, tms,
+        |    CASE WHEN LAG(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
+        |      OR tms - LAG(tms) OVER (PARTITION BY user_id ORDER BY tms)
+        |         > 86400000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, tms, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY tms ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, MIN(tms) AS start_millis, MAX(tms) AS end_millis,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, start_millis""".stripMargin,
     "st01_tumbling_window" ->
       s"""SELECT date_trunc('hour', $tsSql) AS win_start, event_type,
          | COUNT(*) AS n,

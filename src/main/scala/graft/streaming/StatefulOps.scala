@@ -2,7 +2,8 @@ package graft.streaming
 
 import graft.model.Ddl
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.functions.{col, timestamp_millis}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Cross-batch stateful operators — the streaming forms of the
   * reference's two `mapWithState` uses (SURVEY.md §2.2).
@@ -111,6 +112,96 @@ object StatefulOps {
     msgs.groupByKey(_.fingerprint)
       .transformWithState(new SchemaRegistryProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** A session event (millis event time). */
+  case class SessEv(user: Long, tsMillis: Long)
+
+  /** A closed session: inclusive [start, end] millis + event count. */
+  case class ClosedSession(user: Long, startMillis: Long, endMillis: Long,
+                           nEvents: Long)
+
+  /** Per-key open-session state: fixed size (three longs), never an
+    * event buffer. */
+  case class SessAgg(start: Long, end: Long, n: Long)
+
+  /** st03/st10's gap sessionization with WATERMARK-DRIVEN closure — the
+    * event-time-timer form only the state-v2 API can express: each key
+    * holds one open-session aggregate and ONE armed timer at
+    * lastEvent + gap; when the watermark passes it, `handleExpiredTimer`
+    * emits the closed session and clears the state, so an idle user's
+    * session closes without another of their events ever arriving (the
+    * case `flatMapGroupsWithState` can only approximate with
+    * processing-time timeouts, and the in-batch window form cannot see
+    * at all). A new in-gap event re-arms the timer (delete + register —
+    * at most one live timer per key).
+    *
+    * Scale posture: state is three longs + one timer per ACTIVE key —
+    * bounded by concurrently-open sessions, not stream volume; timers
+    * and state live in the RocksDB store (changelog-checkpointed); the
+    * per-batch sort is over one key's rows within one micro-batch,
+    * bounded by admission control, never a global sort. */
+  class SessionTimerProcessor(gapMillis: Long)
+      extends StatefulProcessor[Long, SessEv, ClosedSession] {
+    @transient private var sess: ValueState[SessAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState("sess", Encoders.product[SessAgg],
+        TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessEv],
+                                 tv: TimerValues): Iterator[ClosedSession] = {
+      val out = Seq.newBuilder[ClosedSession]
+      var cur = if (sess.exists()) Option(sess.get()) else None
+      val armed = cur.map(_.end + gapMillis)
+      rows.toSeq.sortBy(_.tsMillis).foreach { e =>
+        cur match {
+          case Some(a) if e.tsMillis - a.end <= gapMillis =>
+            cur = Some(SessAgg(a.start, math.max(a.end, e.tsMillis), a.n + 1))
+          case Some(a) => // in-batch gap: close immediately, start fresh
+            out += ClosedSession(user, a.start, a.end, a.n)
+            cur = Some(SessAgg(e.tsMillis, e.tsMillis, 1))
+          case None =>
+            cur = Some(SessAgg(e.tsMillis, e.tsMillis, 1))
+        }
+      }
+      cur.foreach { a =>
+        sess.update(a)
+        val want = a.end + gapMillis
+        if (!armed.contains(want)) {
+          armed.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(want)
+        }
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      // A stale timer (re-armed later by an in-gap event) can only be
+      // EARLIER than end+gap; firing it must not close the live session.
+      if (sess.exists()) {
+        val a = sess.get()
+        if (info.getExpiryTimeInMs >= a.end + gapMillis) {
+          sess.clear()
+          return Iterator.single(ClosedSession(user, a.start, a.end, a.n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Watermarked entry point for [[SessionTimerProcessor]]: 0s delay —
+    * callers widen it for out-of-order feeds (st20's lateness histogram
+    * is the sizing measurement). */
+  def sessionizeWithTimers(evs: Dataset[SessEv],
+                           gapMillis: Long): Dataset[ClosedSession] = {
+    import evs.sparkSession.implicits._
+    evs.withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[SessEv]
+      .groupByKey(_.user)
+      .transformWithState(new SessionTimerProcessor(gapMillis),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** A funnel event (millis event time; minute-level fixtures lose

@@ -93,6 +93,48 @@ class StatefulOpsSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("sessionizeWithTimers closes idle sessions via event-time timers") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      import StatefulOps.{ClosedSession, SessEv}
+      val in = MemoryStream[SessEv]
+      val q = StatefulOps.sessionizeWithTimers(in.toDS(), gapMillis = 5000L)
+        .writeStream.format("memory").queryName("sess_timer_out")
+        .option("checkpointLocation", checkpointDir("sess-timer"))
+        .outputMode("append").start()
+
+      def got(): Set[(Long, Long, Long, Long)] =
+        spark.table("sess_timer_out").as[ClosedSession].collect()
+          .map(c => (c.user, c.startMillis, c.endMillis, c.nEvents)).toSet
+
+      // user 1: two in-gap events merge; user 3's in-batch gap closes
+      // its first session with no watermark involved. Then the post-
+      // batch no-data cycle sees watermark=60000 and fires user 1's
+      // timer (7000) — the IDLE-session close only timers can do —
+      // while user 3's open session (timer 65000) correctly survives.
+      in.addData(SessEv(1, 1000), SessEv(1, 2000),
+        SessEv(3, 1000), SessEv(3, 60000))
+      q.processAllAvailable()
+      assert(got() == Set((3L, 1000L, 1000L, 1L), (1L, 1000L, 2000L, 2L)),
+        s"unexpected after batch 1: ${got()}")
+
+      // user 1's state was CLEARED by the timer close: its next event
+      // starts a fresh session. Watermark jumps to 200000, closing
+      // user 3's second session (timer 65000) and user 1's new one
+      // (timer 105000); user 9 (timer 205000) stays open.
+      in.addData(SessEv(1, 100000), SessEv(9, 200000))
+      q.processAllAvailable()
+      assert(got() == Set(
+        (3L, 1000L, 1000L, 1L), (1L, 1000L, 2000L, 2L),
+        (3L, 60000L, 60000L, 1L), (1L, 100000L, 100000L, 1L)),
+        s"unexpected after batch 2: ${got()}")
+      assert(!got().exists(_._1 == 9L), "open session must not emit")
+      q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("funnelStages matches the batch window funnel on ordered delivery") {
     import graft.streaming.StatefulOps.FunnelEv
     implicit val ctx = spark.sqlContext
