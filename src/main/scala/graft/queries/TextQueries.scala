@@ -447,6 +447,47 @@ object TextQueries {
     // fan-out is bounded by source-count² (sources are dozens, not
     // data-scaled), and the per-source totals broadcast back onto the
     // pair-count-sized result.
+    // ns48's SCALE TWIN: the same cross-source overlap matrix from
+    // k-minimum-values sketches (functions.KmvSketchAgg) instead of the
+    // exact pairwise gram join. Per source the shuffle carries one
+    // ≤k-long sketch (map-side partial-aggregated), the pairwise stage
+    // is a broadcast self-join of n_sources sketch rows (k-bounded
+    // metadata), and all estimates — per-source distinct, union,
+    // Jaccard, intersection (Beyer et al., SIGMOD 2007) — come off the
+    // sketches alone. No per-gram pair join anywhere: at 100 TB the
+    // exact form shuffles every distinct gram of every source; this
+    // ships n_sources × k longs. Deterministic hash → the oracle
+    // recomputes identical k-minima and identical IEEE estimate
+    // arithmetic, so even the "approximate" numbers hash-match exactly.
+    "ns51_kmv_overlap" -> ((s, d) => {
+      import graft.functions.KmvSketchAgg
+      val k = 256
+      val M = 2147483647.0 // portable-hash range; h_k/M estimates U(0,1) spacing
+      val grams = Tables.documents(s, d)
+        .select(col("source"), explode(shingleHashes(col("text"), 5)).as("g"))
+      val sk = grams.groupBy(col("source"))
+        .agg(KmvSketchAgg.kMinValues(col("g"), k).as("sk"))
+      def est(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(size(arr) < k, size(arr).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * M
+            / element_at(arr, k).cast("double"))
+      val u = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
+      sk.select(col("source").as("src_a"), col("sk").as("ka"))
+        .join(broadcast(sk.select(col("source").as("src_b"), col("sk").as("kb"))),
+          col("src_a") < col("src_b"))
+        .withColumn("u", u)
+        .select(col("src_a"), col("src_b"),
+          size(array_intersect(array_intersect(col("u"), col("ka")), col("kb")))
+            .cast("long").as("shared_kmin"),
+          est(col("ka")).as("est_a"),
+          est(col("kb")).as("est_b"),
+          est(col("u")).as("est_union"),
+          (size(array_intersect(array_intersect(col("u"), col("ka")), col("kb")))
+            .cast("double") / size(col("u")).cast("double") * est(col("u")))
+            .as("est_intersection"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     "ns48_source_overlap" -> ((s, d) => {
       val grams = Tables.documents(s, d)
         .select(col("source"), explode(shingleHashes(col("text"), 5)).as("g"))
@@ -1577,6 +1618,40 @@ object TextQueries {
          |FROM documents d LEFT JOIN f ON f.id_new = d.doc_id
          |WHERE d.doc_id % 10 = 0
          |ORDER BY d.doc_id""".stripMargin,
+    "ns51_kmv_overlap" -> {
+      val gram5 = "t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_' || t[i+4]"
+      val estA = """CASE WHEN len(ka) < 256 THEN CAST(len(ka) AS DOUBLE)
+                   |  ELSE 255.0 * 2147483647 / CAST(ka[256] AS DOUBLE) END""".stripMargin
+      val estB = estA.replace("ka", "kb")
+      val estU = estA.replace("ka", "u")
+      val shared = "len(list_intersect(list_intersect(u, ka), kb))"
+      s"""WITH toks AS (
+         |  SELECT source, string_split(text, ' ') AS t FROM documents),
+         |gd AS (
+         |  SELECT source, unnest(list_distinct(list_transform(
+         |    [$gram5 for i in range(1, len(t) - 3)],
+         |    s -> ${hashSql("s")}))) AS g
+         |  FROM toks),
+         |g AS (SELECT DISTINCT source, g FROM gd),
+         |r AS (SELECT source, g,
+         |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY g) AS rn
+         |      FROM g),
+         |sk AS (SELECT source, list(g ORDER BY g) AS ka
+         |       FROM r WHERE rn <= 256 GROUP BY source),
+         |p AS (SELECT a.source AS src_a, a.ka AS ka,
+         |        b.source AS src_b, b.ka AS kb
+         |      FROM sk a JOIN sk b ON a.source < b.source),
+         |c AS (SELECT src_a, src_b, ka, kb,
+         |        list_sort(list_distinct(ka || kb))[1:256] AS u FROM p)
+         |SELECT src_a, src_b,
+         |  CAST($shared AS BIGINT) AS shared_kmin,
+         |  $estA AS est_a,
+         |  $estB AS est_b,
+         |  $estU AS est_union,
+         |  CAST($shared AS DOUBLE) / CAST(len(u) AS DOUBLE)
+         |    * ($estU) AS est_intersection
+         |FROM c ORDER BY src_a, src_b""".stripMargin
+    },
     "ns48_source_overlap" -> {
       val gram5 = "t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_' || t[i+4]"
       s"""WITH toks AS (

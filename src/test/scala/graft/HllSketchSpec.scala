@@ -46,4 +46,31 @@ class HllSketchSpec extends SparkSuite {
     assert(rows.length == 2)
     rows.foreach { case (_, e) => assert(math.abs(e - 5000) <= 250) }
   }
+
+  private def kmv(xs: Seq[Long], k: Int, parts: Int): Seq[Long] =
+    xs.toDF("x").repartition(parts)
+      .agg(graft.functions.KmvSketchAgg.kMinValues(col("x"), k).as("s"))
+      .head().getSeq[Long](0)
+
+  test("KMV keeps exactly the k smallest distinct values, any partitioning") {
+    val xs = Seq(9L, 3L, 7L, 3L, 1L, 8L, 1L, 5L, 2L, 9L)
+    val want = Seq(1L, 2L, 3L, 5L)
+    assert(kmv(xs, 4, 1) == want)
+    assert(kmv(xs, 4, 7) == want) // union-then-trim merge is associative
+    assert(kmv(Seq(4L, 4L, 6L), 4, 2) == Seq(4L, 6L)) // under-full stays exact
+    assert(kmv(Seq.empty[Long], 4, 1) == Seq.empty)
+  }
+
+  test("KMV distinct estimate (k-1)*M/h_k lands within 3 sigma") {
+    // uniform hashes stand in for the portable hash's output range
+    val M = 2147483647L
+    val k = 256
+    val rnd = new scala.util.Random(42)
+    val n = 50000
+    val hs = Seq.fill(n)(math.abs(rnd.nextLong()) % M)
+    val mins = kmv(hs, k, 8)
+    val est = (k - 1).toDouble * M / mins.last.toDouble
+    val sigma = n / math.sqrt(k - 2) // Beyer et al. 2007, Thm 1
+    assert(math.abs(est - n) <= 3 * sigma, s"est=$est n=$n sigma=$sigma")
+  }
 }
