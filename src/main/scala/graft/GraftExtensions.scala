@@ -18,6 +18,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   *     (aggregate; the analyzer wraps the AggregateFunction)
   *   - `exact_distinct(x)` — exact distinct count of a long column
   *     (aggregate; the sketch's oracle-side twin)
+  *   - `kmv_minvalues(x, k)` — ascending k smallest distinct values
+  *     (aggregate; the KMV set-operation sketch, see ns51)
   *
   * Two entry points: `GraftExtensions` for cluster config
   * (`spark.sql.extensions=graft.GraftExtensions`, applied at session
@@ -65,7 +67,10 @@ object GraftFunctions {
     "heavy_hitters" -> (es => { arity(es, 3, "heavy_hitters")
       graft.functions.SpaceSavingTopK(asString(es.head),
         intLit(es(1), "heavy_hitters capacity"),
-        intLit(es(2), "heavy_hitters k")) }))
+        intLit(es(2), "heavy_hitters k")) }),
+    "kmv_minvalues" -> (es => { arity(es, 2, "kmv_minvalues")
+      graft.functions.KmvSketchAgg(asLong(es.head),
+        intLit(es(1), "kmv_minvalues k")) }))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -68,6 +68,9 @@ class GraftFunctionsSpec extends SparkSuite {
     // p=12 → ~1.6% sigma; p=14 tighter
     assert(math.abs(r.getLong(1) - 1000L) <= 50, s"est=${r.getLong(1)}")
     assert(math.abs(r.getLong(2) - 1000L) <= 25, s"est_hi=${r.getLong(2)}")
+    val kmv = spark.sql(
+      "SELECT kmv_minvalues(x, 4) AS mins FROM agg_v").collect().head
+    assert(kmv.getSeq[Long](0) == Seq(0L, 1L, 2L, 3L))
   }
 
   test("bloom-pruned semi join equals the plain semi join and filters pre-shuffle") {
