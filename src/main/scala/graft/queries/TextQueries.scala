@@ -488,6 +488,63 @@ object TextQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // BPE tokenizer TRAINING — learn the first R merge rules from corpus
+    // statistics (Sennrich et al., "Neural Machine Translation of Rare
+    // Words with Subword Units", ACL 2016): per round, the most frequent
+    // adjacent symbol pair (occurrences summed over the word-frequency
+    // table) becomes a new symbol and is merged greedily left-to-right
+    // in every word. This is how real trainers (subword-nmt,
+    // SentencePiece-BPE) run — on the (word, freq) table, never the
+    // corpus: the corpus collapses to word frequencies in ONE
+    // map-side-combined agg, and every round's pair count and merge are
+    // vocabulary-sized. The per-round argmax is one-row driver metadata
+    // (the kmeansParallelInit pattern); ties break lexicographically, so
+    // the whole run is deterministic and the oracle replays it as R
+    // chained CTEs applying the IDENTICAL greedy fold.
+    "ns52_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val rounds = 5
+      val words0 = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        .select(transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1))).as("cs"), col("f"))
+      // localCheckpoint per round: each round's table feeds the next
+      // round's argmax AND fold; without it round r recomputes rounds
+      // 1..r−1 from scratch (O(R²) passes). Vocabulary-sized data.
+      var words = words0.localCheckpoint(true)
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val pairsCol = when(size(col("cs")) >= 2,
+          transform(sequence(lit(1), size(col("cs")) - 1),
+            i => struct(element_at(col("cs"), i).as("a"),
+              element_at(col("cs"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+        val best = words.select(explode(pairsCol).as("p"), col("f"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect().head
+        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r, a, b, a + b, cnt))
+        // Greedy left-to-right merge: the accumulator's LAST element is
+        // the held symbol; a (held=a, next=b) match replaces it with the
+        // merged symbol, which cannot re-merge with what follows in the
+        // same pass (standard BPE application order).
+        words = words.select(aggregate(col("cs"),
+            array().cast("array<string>"),
+            (acc, c) => when(size(acc) > 0 &&
+                element_at(acc, size(acc)) === lit(a) && c === lit(b),
+              concat(slice(acc, lit(1), greatest(size(acc) - 1, lit(0))),
+                array(lit(a + b))))
+              .otherwise(concat(acc, array(c)))).as("cs"), col("f"))
+          .localCheckpoint(true)
+      }
+      merges.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
+        .orderBy(col("round"))
+    }),
+
     "ns48_source_overlap" -> ((s, d) => {
       val grams = Tables.documents(s, d)
         .select(col("source"), explode(shingleHashes(col("text"), 5)).as("g"))
@@ -1618,6 +1675,39 @@ object TextQueries {
          |FROM documents d LEFT JOIN f ON f.id_new = d.doc_id
          |WHERE d.doc_id % 10 = 0
          |ORDER BY d.doc_id""".stripMargin,
+    "ns52_bpe_train" -> {
+      val rounds = 5
+      val roundCtes = (1 to rounds).map { r =>
+        s"""best$r AS (
+           |  SELECT p.a AS a, p.b AS b, CAST(SUM(f) AS BIGINT) AS cnt
+           |  FROM w${r - 1}, unnest([{'a': cs[i], 'b': cs[i + 1]}
+           |    for i in range(1, len(cs))]) AS t(p)
+           |  GROUP BY p.a, p.b ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$r AS (
+           |  SELECT list_reduce(
+           |    list_prepend(CAST([] AS VARCHAR[]),
+           |      list_transform(cs, c -> [c])),
+           |    (acc, x) -> CASE
+           |      WHEN len(acc) > 0 AND acc[len(acc)] = best$r.a
+           |        AND x[1] = best$r.b
+           |      THEN acc[1:len(acc)-1] || [best$r.a || best$r.b]
+           |      ELSE acc || x END) AS cs, f
+           |  FROM w${r - 1}, best$r)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to rounds).map { r =>
+        s"""SELECT $r AS round, a AS lhs, b AS rhs, a || b AS merged,
+           |  cnt AS pair_count FROM best$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT [tok[i] for i in range(1, len(tok) + 1)] AS cs, f FROM (
+         |    SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS tok
+         |      FROM documents) u
+         |    WHERE tok <> '' GROUP BY tok) w),
+         |$roundCtes
+         |$unions
+         |ORDER BY round""".stripMargin
+    },
     "ns51_kmv_overlap" -> {
       val gram5 = "t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_' || t[i+4]"
       val estA = """CASE WHEN len(ka) < 256 THEN CAST(len(ka) AS DOUBLE)
