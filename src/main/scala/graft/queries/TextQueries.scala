@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.operators.{Checkpoints, Dedup}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication surface over the `documents` table
@@ -16,6 +16,81 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
   import Q._
+
+  /** Shared BPE trainer behind ns52/ns53 — see ns52's header comment.
+    * Returns (post-merge word table `(cs array<string>, f long)`, the
+    * learned merges `(round, lhs, rhs, merged, pair_count)`). */
+  private def bpeTrain(s: SparkSession, d: String, rounds: Int)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    val words0 = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .select(transform(sequence(lit(1), length(col("tok"))),
+        i => col("tok").substr(i, lit(1))).as("cs"), col("f"))
+    // localCheckpoint per round: each round's table feeds the next
+    // round's argmax AND fold; without it round r recomputes rounds
+    // 1..r−1 from scratch (O(R²) passes). Vocabulary-sized data.
+    var words = words0.localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val pairsCol = when(size(col("cs")) >= 2,
+        transform(sequence(lit(1), size(col("cs")) - 1),
+          i => struct(element_at(col("cs"), i).as("a"),
+            element_at(col("cs"), i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val best = words.select(explode(pairsCol).as("p"), col("f"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect().head
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, a, b, a + b, cnt))
+      // Greedy left-to-right merge: the accumulator's LAST element is
+      // the held symbol; a (held=a, next=b) match replaces it with the
+      // merged symbol, which cannot re-merge with what follows in the
+      // same pass (standard BPE application order).
+      words = words.select(aggregate(col("cs"),
+          array().cast("array<string>"),
+          (acc, c) => when(size(acc) > 0 &&
+              element_at(acc, size(acc)) === lit(a) && c === lit(b),
+            concat(slice(acc, lit(1), greatest(size(acc) - 1, lit(0))),
+              array(lit(a + b))))
+            .otherwise(concat(acc, array(c)))).as("cs"), col("f"))
+        .localCheckpoint(true)
+    }
+    (words, merges.result())
+  }
+
+  /** Oracle CTE chain for [[bpeTrain]]: `w0` (char-split word-frequency
+    * table) then per round `best<r>` (deterministic argmax pair) and
+    * `w<r>` (the identical greedy merge fold). */
+  private def bpeCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""best$r AS (
+         |  SELECT p.a AS a, p.b AS b, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM w${r - 1}, unnest([{'a': cs[i], 'b': cs[i + 1]}
+         |    for i in range(1, len(cs))]) AS t(p)
+         |  GROUP BY p.a, p.b ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS (
+         |  SELECT list_reduce(
+         |    list_prepend(CAST([] AS VARCHAR[]),
+         |      list_transform(cs, c -> [c])),
+         |    (acc, x) -> CASE
+         |      WHEN len(acc) > 0 AND acc[len(acc)] = best$r.a
+         |        AND x[1] = best$r.b
+         |      THEN acc[1:len(acc)-1] || [best$r.a || best$r.b]
+         |      ELSE acc || x END) AS cs, f
+         |  FROM w${r - 1}, best$r)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT [tok[i] for i in range(1, len(tok) + 1)] AS cs, f FROM (
+       |    SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |      SELECT unnest(string_split(text, ' ')) AS tok
+       |      FROM documents) u
+       |    WHERE tok <> '' GROUP BY tok) w),
+       |$roundCtes""".stripMargin
+  }
 
   // ---- shared DuckDB SQL fragments (kept in lockstep with TextFunctions) ----
 
@@ -503,46 +578,25 @@ object TextQueries {
     // chained CTEs applying the IDENTICAL greedy fold.
     "ns52_bpe_train" -> ((s, d) => {
       import s.implicits._
-      val rounds = 5
-      val words0 = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-        .select(transform(sequence(lit(1), length(col("tok"))),
-          i => col("tok").substr(i, lit(1))).as("cs"), col("f"))
-      // localCheckpoint per round: each round's table feeds the next
-      // round's argmax AND fold; without it round r recomputes rounds
-      // 1..r−1 from scratch (O(R²) passes). Vocabulary-sized data.
-      var words = words0.localCheckpoint(true)
-      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-      for (r <- 1 to rounds) {
-        val pairsCol = when(size(col("cs")) >= 2,
-          transform(sequence(lit(1), size(col("cs")) - 1),
-            i => struct(element_at(col("cs"), i).as("a"),
-              element_at(col("cs"), i + 1).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>"))
-        val best = words.select(explode(pairsCol).as("p"), col("f"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("f")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-          .limit(1).collect().head
-        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((r, a, b, a + b, cnt))
-        // Greedy left-to-right merge: the accumulator's LAST element is
-        // the held symbol; a (held=a, next=b) match replaces it with the
-        // merged symbol, which cannot re-merge with what follows in the
-        // same pass (standard BPE application order).
-        words = words.select(aggregate(col("cs"),
-            array().cast("array<string>"),
-            (acc, c) => when(size(acc) > 0 &&
-                element_at(acc, size(acc)) === lit(a) && c === lit(b),
-              concat(slice(acc, lit(1), greatest(size(acc) - 1, lit(0))),
-                array(lit(a + b))))
-              .otherwise(concat(acc, array(c)))).as("cs"), col("f"))
-          .localCheckpoint(true)
-      }
-      merges.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
+      bpeTrain(s, d, rounds = 5)._2
+        .toDF("round", "lhs", "rhs", "merged", "pair_count")
         .orderBy(col("round"))
+    }),
+
+    // The tokenizer's APPLY side: the subword vocabulary after ns52's
+    // five merges, with corpus frequencies — what the trained tokenizer
+    // would actually emit over this corpus. No corpus re-scan: the word
+    // table's `f` column already carries corpus weight, so symbol
+    // frequencies are one vocabulary-sized explode + agg over the
+    // post-merge table. Top-20 by frequency (symbol-asc ties) is a
+    // TakeOrderedAndProject.
+    "ns53_bpe_vocab" -> ((s, d) => {
+      val words = bpeTrain(s, d, rounds = 5)._1
+      words.select(explode(col("cs")).as("symbol"), col("f"))
+        .groupBy(col("symbol"))
+        .agg(sum(col("f")).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("symbol").asc)
+        .limit(20)
     }),
 
     "ns48_source_overlap" -> ((s, d) => {
@@ -1677,37 +1731,20 @@ object TextQueries {
          |ORDER BY d.doc_id""".stripMargin,
     "ns52_bpe_train" -> {
       val rounds = 5
-      val roundCtes = (1 to rounds).map { r =>
-        s"""best$r AS (
-           |  SELECT p.a AS a, p.b AS b, CAST(SUM(f) AS BIGINT) AS cnt
-           |  FROM w${r - 1}, unnest([{'a': cs[i], 'b': cs[i + 1]}
-           |    for i in range(1, len(cs))]) AS t(p)
-           |  GROUP BY p.a, p.b ORDER BY cnt DESC, a, b LIMIT 1),
-           |w$r AS (
-           |  SELECT list_reduce(
-           |    list_prepend(CAST([] AS VARCHAR[]),
-           |      list_transform(cs, c -> [c])),
-           |    (acc, x) -> CASE
-           |      WHEN len(acc) > 0 AND acc[len(acc)] = best$r.a
-           |        AND x[1] = best$r.b
-           |      THEN acc[1:len(acc)-1] || [best$r.a || best$r.b]
-           |      ELSE acc || x END) AS cs, f
-           |  FROM w${r - 1}, best$r)""".stripMargin
-      }.mkString(",\n")
       val unions = (1 to rounds).map { r =>
         s"""SELECT $r AS round, a AS lhs, b AS rhs, a || b AS merged,
            |  cnt AS pair_count FROM best$r""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH w0 AS (
-         |  SELECT [tok[i] for i in range(1, len(tok) + 1)] AS cs, f FROM (
-         |    SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM (
-         |      SELECT unnest(string_split(text, ' ')) AS tok
-         |      FROM documents) u
-         |    WHERE tok <> '' GROUP BY tok) w),
-         |$roundCtes
+      s"""WITH ${bpeCtes(rounds)}
          |$unions
          |ORDER BY round""".stripMargin
     },
+    "ns53_bpe_vocab" ->
+      s"""WITH ${bpeCtes(5)}
+         |SELECT symbol, CAST(SUM(f) AS BIGINT) AS n_occurrences
+         |FROM w5, unnest(cs) AS t(symbol)
+         |GROUP BY symbol
+         |ORDER BY n_occurrences DESC, symbol ASC LIMIT 20""".stripMargin,
     "ns51_kmv_overlap" -> {
       val gram5 = "t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_' || t[i+4]"
       val estA = """CASE WHEN len(ka) < 256 THEN CAST(len(ka) AS DOUBLE)
