@@ -697,6 +697,43 @@ object ApiQueries {
     // oracle gate on a second format. Partition-column inference types
     // the key from the directory names; the explicit int cast pins the
     // read-back schema to the source's regardless of inference conf.
+    // Per-group Pearson correlation + least-squares fit from EXACT
+    // integer sufficient statistics — the single-pass, map-side-
+    // combinable shape (n, Σx, Σy, Σxy, Σx², Σy²) every distributed
+    // stats library reduces to, but with the sums in integer units
+    // (quantity integral, price in cents) riding decimal(38,0): the
+    // builtin float corr()/regr_*'s partial-merge order varies with
+    // partitioning, so its last bits are not deterministic — this is,
+    // to the bit, on any partitioning, and the oracle reproduces it
+    // exactly (HUGEINT on the DuckDB side). Per-TERM products stay in
+    // long range at any corpus size (they are row-level quantities);
+    // the 38-digit group sums hold to ~1e38 — about 1e17 rows per
+    // group before the first cross-term could saturate.
+    "q60_linear_fit" -> ((s, d) => {
+      val x = col("l_quantity").cast("long")
+      val yc = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val g = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), x.as("x"), yc.as("yc"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("yc").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("yc")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sx2"),
+          sum((col("yc") * col("yc")).cast("decimal(38,0)")).as("sy2"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val dx = (col("n") * col("sx2") - col("sx") * col("sx")).cast("double")
+      val dy = (col("n") * col("sy2") - col("sy") * col("sy")).cast("double")
+      g.select(col("l_returnflag"),
+          col("n").cast("long").as("n"),
+          (num / sqrt(dx * dy)).as("corr_qty_price"),
+          (num / dx / lit(100.0)).as("slope"),
+          ((col("sy").cast("double") - num / dx * col("sx").cast("double"))
+            / col("n").cast("double") / lit(100.0)).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q59_orc_roundtrip" -> ((s, d) => {
       val sup = Tables.supplier(s, d)
       val dir = freshDir("q59orc")
@@ -1010,6 +1047,30 @@ object ApiQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q60_linear_fit" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(yc) AS sy, SUM(x * yc) AS sxy,
+        |    SUM(x * x) AS sx2, SUM(yc * yc) AS sy2
+        |  FROM t GROUP BY l_returnflag),
+        |f AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sx2 - sx * sx AS DOUBLE) AS dx,
+        |    CAST(n * sy2 - sy * sy AS DOUBLE) AS dy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM g)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  num / sqrt(dx * dy) AS corr_qty_price,
+        |  num / dx / 100.0 AS slope,
+        |  (syd - num / dx * sxd) / nd / 100.0 AS intercept
+        |FROM f ORDER BY l_returnflag""".stripMargin,
     "q59_orc_roundtrip" ->
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
