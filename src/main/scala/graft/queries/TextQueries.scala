@@ -599,6 +599,39 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Robust per-source outlier gate: median absolute deviation, the
+    // robust z-score every cleaning pipeline prefers over mean/stddev
+    // (one 100 MB page would drag a source's mean past most of its real
+    // documents; the median doesn't move). All-integer on n_chars —
+    // lower median via q27's row_number idiom — so every value is
+    // oracle-exact. Flag = dev > 3·MAD. Scale shape: two source-keyed
+    // window sorts (per-source, AQE-splittable — the ns45 shape) + two
+    // broadcasts of source-count-sized median tables; the approximate
+    // twin at extreme scale is percentile_approx (q48's sketch).
+    "ns54_mad_outliers" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val wc = Window.partitionBy(col("source"))
+      def lowerMedian(df: DataFrame, v: String, as: String): DataFrame = {
+        val w = Window.partitionBy(col("source")).orderBy(col(v), col("doc_id"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wc))
+          .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+          .select(col("source"), col(v).as(as))
+      }
+      val med = lowerMedian(docs, "n_chars", "med_chars")
+      val dev = docs.join(broadcast(med), Seq("source"))
+        .withColumn("dev", abs(col("n_chars") - col("med_chars")))
+      val mad = lowerMedian(dev, "dev", "mad_chars")
+      dev.join(broadcast(mad), Seq("source"))
+        .groupBy(col("source"), col("med_chars"), col("mad_chars"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dev") > lit(3) * col("mad_chars"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("source"))
+    }),
+
     "ns48_source_overlap" -> ((s, d) => {
       val grams = Tables.documents(s, d)
         .select(col("source"), explode(shingleHashes(col("text"), 5)).as("g"))
@@ -1745,6 +1778,28 @@ object TextQueries {
          |FROM w5, unnest(cs) AS t(symbol)
          |GROUP BY symbol
          |ORDER BY n_occurrences DESC, symbol ASC LIMIT 20""".stripMargin,
+    "ns54_mad_outliers" ->
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+        |m AS (SELECT source, n_chars AS med_chars FROM (
+        |  SELECT source, n_chars, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS cnt FROM d) t
+        |  WHERE rn = (cnt + 1) // 2),
+        |v AS (SELECT d.source, d.doc_id, m.med_chars,
+        |    abs(d.n_chars - m.med_chars) AS dev
+        |  FROM d JOIN m ON d.source = m.source),
+        |md AS (SELECT source, dev AS mad_chars FROM (
+        |  SELECT source, dev, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY dev, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS cnt FROM v) t
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT v.source, v.med_chars, md.mad_chars,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN v.dev > 3 * md.mad_chars THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM v JOIN md ON v.source = md.source
+        |GROUP BY v.source, v.med_chars, md.mad_chars
+        |ORDER BY v.source""".stripMargin,
     "ns51_kmv_overlap" -> {
       val gram5 = "t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_' || t[i+4]"
       val estA = """CASE WHEN len(ka) < 256 THEN CAST(len(ka) AS DOUBLE)
