@@ -19,8 +19,10 @@ object TextQueries {
 
   /** Shared BPE trainer behind ns52/ns53 — see ns52's header comment.
     * Returns (post-merge word table `(cs array<string>, f long)`, the
-    * learned merges `(round, lhs, rhs, merged, pair_count)`). */
-  private def bpeTrain(s: SparkSession, d: String, rounds: Int)
+    * learned merges `(round, lhs, rhs, merged, pair_count)`).
+    * `private[graft]` so BpeSpec can pin it against an independent
+    * local reference implementation. */
+  private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     val words0 = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
