@@ -310,6 +310,44 @@ class PlanAuditSpec extends SparkSuite {
       "vs25 degenerated to an all-pairs scan")
   }
 
+  test("cdc30's gap audit anti-joins on the computed key — never a global-order window") {
+    val p = executedPlan("cdc30_version_gaps")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"),
+      s"cdc30 must not serialize the feed through a window:\n$p")
+    assert(finalPlan.contains("LeftAnti"), s"cdc30 lost its anti join:\n$p")
+  }
+
+  test("ns51's pairwise sketch stage broadcasts; the gram side never pair-joins") {
+    val p = executedPlan("ns51_kmv_overlap")
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the only join is over the n_sources-row sketch table (broadcast
+    // nested loop on src_a < src_b — k-bounded metadata); the per-gram
+    // data must never meet itself in a join
+    assert(finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"ns51 lost the broadcast sketch pairing:\n$p")
+    assert(finalPlan.split("Join").length - 1 <= 1,
+      s"ns51 grew a second (per-gram?) join:\n$p")
+  }
+
+  test("q60's fit is pure partial aggregation — no join, no window, one group shuffle") {
+    val p = executedPlan("q60_linear_fit")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join") && !finalPlan.contains("Window"),
+      s"q60 should be sufficient-statistics aggregation only:\n$p")
+    assert(finalPlan.contains("partial_sum") || finalPlan.contains("HashAggregate"),
+      s"q60 lost its partial aggregation:\n$p")
+  }
+
+  test("ns54's MAD gate broadcasts the per-source median tables") {
+    val p = executedPlan("ns54_mad_outliers")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"ns54's median tables must broadcast:\n$p")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"ns54 shuffled the corpus for a source-count-sized table:\n$p")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
