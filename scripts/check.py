@@ -52,6 +52,10 @@ def main():
             errored = json.load(f)
     except FileNotFoundError:
         pass
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        # A Verify killed mid-write leaves a truncated errors.json; name
+        # it and keep checking instead of dying before any PASS/FAIL line.
+        print(f"ERR  errors.json unreadable ({e}); per-query errs unknown")
     n_err = 0
     for name, msg in sorted(errored.items()):
         print(f"ERR  {name}: {msg[:300]}")

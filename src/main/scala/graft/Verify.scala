@@ -30,12 +30,19 @@ object Verify {
       // Spark-output-shaped entries (part files, markers, crc sidecars).
       // Without the half-write arm, a dump killed mid-write and then
       // renamed would survive forever as a phantom rows-only entry.
-      def sparkOutputShaped(f: java.io.File): Boolean =
+      def sparkOutputShaped(f: java.io.File): Boolean = {
+        val children = Option(f.listFiles()).getOrElse(Array.empty)
+        // An EMPTY directory is NOT claimed: a user's scratch dir (or one
+        // holding only dotfiles) must never be deleted. The only empty
+        // dump a crash can leave is mkdir-then-die, which lingers
+        // harmlessly (the compare iterates oracle names, not dirs).
         new java.io.File(f, "_SUCCESS").exists() ||
-          Option(f.listFiles()).getOrElse(Array.empty).forall { c =>
-            val n = c.getName
-            n.startsWith("part-") || n.startsWith("_") || n.startsWith(".")
-          }
+          (children.exists(_.getName.startsWith("part-")) &&
+            children.forall { c =>
+              val n = c.getName
+              n.startsWith("part-") || n.startsWith("_") || n.startsWith(".")
+            })
+      }
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && !live.contains(f.getName) &&
           sparkOutputShaped(f))

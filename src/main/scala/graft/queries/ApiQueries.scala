@@ -344,13 +344,26 @@ object ApiQueries {
         .write.format("noop").mode("overwrite").save()
       val m = obs.get
       import s.implicits._
-      // l_shipdate is parquet timestamp[us] → TIMESTAMP_NTZ, so the
-      // observed min/max come back as LocalDateTime; the encoder maps
-      // them back to TIMESTAMP_NTZ, matching the DuckDB oracle's type.
+      // l_shipdate is parquet timestamp[us] → TIMESTAMP_NTZ today, so
+      // the observed min/max come back as LocalDateTime — but the drift
+      // suite tolerates DATE and TIMESTAMP_LTZ fixture encodings too,
+      // and a hard cast would turn that tolerated drift into a
+      // ClassCastException here. Normalize every temporal shape
+      // Observation.get can return to LocalDateTime (UTC session).
+      def toNtz(v: Any): java.time.LocalDateTime = v match {
+        case null => null
+        case ldt: java.time.LocalDateTime => ldt
+        case i: java.time.Instant =>
+          java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        case ts: java.sql.Timestamp => ts.toLocalDateTime
+        case d: java.sql.Date => d.toLocalDate.atStartOfDay
+        case ld: java.time.LocalDate => ld.atStartOfDay
+        case other => throw new IllegalStateException(
+          s"unexpected observed temporal ${other.getClass}: $other")
+      }
       Seq((m("n_rows").asInstanceOf[Long],
         m("sum_price").asInstanceOf[Double],
-        m("min_ship").asInstanceOf[java.time.LocalDateTime],
-        m("max_ship").asInstanceOf[java.time.LocalDateTime]))
+        toNtz(m("min_ship")), toNtz(m("max_ship"))))
         .toDF("n_rows", "sum_price", "min_ship", "max_ship")
     }),
 

@@ -32,7 +32,9 @@ object StreamQueries {
       val evs = Tables.events(s, d).filter(col("user_id") < 50)
         .select(col("user_id").cast("long"), unix_millis(col("ts")))
         .collect().map(r => StatefulOps.SessEv(r.getLong(0), r.getLong(1)))
-      val maxT = evs.iterator.map(_.tsMillis).max
+      // A fixture whose user_id range drifts away from [0, 50) must
+      // yield an empty result, not an opaque empty.max crash.
+      val maxT = evs.iterator.map(_.tsMillis).foldLeft(0L)(math.max)
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
       s.conf.set(key,
@@ -47,11 +49,15 @@ object StreamQueries {
           .writeStream.format("memory").queryName(qname)
           .option("checkpointLocation", freshDir("st21-ckpt"))
           .outputMode("append").start()
-        in.addData(evs.toSeq)
-        q.processAllAvailable()
-        in.addData(StatefulOps.SessEv(-1L, maxT + 2 * gap + 1))
-        q.processAllAvailable()
-        q.stop()
+        // stop() in finally: a transient failure mid-stream must not
+        // leak an active query holding the sink name — that would fail
+        // every later rep/retry at start() for the rest of the JVM.
+        try {
+          in.addData(evs.toSeq)
+          q.processAllAvailable()
+          in.addData(StatefulOps.SessEv(-1L, maxT + 2 * gap + 1))
+          q.processAllAvailable()
+        } finally q.stop()
         s.table(qname).filter(col("user") >= 0)
           .select(col("user").as("user_id"),
             col("startMillis").as("start_millis"),

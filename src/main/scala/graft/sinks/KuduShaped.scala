@@ -247,7 +247,7 @@ class InMemoryKuduCluster extends KuduShaped.Client {
       case Some(v) => v.toString
       case None => throw new IllegalStateException(
         s"operation on $table is missing key column $k")
-    }).mkString(" ")
+    }).mkString("\u0000")
   }
 
   override def newSession(): Session = new Session {

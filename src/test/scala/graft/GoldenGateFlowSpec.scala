@@ -79,7 +79,7 @@ class GoldenGateFlowSpec extends SparkSuite {
       """{"type":"record","name":"esc","fields":[
         | {"name":"r","type":{"type":"record","name":"inner","fields":[
         |   {"name":"s","type":"string"}]}}]}""".stripMargin
-    val nasty = "a\"b\\c\nd\te\rfg"
+    val nasty = "a\"b\\c\nd\te\rf\u0001g"
     val cols = GoldenGateAvro.decodeRecord(
       GoldenGateAvro.encodeRecord(sch, Map(
         "r" -> Map[String, Any]("s" -> nasty))), sch)
