@@ -397,17 +397,23 @@ object TextQueries {
     // Perplexity-bucketed corpus composition — the CCNet curation split
     // (Wenzek et al. 2020): score every document with the exact
     // in-corpus bigram LM (ns30's verified product fold, source carried
-    // through), then cut each source into head/middle/tail thirds of
-    // the score order with ntile(3). ntile is integer-exact and the
-    // (lm_score desc, doc_id) order is total, so bucket assignment is
-    // deterministic on both engines. Scale shape: the count tables are
+    // through), then cut each source into head/middle/tail thirds via
+    // CCNet's own mechanism — SAMPLED percentile thresholds, not a
+    // corpus sort. A deterministic k-per-source sample (bottom-k of a
+    // portable hash — bounded heap, no RNG, same picks on any cluster
+    // size or engine) is scored with the same LM, its tercile cut ROWS
+    // are taken as discrete order statistics (actual (score, doc_id)
+    // tuples — no interpolation, so cross-engine comparisons are exact
+    // bit equality, never FP-boundary-fuzzy), and every document is
+    // bucketed by comparing its (lm_score, doc_id) against the ≤2
+    // broadcast cut tuples. Scale shape: the count tables are
     // vocabulary²-bounded broadcasts (web-scale → shuffled equi-joins,
-    // same family); the ntile window is a per-source sort of (doc_id,
-    // score) pairs — CCNet itself computes the cuts from sampled
-    // percentile thresholds, the broadcast-threshold variant this
-    // per-source external sort degrades to gracefully.
+    // same family); the sample heap ships ≤k pairs per (partition,
+    // source); cut extraction collects nothing bigger than k structs
+    // per source; bucketing is a broadcast join + two comparisons. No
+    // window touches a source-sized partition anywhere (the r12 ntile
+    // formulation serialized each source through one window task).
     "ns45_perplexity_buckets" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val t = tokens(col("text"))
       val bg = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), posexplode(
@@ -417,16 +423,50 @@ object TextQueries {
           col("ab.a").as("a"), col("ab.b").as("b"))
       val cnt = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
       val pre = bg.groupBy(col("a")).agg(count(lit(1)).as("ca"))
-      val scored = bg.join(broadcast(cnt), Seq("a", "b"))
-        .join(broadcast(pre), Seq("a"))
-        .withColumn("pr", col("c").cast("double") / col("ca").cast("double"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          aggregate(array_sort(collect_list(struct(col("pos"), col("pr")))),
-            lit(1.0), (acc, x) => acc * x.getField("pr")).as("lm_score"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("lm_score").desc, col("doc_id").asc)
-      scored.withColumn("bucket", ntile(3).over(w))
+      def lmScore(of: org.apache.spark.sql.DataFrame) =
+        of.join(broadcast(cnt), Seq("a", "b"))
+          .join(broadcast(pre), Seq("a"))
+          .withColumn("pr", col("c").cast("double") / col("ca").cast("double"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            aggregate(array_sort(collect_list(struct(col("pos"), col("pr")))),
+              lit(1.0), (acc, x) => acc * x.getField("pr")).as("lm_score"))
+      val scored = lmScore(bg)
+      // Deterministic sample: the 8 docs per source with the smallest
+      // salted portable hash (ns17's bounded bottom-k aggregate).
+      val h = graft.functions.TextFunctions.portableHash(
+        concat(lit("pb:"), col("doc_id").cast("string")))
+      val sampleIds = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), h.as("h"))
+        .groupBy(col("source"))
+        .agg(graft.functions.BottomK.bottomK(col("h"), col("doc_id"), 8)
+          .as("picks"))
+        .select(col("source"), explode(col("picks")).as("p"))
+        .select(col("source"), col("p.id").as("doc_id"))
+      // Score ONLY the sample (the LM's count tables are still the full
+      // corpus's — CCNet scores the sample with the same trained model),
+      // then take the tercile rows of the (score desc, doc_id asc)
+      // sample order. Stored negated so one ascending array_sort gives
+      // the order; k ≤ 8 structs per source, driver never involved.
+      val cuts = lmScore(bg.join(broadcast(sampleIds), Seq("doc_id", "source")))
+        .groupBy(col("source"))
+        .agg(sort_array(collect_list(struct((-col("lm_score")).as("ns"),
+          col("doc_id").as("id")))).as("ord"))
+        .select(col("source"),
+          element_at(col("ord"),
+            ceil(size(col("ord")) / lit(3.0)).cast("int")).as("c1"),
+          element_at(col("ord"),
+            ceil(size(col("ord")) * 2 / lit(3.0)).cast("int")).as("c2"))
+      // bucket = 1 + [after cut1] + [after cut2]; "after c" in the
+      // (score desc, id asc) total order = strictly lower score, or a
+      // score tie with a higher doc_id. Exact tuple comparison.
+      def after(c: String) =
+        (-col("lm_score") > col(s"$c.ns")) ||
+          (-col("lm_score") === col(s"$c.ns") && col("doc_id") > col(s"$c.id"))
+      scored.join(broadcast(cuts), Seq("source"))
+        .withColumn("bucket",
+          lit(1) + when(after("c1"), 1).otherwise(0)
+            + when(after("c2"), 1).otherwise(0))
         .groupBy(col("source"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_bigrams")).as("sum_bigrams"),
@@ -1686,38 +1726,67 @@ object TextQueries {
          |SELECT component, doc_id AS kept_id, n_tok AS kept_tokens,
          |  CAST(n_docs AS BIGINT) AS n_docs
          |FROM j WHERE rnk = 1 ORDER BY component""".stripMargin,
-    "ns45_perplexity_buckets" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
-        |bg AS (
-        |  SELECT doc_id, source, pr['pos'] AS pos, pr['a'] AS a, pr['b'] AS b
-        |  FROM (
-        |    SELECT doc_id, source,
-        |      unnest([{'pos': i, 'a': t[i], 'b': t[i + 1]}
-        |              for i in range(1, len(t))]) AS pr
-        |    FROM toks) s),
-        |cnt AS (
-        |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY a, b),
-        |pre AS (
-        |  SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM bg GROUP BY a),
-        |p AS (
-        |  SELECT bg.doc_id, bg.source, bg.pos,
-        |    CAST(cnt.c AS DOUBLE) / CAST(pre.ca AS DOUBLE) AS pr
-        |  FROM bg JOIN cnt USING (a, b) JOIN pre USING (a)),
-        |scored AS (
-        |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |    list_reduce(list_prepend(1.0, list(pr ORDER BY pos)),
-        |      (acc, x) -> acc * x) AS lm_score
-        |  FROM p GROUP BY doc_id, source),
-        |b AS (
-        |  SELECT source, n_bigrams, lm_score,
-        |    CAST(NTILE(3) OVER (PARTITION BY source
-        |      ORDER BY lm_score DESC, doc_id ASC) AS INT) AS bucket
-        |  FROM scored)
-        |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
-        |  MIN(lm_score) AS min_score, MAX(lm_score) AS max_score
-        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    "ns45_perplexity_buckets" -> {
+      val h = hashSql("'pb:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, source, pr['pos'] AS pos, pr['a'] AS a, pr['b'] AS b
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      unnest([{'pos': i, 'a': t[i], 'b': t[i + 1]}
+         |              for i in range(1, len(t))]) AS pr
+         |    FROM toks) s),
+         |cnt AS (
+         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY a, b),
+         |pre AS (
+         |  SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM bg GROUP BY a),
+         |p AS (
+         |  SELECT bg.doc_id, bg.source, bg.pos,
+         |    CAST(cnt.c AS DOUBLE) / CAST(pre.ca AS DOUBLE) AS pr
+         |  FROM bg JOIN cnt USING (a, b) JOIN pre USING (a)),
+         |scored AS (
+         |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    list_reduce(list_prepend(1.0, list(pr ORDER BY pos)),
+         |      (acc, x) -> acc * x) AS lm_score
+         |  FROM p GROUP BY doc_id, source),
+         |sids AS (
+         |  SELECT source, doc_id FROM (
+         |    SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY $h, doc_id) AS rn
+         |    FROM documents) t WHERE rn <= 8),
+         |ss AS (
+         |  SELECT s.source, s.doc_id, s.lm_score,
+         |    ROW_NUMBER() OVER (PARTITION BY s.source
+         |      ORDER BY s.lm_score DESC, s.doc_id ASC) AS srn,
+         |    COUNT(*) OVER (PARTITION BY s.source) AS k
+         |  FROM scored s JOIN sids USING (source, doc_id)),
+         |cuts AS (
+         |  SELECT source,
+         |    MAX(CASE WHEN srn = CAST(CEIL(k / 3.0) AS INT)
+         |        THEN lm_score END) AS c1s,
+         |    MAX(CASE WHEN srn = CAST(CEIL(k / 3.0) AS INT)
+         |        THEN doc_id END) AS c1i,
+         |    MAX(CASE WHEN srn = CAST(CEIL(k * 2 / 3.0) AS INT)
+         |        THEN lm_score END) AS c2s,
+         |    MAX(CASE WHEN srn = CAST(CEIL(k * 2 / 3.0) AS INT)
+         |        THEN doc_id END) AS c2i
+         |  FROM ss GROUP BY source),
+         |b AS (
+         |  SELECT s.source, s.n_bigrams, s.lm_score,
+         |    1 + CASE WHEN s.lm_score < c.c1s
+         |             OR (s.lm_score = c.c1s AND s.doc_id > c.c1i)
+         |             THEN 1 ELSE 0 END
+         |      + CASE WHEN s.lm_score < c.c2s
+         |             OR (s.lm_score = c.c2s AND s.doc_id > c.c2i)
+         |             THEN 1 ELSE 0 END AS bucket
+         |  FROM scored s JOIN cuts c USING (source))
+         |SELECT source, CAST(bucket AS INT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+         |  MIN(lm_score) AS min_score, MAX(lm_score) AS max_score
+         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+    },
     "ns46_hapax_ratio" ->
       """WITH t AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -348,6 +348,22 @@ class PlanAuditSpec extends SparkSuite {
       s"ns54 shuffled the corpus for a source-count-sized table:\n$p")
   }
 
+  test("ns45 buckets by broadcast sampled thresholds — no source-sized window") {
+    val p = executedPlan("ns45_perplexity_buckets")
+    val finalPlan = p.split("== Initial Plan ==").head
+    // The r12 formulation ran ntile(3) OVER (PARTITION BY source ...),
+    // which serializes each source's whole document set through one
+    // window task. The CCNet-sampled-threshold form has no window AT
+    // ALL: the sample is a bounded bottom-k heap aggregate and the cut
+    // rows reach the corpus through a broadcast join.
+    assert(!finalPlan.contains("Window"),
+      s"ns45 regressed to a source-partitioned window:\n$p")
+    assert(finalPlan.contains("partial_bottom_k"),
+      s"ns45 lost its bounded sample heap:\n$p")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"ns45's cut rows must broadcast:\n$p")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
