@@ -720,8 +720,14 @@ object ApiQueries {
     // to the bit, on any partitioning, and the oracle reproduces it
     // exactly (HUGEINT on the DuckDB side). Per-TERM products stay in
     // long range at any corpus size (they are row-level quantities);
-    // the 38-digit group sums hold to ~1e38 — about 1e17 rows per
-    // group before the first cross-term could saturate.
+    // the 38-digit group sums and cross-terms hold until the dominant
+    // n·Σy² product (yc² ≈ 1e14 per row ⇒ n·Σy² ≈ n²·1e14) reaches
+    // 1e38 — about 1e12 rows per group. Past that Spark's non-ANSI
+    // decimal multiply returns NULL while DuckDB's HUGEINT raises, so
+    // the cross-terms are null-guarded with raise_error below: an
+    // overflowing group fails loudly on both engines instead of
+    // silently emitting NULL fit columns on one of them. The guard is
+    // per-GROUP (a handful of rows), not per-row — free.
     "q60_linear_fit" -> ((s, d) => {
       val x = col("l_quantity").cast("long")
       val yc = (col("l_extendedprice").cast("decimal(18,2)") * 100)
@@ -735,9 +741,18 @@ object ApiQueries {
           sum((col("x") * col("yc")).cast("decimal(38,0)")).as("sxy"),
           sum((col("x") * col("x")).cast("decimal(38,0)")).as("sx2"),
           sum((col("yc") * col("yc")).cast("decimal(38,0)")).as("sy2"))
-      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-      val dx = (col("n") * col("sx2") - col("sx") * col("sx")).cast("double")
-      val dy = (col("n") * col("sy2") - col("sy") * col("sy")).cast("double")
+      // All agg inputs are non-null, so a null cross-term can only mean
+      // decimal(38,0) overflow — fail fast, don't ship NULL fits.
+      def exact(c: org.apache.spark.sql.Column, name: String) =
+        when(c.isNull, raise_error(lit(
+          s"q60: decimal(38,0) overflow in $name — group exceeds the " +
+            "~1e12-row exact-statistics envelope"))).otherwise(c)
+      val num = exact(col("n") * col("sxy") - col("sx") * col("sy"),
+        "n*sxy - sx*sy").cast("double")
+      val dx = exact(col("n") * col("sx2") - col("sx") * col("sx"),
+        "n*sx2 - sx^2").cast("double")
+      val dy = exact(col("n") * col("sy2") - col("sy") * col("sy"),
+        "n*sy2 - sy^2").cast("double")
       g.select(col("l_returnflag"),
           col("n").cast("long").as("n"),
           (num / sqrt(dx * dy)).as("corr_qty_price"),

@@ -20,6 +20,14 @@ object TextQueries {
   /** Shared BPE trainer behind ns52/ns53 — see ns52's header comment.
     * Returns (post-merge word table `(cs array<string>, f long)`, the
     * learned merges `(round, lhs, rhs, merged, pair_count)`).
+    * Stops early (recording fewer than `rounds` merges) when no
+    * adjacent pair remains — a corpus whose every word has collapsed
+    * to a single symbol has nothing left to merge, and the argmax
+    * would otherwise read an empty table. The ns52/ns53 oracle CTE
+    * chain does not model this exhaustion (each round cross-joins its
+    * `best<r>` row, so an empty round would empty the oracle's word
+    * table); both queries train rounds ≪ the fixture's collapse point,
+    * and BpeSpec pins the early-stop against the local reference.
     * `private[graft]` so BpeSpec can pin it against an independent
     * local reference implementation. */
   private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int)
@@ -35,31 +43,38 @@ object TextQueries {
     // 1..r−1 from scratch (O(R²) passes). Vocabulary-sized data.
     var words = words0.localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val pairsCol = when(size(col("cs")) >= 2,
         transform(sequence(lit(1), size(col("cs")) - 1),
           i => struct(element_at(col("cs"), i).as("a"),
             element_at(col("cs"), i + 1).as("b"))))
         .otherwise(array().cast("array<struct<a:string,b:string>>"))
-      val best = words.select(explode(pairsCol).as("p"), col("f"))
+      words.select(explode(pairsCol).as("p"), col("f"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("f")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect().head
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r, a, b, a + b, cnt))
-      // Greedy left-to-right merge: the accumulator's LAST element is
-      // the held symbol; a (held=a, next=b) match replaces it with the
-      // merged symbol, which cannot re-merge with what follows in the
-      // same pass (standard BPE application order).
-      words = words.select(aggregate(col("cs"),
-          array().cast("array<string>"),
-          (acc, c) => when(size(acc) > 0 &&
-              element_at(acc, size(acc)) === lit(a) && c === lit(b),
-            concat(slice(acc, lit(1), greatest(size(acc) - 1, lit(0))),
-              array(lit(a + b))))
-            .otherwise(concat(acc, array(c)))).as("cs"), col("f"))
-        .localCheckpoint(true)
+        .limit(1).collect().headOption match {
+        case None => exhausted = true // fully collapsed: nothing to merge
+        case Some(best) =>
+          val (a, b, cnt) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((r, a, b, a + b, cnt))
+          // Greedy left-to-right merge: the accumulator's LAST element
+          // is the held symbol; a (held=a, next=b) match replaces it
+          // with the merged symbol, which cannot re-merge with what
+          // follows in the same pass (standard BPE application order).
+          words = words.select(aggregate(col("cs"),
+              array().cast("array<string>"),
+              (acc, c) => when(size(acc) > 0 &&
+                  element_at(acc, size(acc)) === lit(a) && c === lit(b),
+                concat(slice(acc, lit(1), greatest(size(acc) - 1, lit(0))),
+                  array(lit(a + b))))
+                .otherwise(concat(acc, array(c)))).as("cs"), col("f"))
+            .localCheckpoint(true)
+      }
+      r += 1
     }
     (words, merges.result())
   }

@@ -156,7 +156,12 @@ object StatefulOps {
       rows.toSeq.sortBy(_.tsMillis).foreach { e =>
         cur match {
           case Some(a) if e.tsMillis - a.end <= gapMillis =>
-            cur = Some(SessAgg(a.start, math.max(a.end, e.tsMillis), a.n + 1))
+            // min on start: a late-but-admitted event that precedes the
+            // open session's first event must EXTEND the island backward
+            // (batch gap-island semantics), not silently attach at the
+            // old start.
+            cur = Some(SessAgg(math.min(a.start, e.tsMillis),
+              math.max(a.end, e.tsMillis), a.n + 1))
           case Some(a) => // in-batch gap: close immediately, start fresh
             out += ClosedSession(user, a.start, a.end, a.n)
             cur = Some(SessAgg(e.tsMillis, e.tsMillis, 1))
@@ -192,7 +197,17 @@ object StatefulOps {
 
   /** Watermarked entry point for [[SessionTimerProcessor]]: 0s delay —
     * callers widen it for out-of-order feeds (st20's lateness histogram
-    * is the sizing measurement). */
+    * is the sizing measurement). Out-of-order caveats, precisely:
+    * an admitted late event lands island-correctly when it falls within
+    * `gapMillis` of the OPEN session (merge extends start via min / end
+    * via max), but (a) an event more than a gap EARLIER than the open
+    * session's start still merges rather than forming its own earlier
+    * island, and (b) an event for an already-CLOSED session cannot
+    * reopen it (Append mode emits each closed session once). Exact
+    * equality with the batch gap-island oracle therefore requires
+    * per-user event-time-ordered delivery across batches — which the
+    * 0s-delay watermark enforces; widened delays trade that equality
+    * for admission. */
   def sessionizeWithTimers(evs: Dataset[SessEv],
                            gapMillis: Long): Dataset[ClosedSession] = {
     import evs.sparkSession.implicits._

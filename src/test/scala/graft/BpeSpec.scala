@@ -19,24 +19,30 @@ class BpeSpec extends SparkSuite {
       : (Seq[(List[String], Long)], Seq[(Int, String, String, Long)]) = {
     var tbl = words
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val counts = mutable.Map.empty[(String, String), Long]
       tbl.foreach { case (cs, f) =>
         cs.zip(cs.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
       }
-      val ((a, b), cnt) = counts.toSeq
-        .minBy { case ((x, y), c) => (-c, x, y) }
-      merges += ((r, a, b, cnt))
-      tbl = tbl.map { case (cs, f) =>
-        val out = mutable.ListBuffer.empty[String]
-        var i = 0
-        while (i < cs.length) {
-          if (i + 1 < cs.length && cs(i) == a && cs(i + 1) == b) {
-            out += (a + b); i += 2
-          } else { out += cs(i); i += 1 }
+      if (counts.isEmpty) exhausted = true // collapsed: stop early
+      else {
+        val ((a, b), cnt) = counts.toSeq
+          .minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((r, a, b, cnt))
+        tbl = tbl.map { case (cs, f) =>
+          val out = mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < cs.length) {
+            if (i + 1 < cs.length && cs(i) == a && cs(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += cs(i); i += 1 }
+          }
+          (out.toList, f)
         }
-        (out.toList, f)
       }
+      r += 1
     }
     (tbl, merges.result())
   }
@@ -68,5 +74,27 @@ class BpeSpec extends SparkSuite {
     // non-overlapping left-to-right.
     val (t, _) = refBpe(Seq((List("a", "a", "a"), 1L)), 1)
     assert(t.head._1 == List("aa", "a"))
+  }
+
+  test("training past the corpus' collapse point stops early, no crash") {
+    // Every word is a single symbol from round 1 — zero adjacent pairs.
+    // The trainer must record zero merges and return the table as-is
+    // (the r12 argmax read .head of an empty collect and threw).
+    val dir = java.nio.file.Files.createTempDirectory("bpe-degenerate")
+    try {
+      Seq((1L, "a b c", "en", "src0", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val (words, merges) =
+        graft.queries.TextQueries.bpeTrain(spark, dir.toString, 4)
+      assert(merges.isEmpty, s"no pair exists to merge, got $merges")
+      assert(words.as[(Seq[String], Long)].collect().toSet ==
+        Set((Seq("a"), 1L), (Seq("b"), 1L), (Seq("c"), 1L)))
+      // the local reference agrees on the early stop
+      val (refT, refM) = refBpe(
+        Seq((List("a"), 1L), (List("b"), 1L), (List("c"), 1L)), 4)
+      assert(refM.isEmpty && refT.map(_._1).toSet == Set(
+        List("a"), List("b"), List("c")))
+    } finally Fs.deleteRecursively(dir.toFile)
   }
 }
