@@ -78,6 +78,12 @@ object Bench {
     calibrate() // discarded: JIT warmup of the calibration loop itself
     val calibPre = calibrate()
 
+    // Fixture fingerprint (untimed): rides in the emitted JSON so
+    // cross-round per-query deltas are decidable as code-vs-data from
+    // the artifacts alone (r12-vs-r10's ns39/ns40 confusion was fixture
+    // drift, resolvable only from round-11 prose at the time).
+    val fixtureJson = Fixture.json(spark, sfDir)
+
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     // Local perf iteration: SPARK_GRAFT_BENCH_ONLY=ns12,ns14 restricts the
     // run to queries whose name starts with one of the given prefixes.
@@ -158,7 +164,7 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,""" +
         s""""calib":[${f(calibPre)},${f(calibPost)}],""" +
         s""""queries":${qmap(_._1, rs)},"queries_min":${qmap(_._2, rs)},""" +
-        s""""sf":"$sfDir"$onlyMarker$note}"""
+        s""""sf":"$sfDir","fixture":$fixtureJson$onlyMarker$note}"""
     // Line 1: every query's median + min. Line 2: a SHORT summary (total +
     // the 10 slowest) that stays intact even when a log capture keeps only
     // the output tail and truncates line 1's head — the driver's recorded

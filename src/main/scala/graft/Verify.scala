@@ -90,6 +90,12 @@ object Verify {
     val errJson = errors.reverse
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Fixture fingerprint (row counts + loader-visible schema hashes):
+    // makes the dump self-describing about what data it verified, so a
+    // cross-round result change on unchanged code is decidable as
+    // code-vs-fixture from the artifacts alone.
+    Files.writeString(Paths.get(s"$outDir/fixture.json"),
+      Fixture.json(spark, sfDir))
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: " +
         errors.reverse.map(_._1).mkString(", "))

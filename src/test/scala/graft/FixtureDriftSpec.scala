@@ -67,6 +67,31 @@ class FixtureDriftSpec extends SparkSuite {
     assert(emb("label") === IntegerType)
   }
 
+  test("Fixture.json fingerprints every table with rows + schema hash") {
+    // The fingerprint that Bench/Verify embed in their artifacts must
+    // (a) cover every fixture table, (b) agree with an independently
+    // computed count + schema hash, and (c) degrade to a named err
+    // entry — not an exception — on an unreadable table.
+    val js = Fixture.json(spark, sf0001)
+    Fixture.tables.foreach { t =>
+      assert(js.contains(s""""$t":{"""), s"missing $t in $js")
+    }
+    val docs = Tables(spark, sf0001, "documents")
+    val expected =
+      s""""documents":{"rows":${docs.count()},"schema":${
+        Fixture.schemaHash(docs.schema)}}"""
+    assert(js.contains(expected), s"documents fingerprint drifted: $js")
+    // events goes through the adapting loader, so its schema hash is of
+    // the NORMALISED shape (ts: TIMESTAMP) whatever the file encodes.
+    assert(js.contains(s""""events":{"rows":${
+      Tables.events(spark, sf0001).count()},"schema":${
+      Fixture.schemaHash(Tables.events(spark, sf0001).schema)}}"""))
+    val broken = Fixture.json(spark, "target/no-such-fixture-dir")
+    Fixture.tables.foreach { t =>
+      assert(broken.contains(s""""$t":{"err":"""), s"missing err for $t")
+    }
+  }
+
   test("Tables.events adapts to the on-disk fixture and yields TIMESTAMP") {
     val ev = Tables.events(spark, sf0001)
     assert(ev.schema("ts").dataType === TimestampType,
