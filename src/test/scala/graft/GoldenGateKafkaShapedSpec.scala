@@ -5,11 +5,14 @@ import graft.sources.{GoldenGateAvro, GoldenGateDml, GoldenGateFeed, MessageLog}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, element_at}
 
-/** One record of the standard Spark kafka source schema (the subset the
-  * adapter reads plus the fields a real topic always carries). Top-level
-  * so the product encoder has no outer pointer. */
+/** One record of the EXACT standard Spark kafka source schema — all
+  * seven fields `(key, value, topic, partition, offset, timestamp,
+  * timestampType)` a real `format("kafka")` load() carries — so the
+  * adapter is proven against the full shape, not a trimmed stand-in.
+  * Top-level so the product encoder has no outer pointer. */
 case class KafkaShapedRow(key: Array[Byte], value: Array[Byte], topic: String,
-                          partition: Int, offset: Long)
+                          partition: Int, offset: Long,
+                          timestamp: java.sql.Timestamp, timestampType: Int)
 
 /** [[GoldenGateDml.fromKafkaShaped]]: the adapter that makes a real
   * `format("kafka")` topic a one-line swap for the offline feed. The
@@ -78,7 +81,8 @@ class GoldenGateKafkaShapedSpec extends SparkSuite {
       GoldenGateDml.fromKafkaShaped(in.toDF()),
       storeB, checkpointDir("kshape-b-ckpt"))
     val rows = trail.zipWithIndex.map { case (bytes, i) =>
-      KafkaShapedRow(null, bytes, "gg.trail", 0, i.toLong)
+      KafkaShapedRow(null, bytes, "gg.trail", 0, i.toLong,
+        new java.sql.Timestamp(1720000000000L + i), 0)
     }
     val (head, tail) = rows.splitAt(4)
     in.addData(head: _*)
@@ -94,7 +98,8 @@ class GoldenGateKafkaShapedSpec extends SparkSuite {
 
   test("batch kafka-shaped frame runs the same pipeline") {
     val df = trail.zipWithIndex
-      .map { case (b, i) => KafkaShapedRow(null, b, "gg.trail", 0, i.toLong) }
+      .map { case (b, i) => KafkaShapedRow(null, b, "gg.trail", 0, i.toLong,
+        new java.sql.Timestamp(1720000000000L + i), 0) }
       .toDF()
     val env = GoldenGateDml.fromKafkaShaped(df)
     // 1 DDL + 5 I + 1 U + (1 pk-move → D+I) + 1 D = 10 envelope records
@@ -104,8 +109,10 @@ class GoldenGateKafkaShapedSpec extends SparkSuite {
 
   test("a second partition fails loudly — offsets only order within one") {
     val df = Seq(
-      KafkaShapedRow(null, schemaJson.getBytes("UTF-8"), "gg.trail", 0, 0L),
-      KafkaShapedRow(null, dmlMsg("I", null, img(9L, "x")), "gg.trail", 1, 0L))
+      KafkaShapedRow(null, schemaJson.getBytes("UTF-8"), "gg.trail", 0, 0L,
+        new java.sql.Timestamp(1720000000000L), 0),
+      KafkaShapedRow(null, dmlMsg("I", null, img(9L, "x")), "gg.trail", 1, 0L,
+        new java.sql.Timestamp(1720000000001L), 0))
       .toDF()
     val e = intercept[Exception] {
       GoldenGateDml.fromKafkaShaped(df).count()
