@@ -103,6 +103,40 @@ object Bench {
     only.foreach(p => System.err.println(
       s"BENCH PARTIAL: SPARK_GRAFT_BENCH_ONLY=${p.mkString(",")} restricts " +
         s"this run to ${selected.size} of ${SparkEntry.queries.size} queries"))
+    // Untimed ContextCleaner drain: System.gc() only ENQUEUES dead
+    // RDD/broadcast/shuffle handles; the cleaner thread reclaims them
+    // asynchronously — including DURING the next timed sample, which is
+    // where vs12's residual 1.57 median/min spread came from in r12
+    // (the per-sample gc alone didn't wait for the backlog to clear).
+    // Draining = polling the cleaner's reference buffer until its size
+    // stops shrinking (live references legitimately stay registered, so
+    // "empty" is the wrong target). Reflection-read because the cleaner
+    // is private[spark]; any failure falls back to a short fixed pause —
+    // this is bench hygiene, never correctness.
+    def drainCleaner(maxWaitMs: Long): Unit = {
+      val fallback: Unit => Unit = _ => Thread.sleep(150)
+      try {
+        val sc = spark.sparkContext
+        sc.getClass.getMethod("cleaner").invoke(sc) match {
+          case Some(cl: AnyRef) =>
+            cl.getClass.getDeclaredFields
+              .find(_.getName.contains("referenceBuffer")) match {
+              case Some(fld) =>
+                fld.setAccessible(true)
+                val buf = fld.get(cl).asInstanceOf[java.util.Set[_]]
+                val deadline = System.nanoTime() + maxWaitMs * 1000000L
+                var prev = Int.MaxValue
+                var cur = buf.size
+                while (cur < prev && System.nanoTime() < deadline) {
+                  Thread.sleep(50)
+                  prev = cur; cur = buf.size
+                }
+              case None => fallback(())
+            }
+          case _ => fallback(())
+        }
+      } catch { case scala.util.control.NonFatal(_) => fallback(()) }
+    }
     var failed = List.empty[String]
     val results: Map[String, Option[(Double, Double)]] =
       selected.map { case (name, fn) =>
@@ -113,6 +147,7 @@ object Bench {
           // query, inflating medians 2-3x over mins while calib stays
           // flat — the per-query GC below can't see it.
           System.gc()
+          drainCleaner(1500)
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()

@@ -389,6 +389,36 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Tombstone COMPACTION — the write-back vs26 defers: vs26's
+    // per-query anti-join masks deletes correctly but rides every
+    // search forever; here the tombstones are folded into the postings
+    // parquet ONCE (a posting-keyed anti-join + rewrite, the same
+    // artifact write-back as vs16's persisted index), after which
+    // searches run over the compacted postings with an EMPTY tombstone
+    // set — no per-query mask cost, no rebuild, no retrain. The oracle
+    // is vs26's verbatim: compacted-then-search must equal
+    // masked-search bit for bit. At 100 TB the rewrite is one linear
+    // pass over the postings partition-parallel, amortized across all
+    // subsequent queries.
+    "vs27_compacted_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = freshDir("ivf-compact")
+      Similarity.ivfTrain(emb, kCentroids = 8, iters = 3)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      val cent = s.read.parquet(s"$dir/centroids")
+      Similarity.ivfIndex(emb, cent)
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      val tomb = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id"))
+      s.read.parquet(s"$dir/postings")
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$dir/postings-compacted")
+      val qs = emb.filter(col("vec_id") < 10)
+      Similarity.ivfSearchIndexed(qs,
+        s.read.parquet(s"$dir/postings-compacted"), cent, k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Recall@3 of the IVF index against the exact brute-force neighbors,
     // per query and per nprobe — the ANN quality claim as an
     // oracle-gated number instead of an assertion in prose. One brute
@@ -727,6 +757,41 @@ object VectorQueries {
          |SELECT query_id, probe_label, neighbor_id, rank, cos FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "vs26_index_tombstones" ->
+      s"""WITH ${ivfTrainCtes(k = 8, iters = 3)},
+         |indexed AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS cv2, label AS probe_label
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.label, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.label ASC
+         |    ) AS arnk
+         |    FROM embeddings e CROSS JOIN cvec3 c) s
+         |  WHERE arnk = 1 AND s.vec_id % 7 <> 3),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT query_id, qv, label FROM (
+         |    SELECT query_id, qv, label, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${cosSql("qv", "c.cv")} DESC, label ASC) AS arnk
+         |    FROM q CROSS JOIN cvec3 c) t WHERE arnk <= 2),
+         |cand AS (
+         |  SELECT query_id, label AS probe_label, i.neighbor_id,
+         |    ${cosSql("qv", "i.cv2")} AS cos
+         |  FROM probes p JOIN indexed i ON i.probe_label = p.label
+         |  WHERE i.neighbor_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, probe_label, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand)
+         |SELECT query_id, probe_label, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // Compaction must be invisible to search: the compacted index's
+    // answers ARE the masked index's answers, so vs27's oracle is
+    // vs26's query verbatim (tombstoned ids excluded from the postings,
+    // regardless of whether the exclusion happened per-query or in the
+    // artifact).
+    "vs27_compacted_index" ->
       s"""WITH ${ivfTrainCtes(k = 8, iters = 3)},
          |indexed AS (
          |  SELECT vec_id AS neighbor_id, embedding AS cv2, label AS probe_label
