@@ -80,6 +80,37 @@ object Dedup {
                           threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val (hHashed, hBanded) = lshIndex(history, idCol, textCol, shingleN, k, bands)
+    incrementalNearDupsIndexed(hHashed, hBanded, batch, idCol, textCol,
+      shingleN, k, bands, threshold)
+  }
+
+  /** The history half of [[incrementalNearDups]]'s LSH machinery as a
+    * PERSISTABLE index: `(hashed, banded)` DataFrames, both plain
+    * columnar tables (id + sorted hashes; id + band + bucket) that
+    * round-trip parquet losslessly. Build once over the corpus, write
+    * both, and every subsequent increment — batch or micro-batch — joins
+    * into the stored form via [[incrementalNearDupsIndexed]] at O(batch)
+    * cost. Parameters must match between build and probe (the shingle/
+    * signature spaces are only comparable under identical n, k, bands). */
+  def buildLshIndex(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, k: Int = 64, bands: Int = 16)
+      : (DataFrame, DataFrame) = {
+    require(k % bands == 0, "k must be divisible by bands")
+    lshIndex(df, idCol, textCol, shingleN, k, bands)
+  }
+
+  /** [[incrementalNearDups]] against a PREBUILT history index (the
+    * [[buildLshIndex]] pair, typically reloaded from parquet) — the form
+    * a streaming ingest runs per micro-batch: signature the increment,
+    * asymmetric band join into the stored index, verify exact Jaccard.
+    * Never touches history text and never pairs history with itself. */
+  def incrementalNearDupsIndexed(hHashed: DataFrame, hBanded: DataFrame,
+                                 batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 shingleN: Int = 3, k: Int = 64,
+                                 bands: Int = 16,
+                                 threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
     val (bHashed, bBanded) = lshIndex(batch, idCol, textCol, shingleN, k, bands)
     val cand = bBanded.as("n")
       .join(hBanded.as("h"),

@@ -83,16 +83,39 @@ final case class UpsertRelation(sqlContext: SQLContext,
         "recorded schema — typed=true needs an applied DDL record"))
     else StructType(ParquetUpsertStore.snapshotSchema.filterNot(_.name == "bucket"))
 
-  /** Top-level pushed filters are conjunctive, so any `row_key =` /
-    * `row_key IN` among them bounds the live key set — intersect them
-    * all and prune to those keys' buckets. Non-string or absent
-    * predicates leave the scan un-pruned (still manifest-bounded). */
-  private def pinnedKeys(filters: Array[Filter]): Option[Seq[String]] = {
-    val sets = filters.collect {
-      case EqualTo("row_key", v: String) => Set(v)
-      case In("row_key", vs) if vs.forall(_.isInstanceOf[String]) =>
-        vs.iterator.map(_.asInstanceOf[String]).toSet
+  /** The key set a single pushed filter provably bounds matching rows
+    * to, or None when it cannot bound them. Soundness rules, each one
+    * a place an over-eager pushdown would silently drop rows:
+    *   - `row_key =` / `row_key IN` pin the set directly;
+    *   - OR bounds keys only when BOTH branches do (union) — a
+    *     `row_key = a OR version > 5` match can live in any bucket, so
+    *     it must yield None, never `{a}`;
+    *   - AND bounds keys when EITHER branch does (intersection when
+    *     both) — the other conjunct only shrinks the match set further,
+    *     and Spark re-applies it above the scan;
+    *   - anything else (Not, non-key columns, non-string values) is
+    *     unbounded. */
+  private def keyBound(f: Filter): Option[Set[String]] = f match {
+    case EqualTo("row_key", v: String) => Some(Set(v))
+    case In("row_key", vs) if vs.forall(_.isInstanceOf[String]) =>
+      Some(vs.iterator.map(_.asInstanceOf[String]).toSet)
+    case Or(l, r) =>
+      for { a <- keyBound(l); b <- keyBound(r) } yield a union b
+    case And(l, r) => (keyBound(l), keyBound(r)) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b) => a.orElse(b)
     }
+    case _ => None
+  }
+
+  /** Top-level pushed filters are conjunctive, so any filter whose
+    * [[keyBound]] is defined bounds the live key set — intersect them
+    * all and prune to those keys' buckets. Unbounded predicates leave
+    * the scan un-pruned (still manifest-bounded). A contradictory
+    * conjunction (two different pinned keys) legitimately prunes to the
+    * empty set: the scan opens nothing and returns no rows. */
+  private def pinnedKeys(filters: Array[Filter]): Option[Seq[String]] = {
+    val sets = filters.flatMap(keyBound)
     sets.reduceOption(_ intersect _).map(_.toSeq.sorted)
   }
 

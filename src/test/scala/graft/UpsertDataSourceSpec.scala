@@ -94,6 +94,61 @@ class UpsertDataSourceSpec extends SparkSuite {
     intercept[Exception] { read(dir).collect() }
   }
 
+  test("mixed predicates prune only where sound (key∧non-key, key∨key, key∨non-key)") {
+    // Same behavioral proof as above: snap-1 (key 7's bucket only) is
+    // deleted from disk, so a read that touches it FAILS — which is how
+    // "did it prune" and "did it refuse to prune" are both observable
+    // without reaching into the relation. An unsound pushdown mutation
+    // (e.g. pinning keys from one OR branch, or unioning conjuncts)
+    // flips one of these asserts.
+    val dir = checkpointDir("dsrc-prune-mixed")
+    val store = new ParquetUpsertStore(dir, numBuckets = 8)
+    store.applyBatch(spark.createDataset(
+      (1L to 64L).map(i => dml(OpType.Insert, i, i, "v" -> s"val$i"))).toDF(), 0L)
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Update, 100, 7L, "v" -> "v7b"))).toDF(), 1L)
+    val b7 = ParquetUpsertStore.bucketOf("7", 8)
+    val others = (1L to 64L).map(_.toString)
+      .filter(k => ParquetUpsertStore.bucketOf(k, 8) != b7)
+    val Seq(a, b) = others.take(2).toSeq
+    val snap1 = new java.io.File(new java.io.File(dir, "dbo.t"), "snap-1")
+    assert(snap1.isDirectory)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(snap1)
+
+    // key ∧ non-key: the key conjunct bounds the scan (prunes — works
+    // with snap-1 gone), the non-key conjunct still filters ABOVE it
+    val conj = read(dir)
+      .filter(col("row_key") === a && col("version") > 0)
+      .collect().map(_.getString(0)).toSeq
+    assert(conj == Seq(a))
+    assert(read(dir)
+      .filter(col("row_key") === a && col("version") > 1000L)
+      .collect().isEmpty, "re-applied non-key conjunct must still filter")
+
+    // key ∨ key: both branches bound keys — union prunes to exactly
+    // their buckets, so the read works and returns both rows
+    val disj = read(dir)
+      .filter(col("row_key") === a || col("row_key") === b)
+      .collect().map(_.getString(0)).toSet
+    assert(disj == Set(a, b))
+
+    // key ∨ non-key: the non-key branch can match rows in ANY bucket —
+    // pruning to a's bucket would silently drop them, so the relation
+    // must scan everything, which (with snap-1 deleted) fails loudly
+    intercept[Exception] {
+      read(dir).filter(col("row_key") === a || col("version") > 0).collect()
+    }
+
+    // contradictory key ∧ key: provably-empty key set, empty result,
+    // zero directories opened (works even with snap-1 gone)
+    assert(read(dir)
+      .filter(col("row_key") === a && col("row_key") === b)
+      .collect().isEmpty)
+  }
+
   test("read options are validated with named errors; write refuses non-append modes") {
     val e1 = intercept[IllegalArgumentException] {
       spark.read.format("graft-upsert").option("table", "t").load()
