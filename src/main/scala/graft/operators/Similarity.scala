@@ -446,12 +446,31 @@ object Similarity {
     * quantization error reorders candidates across the overfetch
     * boundary — the spec pins recall vs brute force on the fixture. */
   def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              overfetch: Int = 4): DataFrame = {
+              overfetch: Int = 4): DataFrame =
+    sq8TopKWithStats(queries, corpus, sq8Stats(corpus), k, overfetch)
+
+  /** The SQ8 "codebook": per-dimension `(i, mn, mx)` quantization stats
+    * — dimensionality-sized metadata that parquet round-trips
+    * bit-exactly, so the artifact lifecycle is train-once (one corpus
+    * agg), persist, and quantize every later scan/ingest against the
+    * STORED ranges ([[sq8TopKWithStats]]). Re-deriving stats per query
+    * would also re-quantize the whole corpus whenever data drifts the
+    * min/max — the stored form is what makes the codes table stable. */
+  def sq8Stats(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("i"), col("v").cast("double").as("v"))
+      .groupBy(col("i"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+
+  /** [[sq8TopK]] against PRECOMPUTED quantization stats (typically
+    * reloaded from parquet — the [[sq8Stats]] artifact). */
+  def sq8TopKWithStats(queries: DataFrame, corpus: DataFrame, stats: DataFrame,
+                       k: Int, overfetch: Int = 4): DataFrame = {
     val dims = corpus
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
       .select(col("vec_id"), col("i"), col("v").cast("double").as("v"))
-    val st = dims.groupBy(col("i"))
-      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val st = stats.select(col("i"), col("mn"), col("mx"))
     val dq = dims.join(broadcast(st), Seq("i"))
       .withColumn("d", when(col("mx") === col("mn"), col("mn"))
         .otherwise(col("mn") + least(lit(255.0), greatest(lit(0.0),
@@ -495,8 +514,30 @@ object Similarity {
     * full-precision table is touched only for `k·overfetch` rows per
     * query. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, numSub: Int, kCodes: Int,
-             k: Int, overfetch: Int = 4): DataFrame = {
-    val recon = pqReconstructions(corpus, numSub, kCodes)
+             k: Int, overfetch: Int = 4): DataFrame =
+    pqTopKWithCodebook(queries, corpus,
+      pqCodebook(corpus, numSub, kCodes), numSub, k, overfetch)
+
+  /** The PQ codebook as a standalone artifact: `(code, m, cb)` — one
+    * row per (subspace, codeword) with the codeword sub-vector,
+    * `numSub·kCodes` rows of broadcast-sized metadata that parquet
+    * round-trips bit-exactly. Train once, persist, and encode every
+    * later corpus batch against the STORED codewords
+    * ([[pqTopKWithCodebook]]) — re-deriving the codebook per call would
+    * silently re-encode the entire codes table whenever the corpus
+    * sample shifts. */
+  def pqCodebook(corpus: DataFrame, numSub: Int, kCodes: Int): DataFrame =
+    subVectors(corpus.filter(col("vec_id") < kCodes), numSub)
+      .select(col("vec_id").cast("int").as("code"), col("m"), col("sv").as("cb"))
+
+  /** [[pqTopK]] against a PRECOMPUTED codebook (typically reloaded from
+    * parquet — the [[pqCodebook]] artifact). `numSub` must match the
+    * codebook's build (the subspace split is only comparable under the
+    * same partitioning). */
+  def pqTopKWithCodebook(queries: DataFrame, corpus: DataFrame,
+                         codebook: DataFrame, numSub: Int,
+                         k: Int, overfetch: Int = 4): DataFrame = {
+    val recon = pqReconstructionsWith(corpus, codebook, numSub)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val approx = recon.select(col("vec_id").as("neighbor_id"), col("rv"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -515,18 +556,26 @@ object Similarity {
     * argmin-L2 codeword (index-ordered exact double folds, ties to the
     * lower code id), and `rv` is the concatenated codeword vector — the
     * deterministic encode shared by [[pqTopK]] and [[ivfPqTopK]]. */
-  private def pqReconstructions(corpus: DataFrame, numSub: Int,
-                                kCodes: Int): DataFrame = {
+  /** `(vec_id, m, sv)` — each corpus vector split into `numSub`
+    * double-cast sub-vectors (the shared PQ decomposition). */
+  private def subVectors(df: DataFrame, numSub: Int): DataFrame = {
     val subDim = (size(col("embedding")) / numSub).cast("int")
-    def subVectors(df: DataFrame) = df
-      .select(col("vec_id"), col("embedding"))
+    df.select(col("vec_id"), col("embedding"))
       .withColumn("m", explode(sequence(lit(0), lit(numSub - 1))))
       .select(col("vec_id"), col("m"), transform(
         slice(col("embedding"), col("m") * subDim + 1, subDim),
         x => x.cast("double")).as("sv"))
-    val cb = subVectors(corpus.filter(col("vec_id") < kCodes))
-      .select(col("vec_id").cast("int").as("code"), col("m"), col("sv").as("cb"))
-    val enc = subVectors(corpus)
+  }
+
+  private def pqReconstructions(corpus: DataFrame, numSub: Int,
+                                kCodes: Int): DataFrame =
+    pqReconstructionsWith(corpus, pqCodebook(corpus, numSub, kCodes), numSub)
+
+  /** [[pqReconstructions]] against a supplied codebook. */
+  private def pqReconstructionsWith(corpus: DataFrame, codebook: DataFrame,
+                                    numSub: Int): DataFrame = {
+    val cb = codebook.select(col("code"), col("m"), col("cb"))
+    val enc = subVectors(corpus, numSub)
       .join(broadcast(cb), Seq("m"))
       .withColumn("l2", aggregate(
         zip_with(col("sv"), col("cb"), (x, y) => (x - y) * (x - y)),

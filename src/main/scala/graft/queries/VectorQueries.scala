@@ -486,9 +486,38 @@ object VectorQueries {
           numSub = 8, kCodes = 16, k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // The SQ8 codebook (per-dimension quantization ranges) as a
+    // PERSISTED artifact — vs16's train-once/serve-many lifecycle for
+    // the scalar-quantized tier: stats are computed once, written to
+    // parquet, and the search quantizes against the RELOADED ranges.
+    // Parquet round-trips the doubles bit-exactly, so the persisted
+    // search shares vs09's oracle verbatim.
+    "vs28_sq8_persisted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = freshDir("sq8-stats")
+      Similarity.sq8Stats(emb).write.mode("overwrite").parquet(dir)
+      Similarity.sq8TopKWithStats(emb.filter(col("vec_id") < 10), emb,
+          s.read.parquet(dir), k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The PQ codebook (numSub×kCodes codeword sub-vectors) as a
+    // PERSISTED artifact: train, write, reload, encode-and-search
+    // against the stored codewords — vs10's oracle verbatim, same
+    // bit-exact parquet round-trip argument.
+    "vs29_pq_persisted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = freshDir("pq-codebook")
+      Similarity.pqCodebook(emb, numSub = 8, kCodes = 16)
+        .write.mode("overwrite").parquet(dir)
+      Similarity.pqTopKWithCodebook(emb.filter(col("vec_id") < 10), emb,
+          s.read.parquet(dir), numSub = 8, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "vs11_filtered_knn" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 5),
@@ -1225,4 +1254,11 @@ object VectorQueries {
          |WHERE comp.id = comp.component
          |GROUP BY e.label ORDER BY e.label""".stripMargin,
   )
+
+  /** vs28/vs29 persist the codebook artifacts and search against the
+    * reload; parquet round-trips the doubles bit-exactly, so their
+    * oracles ARE vs09/vs10's — persisted == in-memory, bit for bit. */
+  val oracle: Map[String, String] = oracleBase ++ Map(
+    "vs28_sq8_persisted" -> oracleBase("vs09_sq8_search"),
+    "vs29_pq_persisted" -> oracleBase("vs10_pq_search"))
 }
