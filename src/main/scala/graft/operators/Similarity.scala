@@ -712,6 +712,71 @@ object Similarity {
       .reduce(_.unionByName(_))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS) — retrieval by RAW dot
+    * product, the scoring recommendation/retrieval systems use when
+    * vector magnitude carries signal (popularity-weighted item
+    * embeddings, unnormalized two-tower outputs) and cosine's
+    * normalization would erase it. Brute baseline: queries broadcast,
+    * corpus scanned once, per-query top-k window over the broadcast
+    * product — the same plan family as [[bruteForceTopK]].
+    *
+    * Scale path: MIPS reduces to cosine search via the norm-augmentation
+    * transform (Bachrach et al. 2014; Neyshabur & Srebro 2015) — append
+    * `sqrt(M² − ‖x‖²)` to each corpus vector (M = max corpus norm) and
+    * `0` to each query; augmented corpus norms are all exactly M, so
+    * cosine order on the augmented space IS inner-product order on the
+    * original, and every cosine-path index (sign-LSH buckets, IVF)
+    * serves MIPS unchanged. MipsSpec pins the rank equivalence on the
+    * fixture; [[mipsBucketedTopK]] is the bucketed form. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotProduct(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"))
+  }
+
+  /** Bucketed MIPS: sign-bucket candidates ([[bucketedTopK]]'s
+    * equi-join — never all-pairs), exact-dot rescore, per-query top-k.
+    * Recall trades with `bits` exactly as in the cosine path. */
+  def mipsBucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                       bits: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotProduct(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("neighbor_id"),
+        col("rank"), col("dot"))
+  }
+
+  /** The MIPS→cosine norm augmentation (see [[mipsTopK]]): corpus rows
+    * gain a `sqrt(M² − ‖x‖²)` tail element (double precision — the
+    * equal-norm identity must hold exactly enough to preserve order),
+    * queries a literal 0. Returns (vec_id, aug) with `aug` an
+    * array<double>. The one collect is the scalar M — metadata. */
+  def mipsAugment(corpus: DataFrame, queries: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val n2 = dotProduct(col("embedding"), col("embedding"))
+    val m2 = corpus.agg(max(n2)).head().getDouble(0)
+    val toDouble = transform(col("embedding"), x => x.cast("double"))
+    val c = corpus.select(col("vec_id"),
+      concat(toDouble, array(sqrt(greatest(lit(m2) - n2, lit(0.0))))).as("aug"))
+    val q = queries.select(col("vec_id"),
+      concat(toDouble, array(lit(0.0))).as("aug"))
+    (c, q)
+  }
+
   /** All corpus pairs with cosine ≥ threshold, via the bucket equi-join
     * (embedding-cosine near-dup detection). */
   def cosineNearDups(corpus: DataFrame, threshold: Double, bits: Int): DataFrame = {

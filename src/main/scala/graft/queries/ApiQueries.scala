@@ -774,6 +774,42 @@ object ApiQueries {
           sumd2(col("s_acctbal")).as("sum_acctbal"))
         .orderBy(col("s_nationkey"))
     }),
+
+    // TPC-H Q21's correlated-double-subquery shape (suppliers-who-kept-
+    // orders-waiting), adapted to the fixture's columns: for 'F' orders,
+    // count per supplier the returned ('R') line items in MULTI-supplier
+    // orders where NO OTHER supplier's item was returned — an EXISTS
+    // (some other supplier on the order) and a NOT EXISTS (no other
+    // supplier returned) correlated on the same join key with a
+    // non-equi supplier guard. DataFrame form: left_semi then left_anti
+    // self-joins, each an equi-join on l_orderkey with the `<>` supplier
+    // predicate as residual — Catalyst plans both as shuffled joins on
+    // the order key, so the self-pairing never exceeds per-order fan-out
+    // (orders are bounded-width) and the shape holds at any corpus
+    // size. The supplier dimension broadcasts; the top-20 is a
+    // TakeOrderedAndProject on a supplier-count-bounded aggregate.
+    "q61_waiting_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1.join(l2, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1075,6 +1111,19 @@ object ApiQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q61_waiting_supplier" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q60_linear_fit" ->
       """WITH t AS (
         |  SELECT l_returnflag,

@@ -656,6 +656,33 @@ object TextQueries {
         .limit(20)
     }),
 
+    // The trained tokenizer applied CORPUS-WIDE — the token-cost
+    // estimate every training-data pipeline runs before mixing ("how
+    // many tokens is this source under OUR tokenizer", which drives
+    // sampling budgets and epoch math): per source, whitespace words,
+    // BPE tokens after ns52's five merges, and tokens-per-word. No
+    // per-document re-encoding: BPE merges act within words, so a
+    // word's encoded length is a LOOKUP in the post-merge word table
+    // (segments concat back to the word — the join key is exact), and
+    // the corpus pass is one equi-join of the token stream against the
+    // vocabulary-sized table plus one partial-aggregated rollup. At
+    // 100 TB: the word table is vocabulary-bounded (broadcastable), the
+    // token stream shuffles once into the per-source agg.
+    "ns55_bpe_token_counts" -> ((s, d) => {
+      val words = bpeTrain(s, d, rounds = 5)._1
+      val wt = words.select(concat_ws("", col("cs")).as("tok"),
+        size(col("cs")).cast("long").as("n_seg"))
+      Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .join(broadcast(wt), Seq("tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_seg")).as("n_bpe_tokens"))
+        .withColumn("bpe_per_word", col("n_bpe_tokens").cast("double")
+          / col("n_words").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // Robust per-source outlier gate: median absolute deviation, the
     // robust z-score every cleaning pipeline prefers over mean/stddev
     // (one 100 MB page would drag a source's mean past most of its real
@@ -1864,6 +1891,20 @@ object TextQueries {
          |FROM w5, unnest(cs) AS t(symbol)
          |GROUP BY symbol
          |ORDER BY n_occurrences DESC, symbol ASC LIMIT 20""".stripMargin,
+    "ns55_bpe_token_counts" ->
+      s"""WITH ${bpeCtes(5)},
+         |wt AS (
+         |  SELECT array_to_string(cs, '') AS tok, len(cs) AS n_seg FROM w5),
+         |t AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |j AS (
+         |  SELECT source, n_seg FROM t JOIN wt USING (tok) WHERE tok <> '')
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_seg) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(n_seg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS bpe_per_word
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "ns54_mad_outliers" ->
       """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
         |m AS (SELECT source, n_chars AS med_chars FROM (

@@ -502,6 +502,21 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Maximum-inner-product retrieval (MIPS) — the scoring used when
+    // magnitude carries signal (popularity-weighted item embeddings)
+    // and cosine's normalization would erase it. Bucketed form: sign-
+    // bucket equi-join candidates (never all-pairs), exact-dot rescore,
+    // per-query top-k. The raw-dot fold is index-ordered on both
+    // engines → hash-gated; MipsSpec pins the norm-augmentation
+    // reduction (Similarity.mipsAugment) that lets every cosine-path
+    // index serve MIPS unchanged at scale.
+    "vs30_mips_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mipsBucketedTopK(emb.filter(col("vec_id") < 10), emb,
+          k = 3, bits = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The PQ codebook (numSub×kCodes codeword sub-vectors) as a
     // PERSISTED artifact: train, write, reload, encode-and-search
     // against the stored codewords — vs10's oracle verbatim, same
@@ -972,6 +987,21 @@ object VectorQueries {
          |  SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |  FROM rescored) t
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "vs30_mips_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |             ${bucketSql("embedding", 4)} AS bucket
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |        ${bucketSql("embedding", 4)} AS bucket
+         |      FROM embeddings)
+         |SELECT query_id, bucket, neighbor_id, rank, dot FROM (
+         |  SELECT query_id, bucket, neighbor_id,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ${dotSql("qv", "cv")} DESC, neighbor_id ASC) AS rank
+         |  FROM c JOIN q USING (bucket)
+         |  WHERE neighbor_id <> query_id) t
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "vs04_cosine_neardup" ->
       s"""WITH c AS (SELECT vec_id, embedding,
