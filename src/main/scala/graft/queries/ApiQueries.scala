@@ -95,16 +95,26 @@ object ApiQueries {
 
     // Exact lower-median per group via rank arithmetic (no engine
     // median() — interpolation rules differ; the element itself is
-    // engine-independent).
+    // engine-independent). Histogram form, not a row window: aggregate
+    // to per-(segment, value) counts first (map-side-combined), then
+    // walk cumulative counts over distinct VALUES — the window input is
+    // value-domain-bounded (money at cent granularity), never
+    // row-count-bounded, where a row_number over the segment would
+    // serialize 1/|segments| of all customers through one task. Picks
+    // the value whose cumulative count first reaches rank
+    // (n+1) DIV 2 — identical to the rank formulation, so the oracle
+    // keeps its ROW_NUMBER form.
     "q27_exact_median" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val hist = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"), col("c_acctbal"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
       val wc = Window.partitionBy(col("c_mktsegment"))
-      Tables.customer(s, d)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(wc))
-        .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+      hist.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wc))
+        .withColumn("pos", expr("(n + 1) DIV 2"))
+        .filter(col("cum") >= col("pos") && col("cum") - col("c") < col("pos"))
         .select(col("c_mktsegment"), col("c_acctbal").as("lower_median"))
         .orderBy(col("c_mktsegment"))
     }),

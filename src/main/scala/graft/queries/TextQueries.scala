@@ -696,12 +696,26 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .select(col("source"), col("doc_id"), col("n_chars"))
-      val wc = Window.partitionBy(col("source"))
+      // Exact lower median WITHOUT a corpus-sized window: aggregate to
+      // the per-(source, value) HISTOGRAM first (one map-side-combined
+      // shuffle), then walk cumulative counts over distinct VALUES.
+      // The window input is value-DOMAIN-bounded (doc lengths /
+      // deviations — ≤ max doc length rows per source at any corpus
+      // size), never corpus-bounded; the r12 formulation ranked every
+      // document through one window task per source. Picks the same
+      // value as ROW_NUMBER rn == (n+1) DIV 2 over (v, doc_id): the
+      // bucket where the cumulative count first reaches the median
+      // rank — so the oracle is unchanged.
       def lowerMedian(df: DataFrame, v: String, as: String): DataFrame = {
-        val w = Window.partitionBy(col("source")).orderBy(col(v), col("doc_id"))
-        df.withColumn("rn", row_number().over(w))
-          .withColumn("cnt", count(lit(1)).over(wc))
-          .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+        val hist = df.groupBy(col("source"), col(v))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("source")).orderBy(col(v))
+        val wc = Window.partitionBy(col("source"))
+        hist.withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(wc))
+          .withColumn("pos", expr("(n + 1) DIV 2"))
+          .filter(col("cum") >= col("pos") &&
+            col("cum") - col("c") < col("pos"))
           .select(col("source"), col(v).as(as))
       }
       val med = lowerMedian(docs, "n_chars", "med_chars")
