@@ -65,4 +65,60 @@ object Multimodal {
         rows.map(r => MediaFeatures(r.media_id, FakeDecoder.decode(r.payload, dim)))
       }
   }
+
+  /** Frame sampling — the video-processing explode shape: each payload
+    * is treated as a container of `frameBytes`-sized frames (the stub
+    * for a real demuxer's frame boundaries), and every `stride`-th
+    * frame is emitted, at most `maxFrames` per media row, as
+    * `(media_id, frame_idx, frame)` — frame a binary slice. All
+    * row-local codegen'd arithmetic (no shuffle, no UDF): the frame
+    * count is derived from `octet_length`, the sampled index list is a
+    * bounded `sequence`, the slice is `substr` on the binary column —
+    * so sampling pushes down to the scan and fan-out is capped at
+    * `maxFrames` rows per media row at any corpus size. A short final
+    * frame carries the remainder bytes, exactly like a demuxer's tail
+    * frame. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int,
+                   maxFrames: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0 && maxFrames > 0,
+      s"need positive frameBytes/stride/maxFrames, " +
+        s"got $frameBytes/$stride/$maxFrames")
+    val nFrames = ceil(octet_length(col("payload"))
+      / lit(frameBytes.toDouble)).cast("int")
+    val k = least(lit(maxFrames),
+      ceil(nFrames / lit(stride.toDouble)).cast("int"))
+    // sequence(0, k-1) would COUNT DOWN for k = 0 (Spark generates a
+    // descending range when stop < start) — guard empty payloads out.
+    val idxs = when(k >= 1,
+      transform(sequence(lit(0), k - 1), i => i * stride))
+      .otherwise(array().cast("array<int>"))
+    media.select(col("media_id"), explode(idxs).as("frame_idx"),
+        col("payload"))
+      .select(col("media_id"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1,
+          lit(frameBytes)).as("frame"))
+  }
+
+  /** Feature resize — deterministic average-pooling of a feature vector
+    * to `outDim` (the resize/downsample step between decode and index):
+    * out[j] = mean of the j-th group of `inDim/outDim` inputs, folded in
+    * index order so the doubles are bit-stable on any engine. Row-local
+    * array arithmetic; requires the input length to divide evenly (a
+    * real resampler would interpolate — the stub keeps exactness). */
+  def resizeFeatures(features: DataFrame, featuresCol: String,
+                     outDim: Int): DataFrame = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    val in = col(featuresCol)
+    val factor = (size(in) / outDim).cast("int")
+    val pooled = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      (aggregate(
+        transform(sequence(lit(1), factor), r =>
+          element_at(in, j * factor + r).cast("double")),
+        lit(0.0), (acc, x) => acc + x) / factor).cast("float"))
+    features.withColumn(featuresCol,
+      when(size(in) % outDim === 0, pooled)
+        .otherwise(raise_error(concat(lit(
+          s"resizeFeatures: input length "), size(in).cast("string"),
+          lit(s" is not divisible by outDim $outDim")))))
+  }
 }

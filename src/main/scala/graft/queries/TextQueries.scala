@@ -122,11 +122,12 @@ object TextQueries {
   /** FakeDecoder oracle replica (Multimodal.FakeDecoder): fold the UTF-8
     * bytes (== codepoints for the ASCII fixture) through h ← h·31 + b
     * wrapped to 64 bits (HUGEINT residue). */
-  private val decodeFoldSql =
-    """list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
-      |    list_transform(range(1, length(text) + 1),
-      |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT))),
-      |  (acc, c) -> (acc * 31 + c) % 18446744073709551616)""".stripMargin
+  private def decodeFoldOf(x: String): String =
+    s"""list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |    list_transform(range(1, length($x) + 1),
+       |      i -> CAST(unicode(substr($x, CAST(i AS INT), 1)) AS HUGEINT))),
+       |  (acc, c) -> (acc * 31 + c) % 18446744073709551616)""".stripMargin
+  private val decodeFoldSql = decodeFoldOf("text")
 
   /** Per-dimension feature k = javaMod(h·(2i+1)+i, 1000) with the
     * signed-view correction (2^64 ≡ 616 mod 1000), f = k/1000 as REAL. */
@@ -1022,6 +1023,38 @@ object TextQueries {
     // fake decode is deterministic byte math, so DuckDB replays it
     // (64-bit wrap in HUGEINT; the documents fixture is ASCII, so
     // codepoints == UTF-8 bytes), and the cosine tier is vs01's.
+    // Frame sampling — the video tier's explode shape: every payload
+    // demuxed (stub: fixed 16-byte frames), every 2nd frame kept up to
+    // 4 per media row, each sampled frame decoded through the
+    // partition-batched decoder (frame identity rides a composite id).
+    // Sampling is row-local codegen'd arithmetic pushed to the scan;
+    // fan-out is hard-capped at maxFrames rows per media row, so the
+    // explode never amplifies a 100 TB corpus by more than 4×; the
+    // decode is ns18's honest stub with real batch plumbing, and the
+    // whole chain — frame boundaries, remainder tail frame, per-frame
+    // fold, feature arithmetic — is replayed by the oracle byte for
+    // byte.
+    "ns56_frame_sample" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.attachPayload(
+        Tables.documents(s, d), "doc_id", "text", "text/plain")
+      val frames = Multimodal.sampleFrames(media,
+        frameBytes = 16, stride = 2, maxFrames = 4)
+      val feats = Multimodal.extractFeatures(
+        frames.select((col("media_id") * 1000 + col("frame_idx"))
+            .as("media_id"), col("frame").as("payload")), dim = 4)
+        .toDF()
+        .select(col("media_id").as("cid"),
+          element_at(col("features"), 1).as("f0"))
+      frames
+        .withColumn("cid", col("media_id") * 1000 + col("frame_idx"))
+        .join(feats, Seq("cid"))
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame")).as("n_frame_bytes"),
+          col("f0").cast("double").as("f0"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     "ns18_multimodal_ann" -> ((s, d) => {
       import graft.operators.{Multimodal, Similarity}
       val media = Multimodal.attachPayload(
@@ -2083,6 +2116,21 @@ object TextQueries {
       """SELECT token, COUNT(*) AS n, CAST(0 AS BIGINT) AS err FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "ns56_frame_sample" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id AS media_id, CAST(u.i * 2 AS INT) AS frame_idx,
+         |    substr(text, CAST(u.i * 2 * 16 + 1 AS INT), 16) AS frame
+         |  FROM documents,
+         |  unnest(range(0, least(4, CAST(ceil(ceil(length(text) / 16.0)
+         |    / 2.0) AS BIGINT)))) AS u(i)),
+         |h AS (
+         |  SELECT media_id, frame_idx, length(frame) AS n_frame_bytes,
+         |    ${decodeFoldOf("frame")} AS hu
+         |  FROM fr)
+         |SELECT media_id, frame_idx,
+         |  CAST(n_frame_bytes AS INT) AS n_frame_bytes,
+         |  CAST(${decodeFeatSql(0)} AS DOUBLE) AS f0
+         |FROM h ORDER BY media_id, frame_idx""".stripMargin,
     "ns18_multimodal_ann" -> {
       val cos = decodeCosSql
       s"""WITH $decodeFeatureCtes,
