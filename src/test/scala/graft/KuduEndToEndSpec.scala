@@ -100,6 +100,35 @@ class KuduEndToEndSpec extends SparkSuite {
       if (t == "dbo.orders")
         check(100L, s2, Map("key" -> "100", "payload" -> "late"))
     }
+
+    // replay the WHOLE feed against the SAME cluster under a fresh
+    // checkpoint (at-least-once redelivery of every batch): the
+    // upsert-based writer must converge to identical LIVE state.
+    // Cell-map normalization: a pre-DDL row has NO cell for the evolved
+    // column while its replayed twin (upserted under the evolved
+    // schema) carries an explicit null cell — real Kudu reads BOTH as
+    // NULL after ALTER ADD of a nullable column, so equality is over
+    // the schema-complete view, absent cell ≡ null cell.
+    def normalized(t: String): Map[String, Map[String, Option[Any]]] = {
+      val cols = cluster.columns(t).map(_.name)
+      cluster.rows(t).map { case (k, cells) =>
+        k -> cols.map(c => c -> cells.getOrElse(c, None)).toMap
+      }
+    }
+    val settled = tables.map(t => t -> normalized(t)).toMap
+    CdcWriters.register("kudu-e2e-replay",
+      new KuduShapedWriter(cluster, hashBuckets = 4))
+    val stream2 = spark.readStream
+      .format(classOf[ChangeFeedProvider].getName)
+      .option("store", feed).option("numPartitions", "4")
+      .option("emitDdl", "true").load()
+    val q2 = UpsertSink.stream(CtPipeline.toEnvelope(stream2),
+      "kudu-e2e-replay", checkpointDir("kudu-e2e-ckpt-replay"))
+    q2.processAllAvailable()
+    q2.stop()
+    CdcWriters.drop("kudu-e2e-replay")
+    for (t <- tables)
+      assert(normalized(t) == settled(t), s"replay changed $t")
     ChangeTrackingStore.drop(feed)
   }
 }
