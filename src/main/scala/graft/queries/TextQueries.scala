@@ -439,15 +439,13 @@ object TextQueries {
           col("ab.a").as("a"), col("ab.b").as("b"))
       val cnt = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
       val pre = bg.groupBy(col("a")).agg(count(lit(1)).as("ca"))
-      def lmScore(of: org.apache.spark.sql.DataFrame) =
-        of.join(broadcast(cnt), Seq("a", "b"))
-          .join(broadcast(pre), Seq("a"))
-          .withColumn("pr", col("c").cast("double") / col("ca").cast("double"))
-          .groupBy(col("doc_id"), col("source"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            aggregate(array_sort(collect_list(struct(col("pos"), col("pr")))),
-              lit(1.0), (acc, x) => acc * x.getField("pr")).as("lm_score"))
-      val scored = lmScore(bg)
+      val scored = bg.join(broadcast(cnt), Seq("a", "b"))
+        .join(broadcast(pre), Seq("a"))
+        .withColumn("pr", col("c").cast("double") / col("ca").cast("double"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(array_sort(collect_list(struct(col("pos"), col("pr")))),
+            lit(1.0), (acc, x) => acc * x.getField("pr")).as("lm_score"))
       // Deterministic sample: the 8 docs per source with the smallest
       // salted portable hash (ns17's bounded bottom-k aggregate).
       val h = graft.functions.TextFunctions.portableHash(
@@ -459,12 +457,15 @@ object TextQueries {
           .as("picks"))
         .select(col("source"), explode(col("picks")).as("p"))
         .select(col("source"), col("p.id").as("doc_id"))
-      // Score ONLY the sample (the LM's count tables are still the full
-      // corpus's — CCNet scores the sample with the same trained model),
-      // then take the tercile rows of the (score desc, doc_id asc)
-      // sample order. Stored negated so one ascending array_sort gives
-      // the order; k ≤ 8 structs per source, driver never involved.
-      val cuts = lmScore(bg.join(broadcast(sampleIds), Seq("doc_id", "source")))
+      // The sample's scores are a broadcast-semi-join restriction of the
+      // SAME scored subtree the final bucketing consumes — identical
+      // plan subtree up through the per-doc aggregate, so ReuseExchange
+      // computes the heavy scoring once and this branch reads the
+      // exchange. Cut rows: the tercile positions of the (score desc,
+      // doc_id asc) sample order, stored negated so one ascending
+      // array_sort gives the order; k ≤ 8 structs per source, driver
+      // never involved.
+      val cuts = scored.join(broadcast(sampleIds), Seq("doc_id", "source"))
         .groupBy(col("source"))
         .agg(sort_array(collect_list(struct((-col("lm_score")).as("ns"),
           col("doc_id").as("id")))).as("ord"))
