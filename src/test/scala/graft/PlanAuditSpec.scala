@@ -364,6 +364,30 @@ class PlanAuditSpec extends SparkSuite {
       s"ns45's cut rows must broadcast:\n$p")
   }
 
+  test("q61's double subquery lowers to semi+anti joins with a broadcast dim") {
+    val p = executedPlan("q61_waiting_supplier")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("LeftSemi"), s"q61 lost the EXISTS semi join:\n$p")
+    assert(finalPlan.contains("LeftAnti"), s"q61 lost the NOT EXISTS anti join:\n$p")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"q61's supplier dimension must broadcast:\n$p")
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      s"q61's top-20 must be a TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
+  test("ns45's sample branch reuses the scoring exchange") {
+    // The cut-row branch semi-restricts the SAME per-doc scoring
+    // aggregate the bucketing consumes; if the subtrees drift apart the
+    // heavy scoring runs twice. ReusedExchange in the final plan is the
+    // mechanical witness that it runs once.
+    val p = executedPlan("ns45_perplexity_buckets")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange") ||
+      finalPlan.contains("TableCacheQueryStage") ||
+      finalPlan.contains("ReusedSubquery"),
+      s"ns45's scoring subtree is computed more than once:\n$p")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
