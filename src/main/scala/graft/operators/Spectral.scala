@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spectral / second-moment operators over embedding columns: the
+  * distributed covariance matrix and the power-iteration principal
+  * component on top of it — the PCA / whitening prep step of an
+  * embedding-space training-data pipeline (SURVEY.md §2.3 ⊕; the
+  * reference has no linear-algebra tier, so this is net-new surface).
+  *
+  * Determinism contract (oracle parity): per-dimension values are
+  * quantized to int64 at 2^14, so every distributed sum is an exact
+  * integer that no partial-agg merge order can perturb. The only
+  * floating point is exact-int→double casts plus a fixed-order
+  * expression both engines evaluate identically (IEEE divisions /
+  * multiplies / sqrt). Headroom: with |x| ≤ 1 and d = 64, |q| ≤ 2^14
+  * and each cross term ≤ 2^28, so pair sums stay exactly
+  * double-castable (< 2^53) to ~3×10^7 rows and overflow-free to
+  * ~3×10^10; past that, raise the sums to decimal(38,0) (the q60
+  * pattern) and lower the quantization a bit.
+  *
+  * Scale shape: ONE pass over the corpus generates the d(d+1)/2
+  * upper-triangle cross terms per row inside codegen; the hash
+  * aggregate combines map-side, so the shuffle is tasks × d² rows —
+  * never data-sized. The d×d result is the only thing collected
+  * (the centroid-collect pattern: dimension-bounded, not data-bounded).
+  */
+object Spectral {
+
+  /** Quantization scale (2^14). */
+  val Scale = 16384.0
+
+  private def quantized(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(Scale)))
+
+  /** Upper-triangle covariance of a `array<float>` embedding column:
+    * one row per (i, j), 0 ≤ i ≤ j < dim, with the population
+    * covariance in original (un-quantized) units.
+    *
+    * cov[i,j] = (S_ij/n − (S_i/n)(S_j/n)) / Scale², every S an exact
+    * int64 sum of quantized values.
+    */
+  def covarianceUpper(corpus: DataFrame, embCol: String, dim: Int): DataFrame = {
+    val n = corpus.count() // driver scalar (the ns24 pattern): one count scan
+    val nD = lit(n.toDouble)
+    val q = corpus.select(quantized(col(embCol)).as("q"))
+    // Upper-triangle cross products: explode i, then the j ≥ i suffix —
+    // both explodes stay inside one codegen stage; sums combine map-side.
+    val pairSums = q
+      .select(col("q"), explode(sequence(lit(0), lit(dim - 1))).as("i"))
+      .select(col("i"), element_at(col("q"), col("i") + 1).as("qi"),
+        posexplode(slice(col("q"), col("i") + 1, lit(dim) - col("i"))).as(Seq("p", "qj")))
+      .select(col("i"), (col("i") + col("p")).as("j"),
+        (col("qi") * col("qj")).as("qq"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("qq")).as("s_ij"))
+    val marg = q
+      .select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("i")).agg(sum(col("qi")).as("s"))
+    pairSums
+      .join(broadcast(marg.select(col("i"), col("s").as("s_i"))), Seq("i"))
+      .join(broadcast(marg.select(col("i").as("j"), col("s").as("s_j"))), Seq("j"))
+      .select(col("i"), col("j"),
+        ((col("s_ij").cast("double") / nD
+          - (col("s_i").cast("double") / nD) * (col("s_j").cast("double") / nD))
+          / lit(Scale) / lit(Scale)).as("cov"))
+  }
+
+  /** Dominant eigenvector of the covariance by a fixed number of power
+    * iterations from the deterministic all-ones start v₀ = 1/√dim.
+    *
+    * The d×d matrix (dim(dim+1)/2 rows) is collected to the driver —
+    * dimension-bounded, never data-sized, same posture as the IVF
+    * centroid collects. Every driver-side op is a fixed-order IEEE
+    * double op the SQL oracle replays verbatim: the matrix-vector
+    * product folds j ascending from 0.0, the norm folds i ascending
+    * from 0.0, then one sqrt and one division per element.
+    */
+  def principalComponent(covUpper: DataFrame, dim: Int, iters: Int): Array[Double] = {
+    val c = Array.ofDim[Double](dim, dim)
+    covUpper.select(col("i"), col("j"), col("cov")).collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val v = r.getDouble(2)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var t = 0
+    while (t < iters) {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += c(i)(j) * v(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      var ss = 0.0
+      var k = 0
+      while (k < dim) { ss += w(k) * w(k); k += 1 }
+      val nrm = math.sqrt(ss)
+      v = w.map(_ / nrm)
+      t += 1
+    }
+    v
+  }
+}

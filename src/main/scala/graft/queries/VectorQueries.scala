@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.Similarity
+import graft.operators.{Similarity, Spectral}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity-search surface over the `embeddings` table
@@ -65,6 +65,65 @@ object VectorQueries {
                    |        AS BIGINT)) AS DOUBLE) / COUNT(*) AS c
                    |    FROM assign$t, range(1, 65) r(i) GROUP BY label, r.i) d
                    |  GROUP BY label)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  // ---- covariance + power-iteration oracle (twin of Spectral) ----
+
+  /** CTEs `covf` = upper-triangle covariance rows (i ≤ j), identical
+    * arithmetic to [[Spectral.covarianceUpper]]: int64-quantized (2^14)
+    * per-dimension sums, then the fixed-order double expression
+    * (S_ij/n − (S_i/n)(S_j/n)) / Scale². MATERIALIZED hints keep the
+    * multiply-referenced CTEs single-evaluation (without them DuckDB's
+    * inliner re-expands the chain exponentially). */
+  private def covCtes: String =
+    s"""covn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM embeddings),
+       |covq AS MATERIALIZED (
+       |  SELECT vec_id, CAST(r.i AS INT) AS i,
+       |    CAST(FLOOR(CAST(embedding[r.i + 1] AS DOUBLE) * 16384.0) AS BIGINT) AS qi
+       |  FROM embeddings, range(0, 64) r(i)),
+       |covm AS (SELECT i, SUM(qi) AS s FROM covq GROUP BY i),
+       |covp AS (
+       |  SELECT a.i AS i, b.i AS j, SUM(a.qi * b.qi) AS s_ij
+       |  FROM covq a JOIN covq b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY a.i, b.i),
+       |covf AS MATERIALIZED (
+       |  SELECT p.i, p.j,
+       |    (CAST(p.s_ij AS DOUBLE) / covn.nd
+       |     - (CAST(ma.s AS DOUBLE) / covn.nd) * (CAST(mb.s AS DOUBLE) / covn.nd))
+       |    / 16384.0 / 16384.0 AS cov
+       |  FROM covp p
+       |  JOIN covm ma ON ma.i = p.i
+       |  JOIN covm mb ON mb.i = p.j
+       |  CROSS JOIN covn)""".stripMargin
+
+  /** CTEs `v0 … v$iters`: [[Spectral.principalComponent]] unrolled —
+    * matrix-vector folds in ascending-j order from 0.0, norm fold in
+    * ascending-i order from 0.0, one sqrt + one division per element,
+    * exactly the driver-side loop's op sequence. `w$t` is referenced
+    * twice (norm + normalize), so each iteration is MATERIALIZED to
+    * stop the inliner doubling the chain per iteration. */
+  private def powerIterCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""covfull AS MATERIALIZED (
+         |  SELECT i, j, cov FROM covf
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, cov FROM covf WHERE i < j),
+         |v0 AS (SELECT CAST(r.i AS INT) AS i, 1.0 / sqrt(64.0) AS v
+         |       FROM range(0, 64) r(i))""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(s""",
+                   |w$t AS MATERIALIZED (
+                   |  SELECT f.i AS i,
+                   |    list_reduce(list_prepend(0.0, list(f.cov * p.v ORDER BY f.j)),
+                   |      (acc, x) -> acc + x) AS w
+                   |  FROM covfull f JOIN v${t - 1} p ON p.i = f.j GROUP BY f.i),
+                   |n$t AS (
+                   |  SELECT sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY i)),
+                   |    (acc, x) -> acc + x)) AS nm FROM w$t),
+                   |v$t AS MATERIALIZED (
+                   |  SELECT i, w / nm AS v FROM w$t CROSS JOIN n$t)""".stripMargin)
     }
     sb.toString
   }
@@ -529,6 +588,41 @@ object VectorQueries {
       Similarity.pqTopKWithCodebook(emb.filter(col("vec_id") < 10), emb,
           s.read.parquet(dir), numSub = 8, k = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Distributed d×d covariance of the embedding space — the second-
+    // moment statistic PCA / whitening / drift monitoring start from.
+    // One corpus pass generates the 2080 upper-triangle cross terms per
+    // row inside codegen; the hash agg combines map-side so the shuffle
+    // is tasks×d² rows, never data-sized. Int64-quantized sums (2^14)
+    // make the distributed reduction order-insensitive and exactly
+    // double-castable — the oracle replays the identical arithmetic.
+    "vs31_embedding_covariance" -> ((s, d) => {
+      Spectral.covarianceUpper(Tables.embeddings(s, d), "embedding", dim = 64)
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // PCA projection: principal direction by 24 deterministic power
+    // iterations over the distributed covariance (d²-bounded driver
+    // collect — the centroid pattern), then one broadcast-literal
+    // in-order dot fold per document. The oracle unrolls the same
+    // iterations as a CTE chain (the ivfTrain precedent) with
+    // index-ordered folds, so projections are bit-identical. The
+    // synthetic fixture is near-isotropic (λ₂/λ₁ ≈ 0.99), so the
+    // iterate is still en route to the true eigenvector at any budget —
+    // convergence rate is a data property ((λ₂/λ₁)^t); real embedding
+    // corpora with a dominant direction converge in a handful of
+    // rounds. Engine parity holds at ANY iteration count, and
+    // SpectralSpec pins the Rayleigh-quotient monotonicity that makes
+    // the fixed-budget iterate meaningful.
+    "vs32_pca_projection" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cov = Spectral.covarianceUpper(emb, "embedding", dim = 64)
+      val pc = Spectral.principalComponent(cov, dim = 64, iters = 24)
+      val pcLit = array(pc.map(lit).toIndexedSeq: _*)
+      emb.select(col("vec_id"), col("label"),
+          dotProductHof(col("embedding"), pcLit).as("pc1"))
+        .orderBy(col("vec_id"))
     }),
   )
 
@@ -1290,5 +1384,14 @@ object VectorQueries {
     * oracles ARE vs09/vs10's — persisted == in-memory, bit for bit. */
   val oracle: Map[String, String] = oracleBase ++ Map(
     "vs28_sq8_persisted" -> oracleBase("vs09_sq8_search"),
-    "vs29_pq_persisted" -> oracleBase("vs10_pq_search"))
+    "vs29_pq_persisted" -> oracleBase("vs10_pq_search"),
+    "vs31_embedding_covariance" ->
+      s"""WITH $covCtes
+         |SELECT i, j, cov FROM covf ORDER BY i, j""".stripMargin,
+    "vs32_pca_projection" ->
+      s"""WITH $covCtes,
+         |${powerIterCtes(24)},
+         |pv AS (SELECT list(v ORDER BY i) AS pv FROM v24)
+         |SELECT vec_id, label, ${dotSql("embedding", "pv")} AS pc1
+         |FROM embeddings CROSS JOIN pv ORDER BY vec_id""".stripMargin)
 }

@@ -388,6 +388,19 @@ class PlanAuditSpec extends SparkSuite {
       s"ns45's scoring subtree is computed more than once:\n$p")
   }
 
+  test("vs31's covariance agg combines map-side and broadcasts the marginals") {
+    // The d² pair sums must partial-aggregate before the shuffle (the
+    // shuffle is tasks×d² rows, never data-sized) and the 64-row
+    // marginal table must broadcast into the final join.
+    val p = executedPlan("vs31_embedding_covariance")
+    assert(p.contains("partial_sum"),
+      s"vs31's cross-term aggregate lost its map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vs31's marginal join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vs31 shuffles a dimension-bounded join:\n$p")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it

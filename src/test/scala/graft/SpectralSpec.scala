@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Spectral
+import org.apache.spark.sql.functions._
+
+/** Pins [[Spectral]]'s covariance against a brute-force local
+  * computation and the power iterate's defining properties. The
+  * cross-engine bit-parity of the same arithmetic is gated by
+  * vs31/vs32's oracles; this spec guards the math itself.
+  */
+class SpectralSpec extends SparkSuite {
+
+  private val dim = 64
+
+  private lazy val emb: Array[Array[Double]] =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  private lazy val covUpper =
+    Spectral.covarianceUpper(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), "embedding", dim)
+
+  private def localCov(): Array[Array[Double]] = {
+    val n = emb.length
+    val mean = new Array[Double](dim)
+    emb.foreach { v => var i = 0; while (i < dim) { mean(i) += v(i); i += 1 } }
+    (0 until dim).foreach(i => mean(i) /= n)
+    val c = Array.ofDim[Double](dim, dim)
+    emb.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) { c(i)(j) += (v(i) - mean(i)) * (v(j) - mean(j)); j += 1 }
+        i += 1
+      }
+    }
+    for (i <- 0 until dim; j <- i until dim) { c(i)(j) /= n; c(j)(i) = c(i)(j) }
+    c
+  }
+
+  test("covarianceUpper matches the brute-force covariance within quantization error") {
+    val rows = covUpper.collect()
+    assert(rows.length === dim * (dim + 1) / 2)
+    val ref = localCov()
+    // Quantization at 2^14 perturbs each value by < 2^-14; the covariance
+    // of perturbed values moves by O(|x| * 2^-14) ≈ 1e-4 at |x| ≤ 1.
+    rows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      assert(math.abs(c - ref(i)(j)) < 1e-4,
+        s"cov($i,$j)=$c vs brute ${ref(i)(j)}")
+    }
+    // Diagonal entries are variances: non-negative.
+    rows.filter(r => r.getInt(0) == r.getInt(1))
+      .foreach(r => assert(r.getDouble(2) >= 0.0))
+  }
+
+  test("principalComponent is unit-norm and lifts the Rayleigh quotient monotonically") {
+    val ref = localCov()
+    def rayleigh(v: Array[Double]): Double = {
+      var num = 0.0
+      for (i <- 0 until dim; j <- 0 until dim) num += v(i) * ref(i)(j) * v(j)
+      num // v is unit norm throughout
+    }
+    val v0 = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var prev = rayleigh(v0)
+    // Power iteration's Rayleigh quotient is non-decreasing in t for a
+    // PSD matrix; each checkpoint must dominate the previous one.
+    for (t <- Seq(1, 4, 8, 16, 24)) {
+      val vt = Spectral.principalComponent(covUpper, dim, iters = t)
+      val nrm = math.sqrt(vt.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9, s"iterate $t not unit norm: $nrm")
+      val rq = rayleigh(vt)
+      assert(rq >= prev - 1e-9, s"Rayleigh dropped at t=$t: $prev -> $rq")
+      prev = rq
+    }
+    // The final quotient must beat the average eigenvalue (= trace/dim),
+    // i.e. the iterate points toward the heavy directions.
+    val avg = (0 until dim).map(i => ref(i)(i)).sum / dim
+    assert(prev > avg, s"final Rayleigh $prev not above mean eigenvalue $avg")
+  }
+}
