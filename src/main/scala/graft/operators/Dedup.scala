@@ -650,4 +650,67 @@ object Dedup {
       .agg(count(lit(1)).as("shared_prints"))
       .filter(col("shared_prints") >= minShared)
   }
+
+  /** Weighted (term-frequency) cosine top-k similarity join over hashed
+    * `shingleN`-token shingles — the posting-list sparse-vector join
+    * (Vernica et al. 2010's pair generation with tf·tf scoring, the
+    * hashing-trick feature space). Complements the set-semantics paths:
+    * ns04/ns39/ns40 score presence (Jaccard/containment); this scores
+    * REPETITION — a document that repeats a shared phrase ranks its
+    * partner higher, the retrieval-flavored notion of lexical closeness.
+    *
+    * Semantics: cosine over the df-capped hashed-shingle vocabulary
+    * (shingles with df > dfCap are dropped from vectors AND norms — the
+    * stopword-phrase guard that also bounds the join). df-1 shingles
+    * stay in the norms but generate no postings (they cannot pair).
+    * Per document, the top `k` neighbors by cosine desc, id asc.
+    *
+    * Determinism: tf, df, dot products, and squared norms are all int64
+    * sums — no reduction-order sensitivity — and the final score is one
+    * fixed-order double expression (cast, sqrt, multiply, divide), so
+    * the oracle hash-matches exactly.
+    *
+    * Scale shape: tf is one (id, h) partial agg over the exploded
+    * corpus; df one (h) agg; postings join equi on h with fan-out
+    * ≤ dfCap² per shingle; pair scores partial-agg on (id_a, id_b); the
+    * top-k window sees only a document's own candidates. No broadcast
+    * of anything vocabulary- or corpus-sized; AQE splits skewed posting
+    * buckets.
+    */
+  def tfCosineTopK(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, dfCap: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("id"),
+        explode(transform(shingles(tokens(col(textCol)), shingleN),
+          portableHash _)).as("h"))
+      .groupBy(col("id"), col("h"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val keptTf = tf.join(dfreq.filter(col("df") <= dfCap), Seq("h"))
+    val norms = keptTf.groupBy(col("id"))
+      .agg(sum(col("tf") * col("tf")).as("nsq"))
+    val post = keptTf.filter(col("df") >= 2)
+      .select(col("h"), col("id"), col("tf"))
+    val pairs = post.as("a").join(post.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("num"))
+    val scored = pairs
+      .join(norms.select(col("id").as("id_a"), col("nsq").as("na")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("nsq").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("num").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos"))
+    val directed = scored
+      .select(col("id_a").as("doc_id"), col("id_b").as("neighbor_id"), col("cos"))
+      .unionAll(scored
+        .select(col("id_b").as("doc_id"), col("id_a").as("neighbor_id"), col("cos")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    directed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
 }

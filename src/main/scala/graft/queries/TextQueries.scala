@@ -1432,6 +1432,18 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Weighted sparse-vector similarity: tf·tf cosine top-3 neighbors
+    // per document over hashed 3-shingles with a df-capped vocabulary —
+    // the posting-list join that scores REPETITION where ns04/ns39/ns40
+    // score presence. All sums are int64 (no reduction-order risk); the
+    // score is one fixed-order double expression, so the oracle
+    // hash-matches exactly.
+    "ns57_tf_cosine_topk" -> ((s, d) => {
+      Dedup.tfCosineTopK(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, dfCap = 64, k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // The removal ACTION behind ns37's diagnostic (Lee et al. 2022):
     // rewrite each doc dropping every token covered by a shingle whose
     // corpus occurrence count (with multiplicity — within-doc repeats
@@ -2339,6 +2351,44 @@ object TextQueries {
          |  AND len(list_intersect(a.hashes, b.hashes)) * 1.0
          |    / least(len(a.hashes), len(b.hashes)) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "ns57_tf_cosine_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest([t[i] || '_' || t[i+1] || '_' || t[i+2]
+         |                         for i in range(1, len(t) - 1)]) AS g
+         |  FROM toks),
+         |tf AS (
+         |  SELECT doc_id, h, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, ${hashSql("g")} AS h FROM sh) s0
+         |  GROUP BY doc_id, h),
+         |dfreq AS (SELECT h, COUNT(*) AS df FROM tf GROUP BY h),
+         |kept AS (
+         |  SELECT tf.doc_id, tf.h, tf.tf, d.df
+         |  FROM tf JOIN dfreq d USING (h) WHERE d.df <= 64),
+         |norms AS (SELECT doc_id, SUM(tf * tf) AS nsq FROM kept GROUP BY doc_id),
+         |post AS (SELECT h, doc_id, tf FROM kept WHERE df >= 2),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS num
+         |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    CAST(num AS DOUBLE)
+         |      / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM pairs
+         |  JOIN norms na ON na.doc_id = id_a
+         |  JOIN norms nb ON nb.doc_id = id_b),
+         |directed AS (
+         |  SELECT id_a AS doc_id, id_b AS neighbor_id, cos FROM scored
+         |  UNION ALL
+         |  SELECT id_b AS doc_id, id_a AS neighbor_id, cos FROM scored),
+         |rk AS (
+         |  SELECT doc_id, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM directed)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+         |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "ns41_span_removal" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
