@@ -60,7 +60,11 @@ object Fixture {
   def json(spark: SparkSession, sfDir: String): String =
     tables.map { t =>
       val body = table(spark, sfDir, t) match {
-        case Right((rows, h)) => s"""{"rows":$rows,"schema":$h}"""
+        // Schema hash as a string: bare 64-bit ints past 2^53 are
+        // corrupted by double-based JSON parsers (JS, older jq), and
+        // the fingerprint exists precisely for cross-round equality
+        // checks in that tooling.
+        case Right((rows, h)) => s"""{"rows":$rows,"schema":"$h"}"""
         case Left(err) =>
           s"""{"err":"${err.replace("\\", "\\\\").replace("\"", "\\\"")
             .replaceAll("[\\x00-\\x1f]", " ")}"}"""

@@ -768,7 +768,11 @@ object Similarity {
   def mipsAugment(corpus: DataFrame, queries: DataFrame)
       : (DataFrame, DataFrame) = {
     val n2 = dotProduct(col("embedding"), col("embedding"))
-    val m2 = corpus.agg(max(n2)).head().getDouble(0)
+    val m2Row = corpus.agg(max(n2)).head()
+    require(!m2Row.isNullAt(0),
+      "mipsAugment: corpus has no non-null embeddings — the norm bound " +
+        "M² is undefined (empty or all-null embedding column)")
+    val m2 = m2Row.getDouble(0)
     val toDouble = transform(col("embedding"), x => x.cast("double"))
     val c = corpus.select(col("vec_id"),
       concat(toDouble, array(sqrt(greatest(lit(m2) - n2, lit(0.0))))).as("aug"))

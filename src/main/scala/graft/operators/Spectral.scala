@@ -99,6 +99,11 @@ object Spectral {
       var k = 0
       while (k < dim) { ss += w(k) * w(k); k += 1 }
       val nrm = math.sqrt(ss)
+      // An all-zero covariance (constant embedding column) maps every
+      // iterate to 0; dividing would spread NaN corpus-wide. The
+      // current v (any unit vector) is a valid eigenvector of the zero
+      // matrix, so keep it and stop.
+      if (nrm == 0.0) return v
       v = w.map(_ / nrm)
       t += 1
     }

@@ -448,9 +448,14 @@ object TextQueries {
             lit(1.0), (acc, x) => acc * x.getField("pr")).as("lm_score"))
       // Deterministic sample: the 8 docs per source with the smallest
       // salted portable hash (ns17's bounded bottom-k aggregate).
+      // Drawn only from documents with >=2 tokens — shorter docs yield
+      // no bigrams and so no lm_score; a sample of all-scoreless docs
+      // would leave its source with no cut rows and silently drop every
+      // scored doc of that source from the inner-join bucketing.
       val h = graft.functions.TextFunctions.portableHash(
         concat(lit("pb:"), col("doc_id").cast("string")))
       val sampleIds = Tables.documents(s, d)
+        .filter(size(tokens(col("text"))) >= 2)
         .select(col("source"), col("doc_id"), h.as("h"))
         .groupBy(col("source"))
         .agg(graft.functions.BottomK.bottomK(col("h"), col("doc_id"), 8)
@@ -1856,7 +1861,8 @@ object TextQueries {
          |  SELECT source, doc_id FROM (
          |    SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
          |      ORDER BY $h, doc_id) AS rn
-         |    FROM documents) t WHERE rn <= 8),
+         |    FROM documents
+         |    WHERE len(string_split(text, ' ')) >= 2) t WHERE rn <= 8),
          |ss AS (
          |  SELECT s.source, s.doc_id, s.lm_score,
          |    ROW_NUMBER() OVER (PARTITION BY s.source

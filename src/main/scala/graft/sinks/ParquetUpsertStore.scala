@@ -71,6 +71,19 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
   private def tableDir(table: String): String =
     root + "/" + table.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Fault-injection seam (crash-consistency testing): applied to the
+    * merged batch just before its parquet write. A test subclass can
+    * make a task throw after N rows — the on-disk state is then exactly
+    * what a mid-write executor crash leaves (uncommitted `_temporary`
+    * junk, no manifest). Production no-op. */
+  protected def instrumentMerged(table: String, batchId: Long,
+                                 df: DataFrame): DataFrame = df
+
+  /** Fault-injection seam: invoked after the batch's snapshot directory
+    * is fully written but BEFORE the manifest commit — the other
+    * crash window (data durable, commit missing). Production no-op. */
+  protected def beforeCommit(table: String, batchId: Long): Unit = ()
+
   /** Apply one envelope micro-batch (DDL first, then compacted DML). */
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -167,14 +180,16 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
       // for — O(shufflePartitions × buckets) small files per batch,
       // which murders the file listing at scale. Buckets are sized
       // to a few GB, so one writer per bucket is the right shape.
-      merged.select(col("row_key"), col("op"), col("values"),
-          col("version"), col("bucket"))
+      instrumentMerged(t, batchId,
+          merged.select(col("row_key"), col("op"), col("values"),
+            col("version"), col("bucket")))
         .repartition(math.max(touched.size, 1), col("bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("bucket")
         .parquet(s"$tdir/snap-$batchId")
     }
     val newMapping = mapping ++ touched.map(_ -> s"snap-$batchId")
+    beforeCommit(t, batchId)
     commitManifest(fs, tdir, batchId, Manifest(nb, schemaJson, newMapping))
 
     // Auto-compact policy: once the manifest count exceeds the configured
