@@ -478,6 +478,55 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The FULL index lifecycle as one continuous story — vs16 (persist)
+    // + vs25 (append) + vs26 (tombstone) + vs27 (compact) composed
+    // end-to-end against the same artifact directory: build on history,
+    // append batch A, tombstone a delete set, COMPACT the tombstones
+    // out, append batch B AFTER the compaction, then search the final
+    // postings. The final search is oracle-pinned to a from-scratch
+    // build over the live set, which catches exactly the cross-phase
+    // interactions the single-phase oracles cannot: a compaction that
+    // drops a post-append posting, or a stale tombstone replayed onto a
+    // LATER append (batch-B ids matching the delete predicate arrived
+    // after the delete, so they are live — the oracle includes them).
+    // Every phase is O(its own input) — train once on history, appends
+    // assign only their batch, compaction is one linear anti-join pass;
+    // nothing retrains or re-indexes the corpus.
+    "vs33_index_lifecycle" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val m10 = pmod(col("vec_id"), lit(10))
+      val hist = emb.filter(m10 =!= 0 && m10 =!= 1)
+      val batchA = emb.filter(m10 === 0)
+      val batchB = emb.filter(m10 === 1)
+      val dir = freshDir("ivf-lifecycle")
+      // build: train on history only, persist centroids + postings
+      Similarity.ivfTrain(hist, kCentroids = 8, iters = 3)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      val cent = s.read.parquet(s"$dir/centroids")
+      Similarity.ivfIndex(hist, cent)
+        .write.mode("overwrite").parquet(s"$dir/postings-0")
+      // append A: assign the batch against the STORED centroids
+      s.read.parquet(s"$dir/postings-0")
+        .unionByName(Similarity.ivfIndex(batchA, cent))
+        .write.mode("overwrite").parquet(s"$dir/postings-1")
+      // delete: tombstone the ids matching the CDC delete predicate
+      emb.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$dir/tombstones")
+      // compact: fold tombstones into the artifact, once
+      s.read.parquet(s"$dir/postings-1")
+        .join(s.read.parquet(s"$dir/tombstones"), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$dir/postings-2")
+      // append B — after compaction; its ids are live even where they
+      // match the (already-applied) delete predicate
+      s.read.parquet(s"$dir/postings-2")
+        .unionByName(Similarity.ivfIndex(batchB, cent))
+        .write.mode("overwrite").parquet(s"$dir/postings-3")
+      val qs = emb.filter(col("vec_id") < 10)
+      Similarity.ivfSearchIndexed(qs,
+        s.read.parquet(s"$dir/postings-3"), cent, k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Recall@3 of the IVF index against the exact brute-force neighbors,
     // per query and per nprobe — the ANN quality claim as an
     // oracle-gated number instead of an assertion in prose. One brute
@@ -940,6 +989,42 @@ object VectorQueries {
          |    ) AS arnk
          |    FROM embeddings e CROSS JOIN cvec3 c) s
          |  WHERE arnk = 1 AND s.vec_id % 7 <> 3),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT query_id, qv, label FROM (
+         |    SELECT query_id, qv, label, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${cosSql("qv", "c.cv")} DESC, label ASC) AS arnk
+         |    FROM q CROSS JOIN cvec3 c) t WHERE arnk <= 2),
+         |cand AS (
+         |  SELECT query_id, label AS probe_label, i.neighbor_id,
+         |    ${cosSql("qv", "i.cv2")} AS cos
+         |  FROM probes p JOIN indexed i ON i.probe_label = p.label
+         |  WHERE i.neighbor_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, probe_label, neighbor_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM cand)
+         |SELECT query_id, probe_label, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // The lifecycle's final search must equal a FROM-SCRATCH build over
+    // the live set: centroids trained on history (vec_id % 10 not in
+    // (0,1) — batches A and B excluded from training), postings over
+    // live = ((history ∪ A) minus the %7=3 deletes) ∪ B — batch B
+    // appended AFTER the compaction, so its %7=3 ids are live.
+    "vs33_index_lifecycle" ->
+      s"""WITH ${ivfTrainCtes(k = 8, iters = 3, where = "vec_id % 10 NOT IN (0, 1)")},
+         |indexed AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS cv2, label AS probe_label
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.label, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.label ASC
+         |    ) AS arnk
+         |    FROM embeddings e CROSS JOIN cvec3 c) s
+         |  WHERE arnk = 1
+         |    AND (s.vec_id % 10 = 1 OR s.vec_id % 7 <> 3)),
          |q AS (SELECT vec_id AS query_id, embedding AS qv
          |      FROM embeddings WHERE vec_id < 10),
          |probes AS (
