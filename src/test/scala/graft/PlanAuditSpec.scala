@@ -401,6 +401,43 @@ class PlanAuditSpec extends SparkSuite {
       s"vs31 shuffles a dimension-bounded join:\n$p")
   }
 
+  test("ns54's windows rank the per-(source,value) histogram, never raw documents") {
+    // The median walk is value-DOMAIN-bounded only because its window
+    // input is the (source, value) histogram aggregate; a refactor that
+    // re-ranks raw documents (the r12 shape ns45 once had) would still
+    // return correct values but serialize each source's whole document
+    // set through one window task. Mechanical form: every WindowExec in
+    // the executed plan must have a grouping aggregate STRICTLY BELOW it.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, HashAggregateExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val df = SparkEntry.queries("ns54_mad_outliers")(spark, sf0001)
+    df.collect() // finalize AQE
+    val windows = allNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "ns54 lost its histogram-walk windows entirely")
+    windows.foreach { w =>
+      val below = allNodes(w.child)
+      assert(below.exists(_.isInstanceOf[BaseAggregateExec]),
+        s"ns54 window ranks un-aggregated rows (corpus-sized partition):\n$w")
+    }
+    // and the histogram aggregate is the hash form (map-side combined)
+    assert(allNodes(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[HashAggregateExec]),
+      "ns54's histogram lost hash aggregation")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
