@@ -77,12 +77,64 @@ object Spectral {
     * product folds j ascending from 0.0, the norm folds i ascending
     * from 0.0, then one sqrt and one division per element.
     */
-  def principalComponent(covUpper: DataFrame, dim: Int, iters: Int): Array[Double] = {
+  def principalComponent(covUpper: DataFrame, dim: Int, iters: Int): Array[Double] =
+    powerIterate(collectDense(covUpper, dim), dim, iters)
+
+  /** Top-k principal components: power iteration plus PROJECTED
+    * Hotelling deflation. After extracting vₖ the dense matrix is
+    * deflated C ← C − λₖ vₖ vₖᵀ with λₖ = vₖᵀ(C vₖ), and every iterate
+    * of the NEXT chain is additionally re-orthogonalized against the
+    * extracted components (w ← w − (w·vₘ)vₘ before normalizing) —
+    * matrix deflation alone leaves a residual along a
+    * not-fully-converged vₖ of the order of its own convergence error,
+    * which the per-iteration projection removes to FP roundoff.
+    * Everything past the one d²-bounded collect is driver math in a
+    * FIXED op order the SQL oracle replays verbatim: Cv folds j
+    * ascending from 0.0, dot products fold i ascending from 0.0, each
+    * deflated entry is cov − (λ·vᵢ)·vⱼ, each projection subtracts
+    * (d·vᵢ). This is the top-k subspace whitening / drift monitoring
+    * needs (see header) — k stays small (2–16), so the cost is k power
+    * chains over one collected matrix, never another corpus pass. */
+  def principalComponents(covUpper: DataFrame, dim: Int, iters: Int,
+                          k: Int): Seq[Array[Double]] = {
+    val c = collectDense(covUpper, dim)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    while (out.length < k) {
+      val v = powerIterate(c, dim, iters, ortho = out.toSeq)
+      val cv = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += c(i)(j) * v(j); j += 1 }
+        cv(i) = acc
+        i += 1
+      }
+      var lam = 0.0
+      var t = 0
+      while (t < dim) { lam += v(t) * cv(t); t += 1 }
+      i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { c(i)(j) -= lam * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      out += v
+    }
+    out.toSeq
+  }
+
+  private def collectDense(covUpper: DataFrame, dim: Int): Array[Array[Double]] = {
     val c = Array.ofDim[Double](dim, dim)
     covUpper.select(col("i"), col("j"), col("cov")).collect().foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1); val v = r.getDouble(2)
       c(i)(j) = v; c(j)(i) = v
     }
+    c
+  }
+
+  private def powerIterate(c: Array[Array[Double]], dim: Int, iters: Int,
+                           ortho: Seq[Array[Double]] = Nil): Array[Double] = {
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var t = 0
     while (t < iters) {
@@ -94,6 +146,13 @@ object Spectral {
         while (j < dim) { acc += c(i)(j) * v(j); j += 1 }
         w(i) = acc
         i += 1
+      }
+      ortho.foreach { u =>
+        var d = 0.0
+        var m = 0
+        while (m < dim) { d += w(m) * u(m); m += 1 }
+        m = 0
+        while (m < dim) { w(m) -= d * u(m); m += 1 }
       }
       var ss = 0.0
       var k = 0

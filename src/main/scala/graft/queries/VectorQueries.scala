@@ -104,29 +104,73 @@ object VectorQueries {
     * exactly the driver-side loop's op sequence. `w$t` is referenced
     * twice (norm + normalize), so each iteration is MATERIALIZED to
     * stop the inliner doubling the chain per iteration. */
-  private def powerIterCtes(iters: Int): String = {
+  private def powerIterCtes(iters: Int): String =
+    s"""covfull AS MATERIALIZED (
+       |  SELECT i, j, cov FROM covf
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov FROM covf WHERE i < j),
+       |${powerIterChain(iters, mat = "covfull", pfx = "")}""".stripMargin
+
+  /** CTEs `${pfx}v0 … ${pfx}v$iters` power-iterating the full-matrix
+    * CTE `mat` (columns i, j, cov) — the driver loop's op sequence
+    * exactly (see [[powerIterCtes]] caller comments). With `ortho` set
+    * to a converged iterate CTE (columns i, v), every raw iterate is
+    * re-orthogonalized against it before normalizing — the projected
+    * deflation step of [[graft.operators.Spectral.principalComponents]],
+    * same folds, same multiply order (w − (d·vᵢ)). */
+  private def powerIterChain(iters: Int, mat: String, pfx: String,
+                             ortho: Option[String] = None): String = {
     val sb = new StringBuilder(
-      s"""covfull AS MATERIALIZED (
-         |  SELECT i, j, cov FROM covf
-         |  UNION ALL
-         |  SELECT j AS i, i AS j, cov FROM covf WHERE i < j),
-         |v0 AS (SELECT CAST(r.i AS INT) AS i, 1.0 / sqrt(64.0) AS v
+      s"""${pfx}v0 AS (SELECT CAST(r.i AS INT) AS i, 1.0 / sqrt(64.0) AS v
          |       FROM range(0, 64) r(i))""".stripMargin)
     for (t <- 1 to iters) {
+      val raw = if (ortho.isDefined) s"${pfx}r$t" else s"${pfx}w$t"
       sb.append(s""",
-                   |w$t AS MATERIALIZED (
+                   |$raw AS MATERIALIZED (
                    |  SELECT f.i AS i,
                    |    list_reduce(list_prepend(0.0, list(f.cov * p.v ORDER BY f.j)),
                    |      (acc, x) -> acc + x) AS w
-                   |  FROM covfull f JOIN v${t - 1} p ON p.i = f.j GROUP BY f.i),
-                   |n$t AS (
+                   |  FROM $mat f JOIN ${pfx}v${t - 1} p ON p.i = f.j GROUP BY f.i)""".stripMargin)
+      ortho.foreach { u =>
+        sb.append(s""",
+                     |${pfx}d$t AS (
+                     |  SELECT list_reduce(list_prepend(0.0, list(r.w * p.v ORDER BY r.i)),
+                     |    (acc, x) -> acc + x) AS dp
+                     |  FROM $raw r JOIN $u p ON p.i = r.i),
+                     |${pfx}w$t AS MATERIALIZED (
+                     |  SELECT r.i AS i, r.w - d.dp * p.v AS w
+                     |  FROM $raw r JOIN $u p ON p.i = r.i CROSS JOIN ${pfx}d$t d)""".stripMargin)
+      }
+      sb.append(s""",
+                   |${pfx}n$t AS (
                    |  SELECT sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY i)),
-                   |    (acc, x) -> acc + x)) AS nm FROM w$t),
-                   |v$t AS MATERIALIZED (
-                   |  SELECT i, w / nm AS v FROM w$t CROSS JOIN n$t)""".stripMargin)
+                   |    (acc, x) -> acc + x)) AS nm FROM ${pfx}w$t),
+                   |${pfx}v$t AS MATERIALIZED (
+                   |  SELECT i, w / nm AS v FROM ${pfx}w$t CROSS JOIN ${pfx}n$t)""".stripMargin)
     }
     sb.toString
   }
+
+  /** Hotelling deflation CTEs: `dmat` = `mat` − λ v vᵀ for the
+    * converged iterate `${vcte}` — Cv with the matrix-vector fold, λ
+    * with the ascending-i fold, each entry cov − (λ·vᵢ)·vⱼ, mirroring
+    * [[graft.operators.Spectral.principalComponents]] op for op. */
+  private def deflateCtes(mat: String, vcte: String, dmat: String): String =
+    s"""${dmat}_cv AS MATERIALIZED (
+       |  SELECT f.i AS i,
+       |    list_reduce(list_prepend(0.0, list(f.cov * p.v ORDER BY f.j)),
+       |      (acc, x) -> acc + x) AS cv
+       |  FROM $mat f JOIN $vcte p ON p.i = f.j GROUP BY f.i),
+       |${dmat}_lam AS (
+       |  SELECT list_reduce(list_prepend(0.0, list(p.v * c.cv ORDER BY p.i)),
+       |    (acc, x) -> acc + x) AS lam
+       |  FROM $vcte p JOIN ${dmat}_cv c ON c.i = p.i),
+       |$dmat AS MATERIALIZED (
+       |  SELECT f.i, f.j, f.cov - l.lam * a.v * b.v AS cov
+       |  FROM $mat f
+       |  JOIN $vcte a ON a.i = f.i
+       |  JOIN $vcte b ON b.i = f.j
+       |  CROSS JOIN ${dmat}_lam l)""".stripMargin
 
   val queries: Map[String, QueryFn] = Map(
     // Brute-force exact top-10 cosine neighbors for a broadcast query
@@ -671,6 +715,27 @@ object VectorQueries {
       val pcLit = array(pc.map(lit).toIndexedSeq: _*)
       emb.select(col("vec_id"), col("label"),
           dotProductHof(col("embedding"), pcLit).as("pc1"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Top-2 PCA subspace — vs32 extended past PC1 by Hotelling
+    // deflation (the whitening / drift-monitoring prep needs the
+    // subspace, not one axis): extract PC1, deflate the DRIVER-side
+    // d×d matrix by its Rayleigh term (λ v vᵀ), power-iterate again
+    // for PC2, and project the corpus onto both. Still exactly one
+    // corpus pass (the covariance) + one d²-bounded collect; the
+    // second component costs another driver-side power chain, never
+    // another scan. The oracle unrolls the deflation with the same
+    // fixed-order folds, so both projections are bit-exact.
+    "vs34_pca_top2" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cov = Spectral.covarianceUpper(emb, "embedding", dim = 64)
+      val pcs = Spectral.principalComponents(cov, dim = 64, iters = 24, k = 2)
+      val p1 = array(pcs(0).map(lit).toIndexedSeq: _*)
+      val p2 = array(pcs(1).map(lit).toIndexedSeq: _*)
+      emb.select(col("vec_id"), col("label"),
+          dotProductHof(col("embedding"), p1).as("pc1"),
+          dotProductHof(col("embedding"), p2).as("pc2"))
         .orderBy(col("vec_id"))
     }),
   )
@@ -1478,5 +1543,16 @@ object VectorQueries {
          |${powerIterCtes(24)},
          |pv AS (SELECT list(v ORDER BY i) AS pv FROM v24)
          |SELECT vec_id, label, ${dotSql("embedding", "pv")} AS pc1
-         |FROM embeddings CROSS JOIN pv ORDER BY vec_id""".stripMargin)
+         |FROM embeddings CROSS JOIN pv ORDER BY vec_id""".stripMargin,
+    "vs34_pca_top2" ->
+      s"""WITH $covCtes,
+         |${powerIterCtes(24)},
+         |${deflateCtes(mat = "covfull", vcte = "v24", dmat = "defl")},
+         |${powerIterChain(24, mat = "defl", pfx = "d", ortho = Some("v24"))},
+         |pv1 AS (SELECT list(v ORDER BY i) AS p1 FROM v24),
+         |pv2 AS (SELECT list(v ORDER BY i) AS p2 FROM dv24)
+         |SELECT vec_id, label, ${dotSql("embedding", "p1")} AS pc1,
+         |  ${dotSql("embedding", "p2")} AS pc2
+         |FROM embeddings CROSS JOIN pv1 CROSS JOIN pv2
+         |ORDER BY vec_id""".stripMargin)
 }

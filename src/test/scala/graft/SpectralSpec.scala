@@ -80,4 +80,30 @@ class SpectralSpec extends SparkSuite {
     val avg = (0 until dim).map(i => ref(i)(i)).sum / dim
     assert(prev > avg, s"final Rayleigh $prev not above mean eigenvalue $avg")
   }
+
+  test("deflated second component is unit-norm, orthogonal, and subdominant") {
+    val pcs = Spectral.principalComponents(covUpper, dim, iters = 24, k = 2)
+    val Seq(p1, p2) = pcs
+    // k=1 of the deflating path reproduces the single-component path
+    val single = Spectral.principalComponent(covUpper, dim, iters = 24)
+    assert(p1.sameElements(single),
+      "principalComponents(k=2) head diverged from principalComponent")
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm(p2) - 1.0) < 1e-9, s"PC2 not unit norm: ${nrm(p2)}")
+    // Orthogonality: deflation removes PC1's subspace, so PC2 (after 24
+    // iterations from a start with a PC1 component) retains only the
+    // convergence residual along PC1.
+    val dot = (0 until dim).map(i => p1(i) * p2(i)).sum
+    assert(math.abs(dot) < 1e-6, s"PC2 not orthogonal to PC1: dot=$dot")
+    // Subdominance: PC2's Rayleigh quotient on the ORIGINAL matrix must
+    // not exceed PC1's (it targets the second eigenvalue).
+    val ref = localCov()
+    def rayleigh(v: Array[Double]): Double = {
+      var num = 0.0
+      for (i <- 0 until dim; j <- 0 until dim) num += v(i) * ref(i)(j) * v(j)
+      num
+    }
+    assert(rayleigh(p2) <= rayleigh(p1) + 1e-9,
+      s"PC2 Rayleigh ${rayleigh(p2)} exceeds PC1's ${rayleigh(p1)}")
+  }
 }
