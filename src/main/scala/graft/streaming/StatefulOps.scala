@@ -195,9 +195,15 @@ object StatefulOps {
     }
   }
 
-  /** Watermarked entry point for [[SessionTimerProcessor]]: 0s delay —
-    * callers widen it for out-of-order feeds (st20's lateness histogram
-    * is the sizing measurement). Out-of-order caveats, precisely:
+  /** Watermarked entry point for [[SessionTimerProcessor]]: 0s default
+    * delay — callers widen it for out-of-order feeds (st20's lateness
+    * histogram is the sizing measurement). Late-data contract, pinned
+    * by spec: an event BELOW the watermark when its batch runs is
+    * dropped by the engine's late-row filter before the processor sees
+    * it (it can neither extend nor reopen a session); an out-of-order
+    * event AT/ABOVE the watermark is admitted and island-merges, and
+    * the closed session equals the batch gap-island oracle over exactly
+    * the admitted events. Out-of-order caveats, precisely:
     * an admitted late event lands island-correctly when it falls within
     * `gapMillis` of the OPEN session (merge extends start via min / end
     * via max), but (a) an event more than a gap EARLIER than the open
@@ -208,11 +214,11 @@ object StatefulOps {
     * per-user event-time-ordered delivery across batches — which the
     * 0s-delay watermark enforces; widened delays trade that equality
     * for admission. */
-  def sessionizeWithTimers(evs: Dataset[SessEv],
-                           gapMillis: Long): Dataset[ClosedSession] = {
+  def sessionizeWithTimers(evs: Dataset[SessEv], gapMillis: Long,
+                           delay: String = "0 seconds"): Dataset[ClosedSession] = {
     import evs.sparkSession.implicits._
     evs.withColumn("eventTime", timestamp_millis(col("tsMillis")))
-      .withWatermark("eventTime", "0 seconds")
+      .withWatermark("eventTime", delay)
       .as[SessEv]
       .groupByKey(_.user)
       .transformWithState(new SessionTimerProcessor(gapMillis),

@@ -135,6 +135,56 @@ class StatefulOpsSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("sessionize late-data contract: sub-watermark events drop, admitted out-of-order events merge backward") {
+    // The documented choice, pinned positively (SURVEY §2.2's delivery
+    // contract): an out-of-order event that is ≥ the watermark when its
+    // batch runs MERGES into the open session (extending start via the
+    // math.min path — across a batch boundary, not just in-batch), and
+    // an event BELOW the watermark is DROPPED by the engine's late-row
+    // filter before the processor sees it — it can neither extend nor
+    // reopen anything. The closed session therefore equals the batch
+    // gap-island oracle over exactly the ADMITTED events.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      import StatefulOps.{ClosedSession, SessEv}
+      val in = MemoryStream[SessEv]
+      val q = StatefulOps.sessionizeWithTimers(in.toDS(), gapMillis = 5000L,
+          delay = "2 seconds")
+        .writeStream.format("memory").queryName("sess_late_out")
+        .option("checkpointLocation", checkpointDir("sess-late"))
+        .outputMode("append").start()
+
+      // batch 1: user 7 opens at 10000; user 5's event sets the global
+      // watermark to max(11000) − 2000 = 9000 after the batch
+      in.addData(SessEv(7, 10000), SessEv(5, 11000))
+      q.processAllAvailable()
+
+      // batch 2, out of order: 9500 ≥ watermark 9000 → admitted, earlier
+      // than the open session's start → merges BACKWARD to (9500, 10000);
+      // 8500 < 9000 → late, dropped before the processor
+      in.addData(SessEv(7, 9500), SessEv(7, 8500))
+      q.processAllAvailable()
+
+      // batch 3: advance the watermark past every armed timer
+      in.addData(SessEv(9, 30000))
+      q.processAllAvailable()
+      q.stop()
+
+      val got = spark.table("sess_late_out").as[ClosedSession].collect()
+        .map(c => (c.user, c.startMillis, c.endMillis, c.nEvents)).toSet
+      // batch gap-island oracle over the admitted events {10000, 9500}:
+      // one island (9500, 10000) of 2 — NOT (8500, 10000) of 3, which is
+      // what a leaked late event would produce
+      assert(got.contains((7L, 9500L, 10000L, 2L)),
+        s"late-data contract violated: $got")
+      assert(got.contains((5L, 11000L, 11000L, 1L)), s"user 5 session lost: $got")
+      assert(!got.exists(t => t._1 == 7L && t._2 == 8500L),
+        s"sub-watermark event leaked into a session: $got")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("funnelStages matches the batch window funnel on ordered delivery") {
     import graft.streaming.StatefulOps.FunnelEv
     implicit val ctx = spark.sqlContext
