@@ -28,9 +28,26 @@ object TextQueries {
     * `best<r>` row, so an empty round would empty the oracle's word
     * table); both queries train rounds ≪ the fixture's collapse point,
     * and BpeSpec pins the early-stop against the local reference.
+    *
+    * Incremental pair recount (the fast-BPE-trainer shape, e.g.
+    * SentencePiece's): the full pair table is aggregated ONCE from the
+    * char-split words; every later round adjusts it by a DELTA computed
+    * from only the words the last merge TOUCHED (those containing the
+    * merged pair adjacently — subtract their pre-merge pair multiset,
+    * add their post-merge one). Touched-word recounting (not analytic
+    * count adjustment) keeps overlapping-run pairs like "aaa" exact,
+    * and the sums stay exact int64, so every round's argmax — and
+    * therefore every merge — is identical to the full re-aggregation;
+    * the oracle chain is unchanged. Scale shape: round r touches the
+    * words containing the round-r pair (a vanishing corpus fraction
+    * past the first merges), not the vocabulary.
+    *
     * `private[graft]` so BpeSpec can pin it against an independent
-    * local reference implementation. */
-  private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int)
+    * local reference implementation. `onRound` (spec instrumentation)
+    * receives (round, touchedWords, totalWords) per merge round ≥ 2 —
+    * counted only when set, so queries pay nothing. */
+  private[graft] def bpeTrain(s: SparkSession, d: String, rounds: Int,
+      onRound: Option[(Int, Long, Long) => Unit] = None)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     val words0 = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
@@ -38,22 +55,25 @@ object TextQueries {
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
       .select(transform(sequence(lit(1), length(col("tok"))),
         i => col("tok").substr(i, lit(1))).as("cs"), col("f"))
-    // localCheckpoint per round: each round's table feeds the next
+    val pairsCol = when(size(col("cs")) >= 2,
+      transform(sequence(lit(1), size(col("cs")) - 1),
+        i => struct(element_at(col("cs"), i).as("a"),
+          element_at(col("cs"), i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    def pairCountsOf(w: DataFrame, sign: Int): DataFrame =
+      w.select(explode(pairsCol).as("p"), col("f"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg((sum(col("f")) * sign).as("cnt"))
+    // localCheckpoint per round: each round's tables feed the next
     // round's argmax AND fold; without it round r recomputes rounds
     // 1..r−1 from scratch (O(R²) passes). Vocabulary-sized data.
     var words = words0.localCheckpoint(true)
+    var pairCounts = pairCountsOf(words, 1).localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val pairsCol = when(size(col("cs")) >= 2,
-        transform(sequence(lit(1), size(col("cs")) - 1),
-          i => struct(element_at(col("cs"), i).as("a"),
-            element_at(col("cs"), i + 1).as("b"))))
-        .otherwise(array().cast("array<struct<a:string,b:string>>"))
-      words.select(explode(pairsCol).as("p"), col("f"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("f")).as("cnt"))
+      pairCounts
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect().headOption match {
         case None => exhausted = true // fully collapsed: nothing to merge
@@ -61,17 +81,31 @@ object TextQueries {
           val (a, b, cnt) =
             (best.getString(0), best.getString(1), best.getLong(2))
           merges += ((r, a, b, a + b, cnt))
+          // Only words holding the winning pair adjacently change.
+          val hasPair = exists(pairsCol,
+            p => p.getField("a") === lit(a) && p.getField("b") === lit(b))
+          val touched = words.filter(hasPair)
           // Greedy left-to-right merge: the accumulator's LAST element
           // is the held symbol; a (held=a, next=b) match replaces it
           // with the merged symbol, which cannot re-merge with what
           // follows in the same pass (standard BPE application order).
-          words = words.select(aggregate(col("cs"),
+          val mergedTouched = touched.select(aggregate(col("cs"),
               array().cast("array<string>"),
               (acc, c) => when(size(acc) > 0 &&
                   element_at(acc, size(acc)) === lit(a) && c === lit(b),
                 concat(slice(acc, lit(1), greatest(size(acc) - 1, lit(0))),
                   array(lit(a + b))))
                 .otherwise(concat(acc, array(c)))).as("cs"), col("f"))
+          onRound.foreach { f =>
+            if (r < rounds) f(r + 1, touched.count(), words.count())
+          }
+          words = words.filter(!hasPair).unionByName(mergedTouched)
+            .localCheckpoint(true)
+          pairCounts = pairCounts
+            .unionByName(pairCountsOf(touched, -1))
+            .unionByName(pairCountsOf(mergedTouched, 1))
+            .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") > 0)
             .localCheckpoint(true)
       }
       r += 1

@@ -76,6 +76,24 @@ class BpeSpec extends SparkSuite {
     assert(t.head._1 == List("aa", "a"))
   }
 
+  test("rounds past the first recount only the touched word slice") {
+    // The incremental pair table's point: round r's delta aggregation
+    // reads only the words containing round r−1's winning pair, which
+    // is a small fraction of the vocabulary — never the full word table
+    // the original formulation re-aggregated every round. Merges stay
+    // bit-identical (the previous test); this pins the input size.
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    graft.queries.TextQueries.bpeTrain(spark, sf0001, rounds = 4,
+      onRound = Some((r, touched, total) => stats += ((r, touched, total))))
+    assert(stats.nonEmpty, "instrumentation callback never fired")
+    stats.foreach { case (r, touched, total) =>
+      assert(touched > 0, s"round $r merged a pair no word contains")
+      assert(touched * 2 <= total,
+        s"round $r recounts $touched of $total words — the delta input " +
+          "is not meaningfully smaller than the word table")
+    }
+  }
+
   test("training past the corpus' collapse point stops early, no crash") {
     // Every word is a single symbol from round 1 — zero adjacent pairs.
     // The trainer must record zero merges and return the table as-is
