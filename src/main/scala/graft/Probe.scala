@@ -8,9 +8,17 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).foreach { q =>
-      if (args(0) == "-explain") {
+      if (args(0).startsWith("-explain")) {
+        // -explain (sf0.001) or -explain=<sfDir>; executes first so the
+        // printed plan is the AQE-final one, not the static estimate.
+        val dir = args(0).split("=", 2) match {
+          case Array(_, d) => d
+          case _ => "/root/testdata/sf0.001"
+        }
         println(s"===== $q =====")
-        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").explain("formatted")
+        val df = SparkEntry.queries(q)(spark, dir)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
       } else {
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, args(0)).count()

@@ -48,6 +48,61 @@ class ChangeFeedSourceSpec extends SparkSuite {
     assert(spark.table("ct_out2").count() == 260)
   }
 
+  test("cold start against a 10x backlog paces through full batches with monotone offsets and no skipped versions") {
+    // The second admission face (reference CTInputDStream.java:148-169's
+    // maxBatchSize contract under catch-up): a fresh checkpoint (offset
+    // 0) facing backlog = 10 × maxBatchSize must drain in exactly
+    // ceil(backlog / cap) full batches — never one giant batch, never a
+    // stall — with strictly increasing checkpointed offsets and every
+    // version delivered exactly once (cdc30's gap-audit invariant).
+    val name = "ct-backlog"
+    val cap = 100
+    val backlog = 10 * cap
+    ChangeTrackingStore.drop(name)
+    val store = ChangeTrackingStore.get(name)
+    (1 to backlog).foreach(i => store.append(
+      if (i % 7 == 0) "DELETE" else "INSERT", i % 23, s"p$i"))
+
+    val ckpt = checkpointDir("ct-backlog")
+    val q = spark.readStream
+      .format(classOf[ChangeFeedProvider].getName)
+      .option("store", name)
+      .option("maxBatchSize", cap.toString)
+      .option("numPartitions", "4")
+      .load()
+      .writeStream.format("memory").queryName("ct_backlog_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // pacing: exactly backlog/cap batches, each a FULL cap-sized batch
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    assert(sizes.length == backlog / cap,
+      s"expected ${backlog / cap} catch-up batches, got ${sizes.length}: $sizes")
+    assert(sizes.forall(_ == cap),
+      s"catch-up batches must fill to the cap, got $sizes")
+
+    // durable offsets: the checkpoint's offset log is strictly monotone
+    // in steps of exactly the cap, ending at the backlog head
+    val offsetsDir = new java.io.File(s"$ckpt/offsets")
+    val logged = offsetsDir.listFiles().toSeq
+      .filter(_.getName.matches("\\d+"))
+      .sortBy(_.getName.toLong)
+      .map { f =>
+        val lines = java.nio.file.Files.readAllLines(f.toPath)
+        lines.get(lines.size() - 1).trim.toLong // VersionOffset.json = the version
+      }
+    assert(logged == (1 to backlog / cap).map(_.toLong * cap),
+      s"checkpointed offsets not a monotone cap-stepped ladder: $logged")
+
+    // gap audit: every version 1..backlog delivered exactly once
+    val versions = spark.table("ct_backlog_out")
+      .select($"version").as[Long].collect()
+    assert(versions.length == backlog, s"delivered ${versions.length}/$backlog")
+    assert(versions.toSet == (1L to backlog.toLong).toSet,
+      "version set has gaps or strays")
+  }
+
   test("transient source outage yields empty batches, then recovery delivers everything") {
     val name = "ct-retry"
     ChangeTrackingStore.drop(name)
