@@ -76,16 +76,19 @@ class FixtureDriftSpec extends SparkSuite {
     Fixture.tables.foreach { t =>
       assert(js.contains(s""""$t":{"""), s"missing $t in $js")
     }
+    // Schema hashes are serialized as JSON STRINGS: 64-bit ints past
+    // 2^53 corrupt in double-based JSON parsers, which is exactly the
+    // tooling the fingerprint targets.
     val docs = Tables(spark, sf0001, "documents")
     val expected =
-      s""""documents":{"rows":${docs.count()},"schema":${
-        Fixture.schemaHash(docs.schema)}}"""
+      s""""documents":{"rows":${docs.count()},"schema":"${
+        Fixture.schemaHash(docs.schema)}"}"""
     assert(js.contains(expected), s"documents fingerprint drifted: $js")
     // events goes through the adapting loader, so its schema hash is of
     // the NORMALISED shape (ts: TIMESTAMP) whatever the file encodes.
     assert(js.contains(s""""events":{"rows":${
-      Tables.events(spark, sf0001).count()},"schema":${
-      Fixture.schemaHash(Tables.events(spark, sf0001).schema)}}"""))
+      Tables.events(spark, sf0001).count()},"schema":"${
+      Fixture.schemaHash(Tables.events(spark, sf0001).schema)}"}"""))
     val broken = Fixture.json(spark, "target/no-such-fixture-dir")
     Fixture.tables.foreach { t =>
       assert(broken.contains(s""""$t":{"err":"""), s"missing err for $t")
