@@ -96,11 +96,20 @@ object Spectral {
     * needs (see header) — k stays small (2–16), so the cost is k power
     * chains over one collected matrix, never another corpus pass. */
   def principalComponents(covUpper: DataFrame, dim: Int, iters: Int,
-                          k: Int): Seq[Array[Double]] = {
+                          k: Int): Seq[Array[Double]] =
+    principalComponentsWithValues(covUpper, dim, iters, k).map(_._1)
+
+  /** [[principalComponents]] plus each component's eigenvalue estimate
+    * λₖ = vₖᵀ(C vₖ) — the Rayleigh quotient at extraction, i.e. exactly
+    * the scalar the deflation removes. This is what whitening divides
+    * by (x·vₖ / √λₖ has unit population variance by construction) and
+    * what drift monitoring tracks over corpus snapshots. */
+  def principalComponentsWithValues(covUpper: DataFrame, dim: Int,
+      iters: Int, k: Int): Seq[(Array[Double], Double)] = {
     val c = collectDense(covUpper, dim)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
     while (out.length < k) {
-      val v = powerIterate(c, dim, iters, ortho = out.toSeq)
+      val v = powerIterate(c, dim, iters, ortho = out.map(_._1).toSeq)
       val cv = new Array[Double](dim)
       var i = 0
       while (i < dim) {
@@ -119,7 +128,7 @@ object Spectral {
         while (j < dim) { c(i)(j) -= lam * v(i) * v(j); j += 1 }
         i += 1
       }
-      out += v
+      out += ((v, lam))
     }
     out.toSeq
   }

@@ -738,6 +738,29 @@ object VectorQueries {
           dotProductHof(col("embedding"), p2).as("pc2"))
         .orderBy(col("vec_id"))
     }),
+
+    // PCA WHITENING — the operation the spectral tier exists for
+    // (Spectral.scala header): project onto the top-2 subspace and
+    // scale each coordinate by 1/√λₖ, yielding unit population
+    // variance per component (λₖ is the Rayleigh value the deflation
+    // removes, so Var(x·vₖ)/λₖ = 1 by construction — SpectralSpec pins
+    // it). Same one-corpus-pass + d²-bounded driver shape as vs32/
+    // vs34; the eigenvalues are two driver scalars. The oracle reuses
+    // the deflation CTE chain and reads λ₁/λ₂ from the same folds.
+    "vs35_whitened_projection" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cov = Spectral.covarianceUpper(emb, "embedding", dim = 64)
+      val pcs = Spectral.principalComponentsWithValues(cov, dim = 64,
+        iters = 24, k = 2)
+      val (p1, l1) = pcs(0)
+      val (p2, l2) = pcs(1)
+      val a1 = array(p1.map(lit).toIndexedSeq: _*)
+      val a2 = array(p2.map(lit).toIndexedSeq: _*)
+      emb.select(col("vec_id"), col("label"),
+          (dotProductHof(col("embedding"), a1) / lit(math.sqrt(l1))).as("w1"),
+          (dotProductHof(col("embedding"), a2) / lit(math.sqrt(l2))).as("w2"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1554,5 +1577,23 @@ object VectorQueries {
          |SELECT vec_id, label, ${dotSql("embedding", "p1")} AS pc1,
          |  ${dotSql("embedding", "p2")} AS pc2
          |FROM embeddings CROSS JOIN pv1 CROSS JOIN pv2
+         |ORDER BY vec_id""".stripMargin,
+    // λ₁ comes from the first deflation's Rayleigh fold (defl_lam);
+    // λ₂ from deflating AGAIN around the second converged iterate
+    // (defl2_lam) — the same folds the driver loop runs, so the
+    // whitened coordinates are bit-exact.
+    "vs35_whitened_projection" ->
+      s"""WITH $covCtes,
+         |${powerIterCtes(24)},
+         |${deflateCtes(mat = "covfull", vcte = "v24", dmat = "defl")},
+         |${powerIterChain(24, mat = "defl", pfx = "d", ortho = Some("v24"))},
+         |${deflateCtes(mat = "defl", vcte = "dv24", dmat = "defl2")},
+         |pv1 AS (SELECT list(v ORDER BY i) AS p1 FROM v24),
+         |pv2 AS (SELECT list(v ORDER BY i) AS p2 FROM dv24)
+         |SELECT vec_id, label,
+         |  ${dotSql("embedding", "p1")} / sqrt(l1.lam) AS w1,
+         |  ${dotSql("embedding", "p2")} / sqrt(l2.lam) AS w2
+         |FROM embeddings CROSS JOIN pv1 CROSS JOIN pv2
+         |CROSS JOIN defl_lam l1 CROSS JOIN defl2_lam l2
          |ORDER BY vec_id""".stripMargin)
 }

@@ -106,4 +106,22 @@ class SpectralSpec extends SparkSuite {
     assert(rayleigh(p2) <= rayleigh(p1) + 1e-9,
       s"PC2 Rayleigh ${rayleigh(p2)} exceeds PC1's ${rayleigh(p1)}")
   }
+
+  test("whitened projections have unit population variance per component") {
+    // Var(x·vₖ)/λₖ = vₖᵀCvₖ/λₖ = 1 by construction when λₖ is the
+    // extraction-time Rayleigh value — the property whitening is FOR.
+    // Tolerance covers the 2^-14 quantization of the distributed C vs
+    // the exact local covariance used here.
+    val pcs = Spectral.principalComponentsWithValues(covUpper, dim,
+      iters = 24, k = 2)
+    pcs.zipWithIndex.foreach { case ((v, lam), idx) =>
+      assert(lam > 0, s"component $idx has non-positive eigenvalue $lam")
+      val proj = emb.map(x =>
+        (0 until dim).map(i => x(i) * v(i)).sum / math.sqrt(lam))
+      val mean = proj.sum / proj.length
+      val variance = proj.map(p => (p - mean) * (p - mean)).sum / proj.length
+      assert(math.abs(variance - 1.0) < 1e-3,
+        s"component $idx whitened variance $variance != 1")
+    }
+  }
 }
