@@ -170,6 +170,67 @@ class StoreFaultInjectionSpec extends SparkSuite {
     assert(got == twinState("precommit"))
   }
 
+  test("replace-commit crash between its two renames: the sidecar restores the manifest") {
+    // commitManifest(replace=true) moves the live manifest to a `.old`
+    // sidecar, renames the new one in, then deletes the sidecar. A
+    // crash between the two renames leaves ONLY the sidecar on disk —
+    // this test recreates exactly that state and asserts readers
+    // restore it (the id's content survives; it was merely invisible).
+    import org.apache.hadoop.fs.Path
+    val root = checkpointDir("fault-sidecar")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    store.applyBatch(spark.createDataset(batch0).toDF(), 0L)
+    store.applyBatch(spark.createDataset(batch1).toDF(), 1L)
+    val before = state(store)
+
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tdir = new Path(s"$root/dbo.t")
+    // the crash state: manifest-1 swapped aside, replacement never landed
+    assert(fs.rename(new Path(tdir, "manifest-1"), new Path(tdir, "manifest-1.old")))
+    assert(!fs.exists(new Path(tdir, "manifest-1")))
+
+    // a fresh reader restores the orphaned sidecar and sees batch 1
+    assert(state(store) == before,
+      "orphaned replace-commit sidecar was not restored")
+    assert(fs.exists(new Path(tdir, "manifest-1")), "restore did not persist")
+    assert(!fs.exists(new Path(tdir, "manifest-1.old")),
+      "restored sidecar should have been renamed away")
+
+    // and the store keeps working: the next batch commits on top
+    store.applyBatch(spark.createDataset(
+      Seq(dml(OpType.Update, 20, 3L, "after-crash"))).toDF(), 2L)
+    assert(state(store)("3")._1("v") == "after-crash")
+  }
+
+  test("vacuum crash between floor delete and rename: the tmp floor still arms refusal") {
+    // vacuum records its retention floor via tmp-write → delete → rename.
+    // A crash between the delete and the rename leaves only the tmp file;
+    // readFloor must fall back to it so history readers refuse vacuumed
+    // ids instead of silently resolving them to an empty table.
+    import org.apache.hadoop.fs.Path
+    val root = checkpointDir("fault-floor")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    store.applyBatch(spark.createDataset(batch0).toDF(), 0L)
+    store.applyBatch(spark.createDataset(batch1).toDF(), 1L)
+
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tdir = new Path(s"$root/dbo.t")
+    // the crash state: floor recorded only in the tmp file
+    val tmp = new Path(tdir, ".vacuum-floor.tmp")
+    val out = fs.create(tmp, true)
+    try out.write("1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(!fs.exists(new Path(tdir, "vacuum-floor")))
+
+    val e = intercept[IllegalArgumentException] {
+      store.diff(spark, "dbo.t", 0L, 1L)
+    }
+    assert(e.getMessage.contains("retention floor"),
+      s"diff below the tmp-recorded floor must refuse, got: ${e.getMessage}")
+    // at-or-above the floor still works
+    assert(store.diff(spark, "dbo.t", 1L, 1L).count() == 0)
+  }
+
   test("the harness detects a deliberately non-idempotent mutation") {
     // Control: a store that stamps each apply ATTEMPT into the rows. Its
     // replay after the same mid-write crash writes different bytes than
