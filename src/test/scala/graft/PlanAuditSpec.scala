@@ -401,6 +401,21 @@ class PlanAuditSpec extends SparkSuite {
       s"vs31 shuffles a dimension-bounded join:\n$p")
   }
 
+  test("vs33's lifecycle search probes the final postings by broadcast equi-join") {
+    // The composed lifecycle must end in the same search shape as the
+    // single-phase entries (vs08/vs16): probe assignments broadcast
+    // into a label equi-join against the postings artifact, candidates
+    // bounded per query by the group-limit pushdown. (The k-centroid
+    // cross product inside probe assignment is the designed bounded
+    // nested loop every IVF query carries — not audited here.)
+    val p = executedPlan("vs33_index_lifecycle")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"vs33's probe join lost its broadcast:\n$p")
+    assert(finalPlan.contains("WindowGroupLimit"),
+      s"vs33's top-k lost the group-limit pushdown:\n$p")
+  }
+
   test("ns54's windows rank the per-(source,value) histogram, never raw documents") {
     // The median walk is value-DOMAIN-bounded only because its window
     // input is the (source, value) histogram aggregate; a refactor that
