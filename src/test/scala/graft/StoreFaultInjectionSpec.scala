@@ -19,11 +19,15 @@ object StoreFaults {
   val rowsSeen = new AtomicInteger(0)
   /** Throw once between the snapshot write and the manifest commit. */
   val preCommitArmed = new AtomicBoolean(false)
+  /** When non-null, the pre-commit bomb fires only for this table —
+    * the partial-multi-table-batch fault. */
+  @volatile var preCommitOnlyTable: String = null
   /** Per-apply attempt counter for the non-idempotent control. */
   val applyAttempts = new AtomicInteger(0)
 
   def reset(): Unit = {
     midWriteArmed.set(false); preCommitArmed.set(false)
+    preCommitOnlyTable = null
     rowsSeen.set(0); applyAttempts.set(0)
   }
 }
@@ -71,10 +75,12 @@ class FaultyStore(root: String, nb: Int, markAttempts: Boolean = false)
   }
 
   override protected def beforeCommit(table: String, batchId: Long): Unit =
-    if (StoreFaults.preCommitArmed.compareAndSet(true, false))
+    if ((StoreFaults.preCommitOnlyTable == null ||
+          StoreFaults.preCommitOnlyTable == table) &&
+        StoreFaults.preCommitArmed.compareAndSet(true, false))
       throw new RuntimeException(
-        s"injected pre-commit crash (batch $batchId: snapshot written, " +
-          "manifest not committed)")
+        s"injected pre-commit crash (table $table, batch $batchId: " +
+          "snapshot written, manifest not committed)")
 }
 
 /** At-least-once delivery under mid-batch writer crashes (SURVEY.md §2.2,
@@ -168,6 +174,57 @@ class StoreFaultInjectionSpec extends SparkSuite {
     // This window leaves snap-1 fully written but uncommitted; the replay
     // overwrites it and commits — converged all the same.
     assert(got == twinState("precommit"))
+  }
+
+  test("crash in one table of a concurrent multi-table batch: replay converges both") {
+    // applyBatch merges tables CONCURRENTLY; a crash in table B's
+    // commit while table A already committed leaves the batch HALF
+    // APPLIED across tables. On replay, A's re-commit of the same id is
+    // dropped (idempotent rename) and B commits — both tables must
+    // converge to the unfaulted state, and A must not double-apply.
+    StoreFaults.reset()
+    def rec(table: String, op: String, version: Long, id: Long, v: String) =
+      ChangeRecord.ofDml(Dml(op, table, Seq("id"),
+        s1.json, Map("id" -> id.toString, "v" -> v), version.toString, 0L))
+    def both(tag: String): Seq[Seq[ChangeRecord]] = Seq(
+      Seq(rec("dbo.a", OpType.Insert, 1, 1L, s"$tag-a1"),
+        rec("dbo.b", OpType.Insert, 2, 1L, s"$tag-b1")),
+      Seq(rec("dbo.a", OpType.Update, 3, 1L, s"$tag-a1u"),
+        rec("dbo.a", OpType.Insert, 4, 2L, s"$tag-a2"),
+        rec("dbo.b", OpType.Delete, 5, 1L, "-"),
+        rec("dbo.b", OpType.Insert, 6, 2L, s"$tag-b2")))
+    def stateOf(store: ParquetUpsertStore, table: String) =
+      store.snapshot(spark, table).collect()
+        .map(r => r.getString(0) -> (r.getMap[String, String](2)("v"), r.getLong(3)))
+        .toMap
+
+    val store = new FaultyStore(checkpointDir("fault-multitable"), nb = 4)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ChangeRecord]
+    val ckpt = checkpointDir("fault-multitable-ckpt")
+    val q1 = UpsertSink.stream(in.toDF(), store, ckpt)
+    in.addData(both("x").head: _*)
+    q1.processAllAvailable()
+
+    // arm: only dbo.b's commit dies; dbo.a's half of batch 1 may land
+    StoreFaults.preCommitOnlyTable = "dbo.b"
+    StoreFaults.preCommitArmed.set(true)
+    in.addData(both("x")(1): _*)
+    intercept[StreamingQueryException] { q1.processAllAvailable() }
+    try q1.stop() catch { case _: Throwable => () }
+    // b never committed batch 1 — still at its batch-0 state
+    assert(stateOf(store, "dbo.b") == Map("1" -> ("x-b1", 2L)),
+      "table b's torn commit became visible")
+
+    val q2 = UpsertSink.stream(in.toDF(), store, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    val twin = new ParquetUpsertStore(checkpointDir("fault-multitable-twin"),
+      numBuckets = 4)
+    both("x").zipWithIndex.foreach { case (b, i) =>
+      twin.applyBatch(spark.createDataset(b).toDF(), i.toLong) }
+    assert(stateOf(store, "dbo.a") == stateOf(twin, "dbo.a"))
+    assert(stateOf(store, "dbo.b") == stateOf(twin, "dbo.b"))
   }
 
   test("replace-commit crash between its two renames: the sidecar restores the manifest") {
