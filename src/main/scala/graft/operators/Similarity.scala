@@ -66,6 +66,43 @@ object Similarity {
         col("neighbor_label"), col("rank"), col("cos"))
   }
 
+  /** Leave-one-out k-NN majority-vote classification — the standard
+    * label-quality audit over an embedding table (pseudo-labeling /
+    * mislabel detection: compare each vector's stored label against the
+    * label its neighborhood predicts). For every query vector: its k
+    * nearest corpus neighbors by exact cosine (self excluded), then the
+    * modal neighbor label, ties to the SMALLEST label (deterministic on
+    * both engines).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the query/eval set
+    * is broadcast, the corpus streams through once, and both windows
+    * (neighbor rank, vote argmax) run over per-query candidate slices
+    * (≤ corpus then ≤ k rows per query), never a corpus-sized
+    * partition. At index scale the bucketed/IVF candidate families
+    * substitute exactly as for plain top-k. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("true_label"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val votes = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("neighbor_label"))
+      .agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("neighbor_label").asc)
+    votes.withColumn("vrnk", row_number().over(vw))
+      .filter(col("vrnk") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("neighbor_label").as("pred_label"), col("votes"))
+  }
+
   /** Threshold (range) search: EVERY corpus vector with cosine ≥
     * `threshold` to each query — the "all similar enough" retrieval
     * face (FAISS range_search), where top-k's fixed budget would

@@ -133,6 +133,70 @@ object Spectral {
     out.toSeq
   }
 
+  /** Closed-form OLS linear probe y ≈ b0 + b1·q1 + b2·q2 — the
+    * supervised read-out every embedding-quality audit runs on top of
+    * the PCA subspace ("do the top components predict the label?").
+    * `proj` must carry exact-integer columns `q1`, `q2` (quantized
+    * coordinates, the [[Scale]] convention) and `y` (the long label).
+    *
+    * One metadata-bounded stats row (9 exact int64 sums — map-side
+    * combined, order-insensitive) is collected, then the 3×3 normal
+    * equations are solved by Cramer's rule in a FIXED IEEE op order the
+    * SQL oracle replays verbatim: each determinant is the first-row
+    * cofactor expansion written left to right, then three divisions.
+    * Headroom: |q| ≤ 2^17 (unit-ish vectors at 2^14) keeps Σq² exact in
+    * int64 to ~2^29 rows; past that raise the sums to decimal(38,0)
+    * (the q60 pattern). Returns (b0, b1, b2) in quantized-feature units.
+    */
+  def probeCoefficients(proj: DataFrame): (Double, Double, Double) = {
+    val r = proj.agg(
+      count(lit(1)).as("n"),
+      sum(col("q1")).as("s1"), sum(col("q2")).as("s2"), sum(col("y")).as("sy"),
+      sum(col("q1") * col("q1")).as("s11"),
+      sum(col("q1") * col("q2")).as("s12"),
+      sum(col("q2") * col("q2")).as("s22"),
+      sum(col("q1") * col("y")).as("s1y"),
+      sum(col("q2") * col("y")).as("s2y")).head()
+    require(r.getLong(0) > 0,
+      "probeCoefficients: empty projection — no rows to fit")
+    val n = r.getLong(0).toDouble
+    val s1 = r.getLong(1).toDouble; val s2 = r.getLong(2).toDouble
+    val sy = r.getLong(3).toDouble
+    val s11 = r.getLong(4).toDouble; val s12 = r.getLong(5).toDouble
+    val s22 = r.getLong(6).toDouble
+    val s1y = r.getLong(7).toDouble; val s2y = r.getLong(8).toDouble
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    require(det != 0.0,
+      "probeCoefficients: singular normal equations (a feature is " +
+        "constant or the two features are collinear)")
+    val b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)) / det
+    val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)) / det
+    val b2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)) / det
+    (b0, b1, b2)
+  }
+
+  /** Per-dimension mean drift between two corpus snapshots — the
+    * embedding-space drift monitor the covariance tier exists for (see
+    * header): Δᵢ = mean_b(i) − mean_a(i) in original units. Each side is
+    * one scan producing dim-bounded int64 sums (quantized at [[Scale]],
+    * map-side combined), so the result is exact and order-free; the
+    * only floating point is the final (S/n)/Scale division chain the
+    * oracle replays. Shuffle is tasks × dim rows — never data-sized. */
+  def meanDrift(a: DataFrame, b: DataFrame, embCol: String): DataFrame = {
+    def dimSums(df: DataFrame, s: String, c: String) = df
+      .select(posexplode(quantized(col(embCol))).as(Seq("i", "qi")))
+      .groupBy(col("i"))
+      .agg(sum(col("qi")).as(s), count(lit(1)).as(c))
+    val ma = col("sa").cast("double") / col("na").cast("double") / lit(Scale)
+    val mb = col("sb").cast("double") / col("nb").cast("double") / lit(Scale)
+    dimSums(a, "sa", "na").join(dimSums(b, "sb", "nb"), Seq("i"))
+      .select(col("i"), ma.as("mean_a"), mb.as("mean_b"), (mb - ma).as("drift"))
+  }
+
   private def collectDense(covUpper: DataFrame, dim: Int): Array[Array[Double]] = {
     val c = Array.ofDim[Double](dim, dim)
     covUpper.select(col("i"), col("j"), col("cov")).collect().foreach { r =>

@@ -1483,6 +1483,31 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // Cross-source LEAKAGE MATRIX: ns05's verified near-dup pairs rolled
+    // up to (source, source) cells — the split-hygiene audit ("which
+    // sources share near-identical documents?") run before any
+    // source-partitioned train/eval split. Unordered cells are
+    // canonicalized lexicographically (least/greatest), so within-source
+    // duplication lands on the diagonal. Scale shape: the LSH pair set
+    // (never all-pairs) plus two id-keyed hash joins back to the doc
+    // metadata and one bounded agg — output is |sources|², metadata-
+    // sized.
+    "ns59_cross_source_dups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("source", "src_b"), "id_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // The removal ACTION behind ns37's diagnostic (Lee et al. 2022):
     // rewrite each doc dropping every token covered by a shingle whose
     // corpus occurrence count (with multiplicity — within-doc repeats
@@ -2429,6 +2454,22 @@ object TextQueries {
          |  FROM directed)
          |SELECT doc_id, CAST(rank AS INT) AS rank, neighbor_id, cos
          |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // Same brute-force exact-Jaccard pair set as the ns05 oracle (LSH
+    // recall is separately pinned there), rolled up to source cells.
+    "ns59_cross_source_dups" ->
+      s"""$shingleHashCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardSql >= 0.8)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |  greatest(sa.source, sb.source) AS source_b,
+         |  COUNT(*) AS n_pairs
+         |FROM pairs
+         |JOIN documents sa ON sa.doc_id = pairs.id_a
+         |JOIN documents sb ON sb.doc_id = pairs.id_b
+         |GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
+         |ORDER BY source_a, source_b""".stripMargin,
     "ns41_span_removal" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -761,6 +761,56 @@ object VectorQueries {
           (dotProductHof(col("embedding"), a2) / lit(math.sqrt(l2))).as("w2"))
         .orderBy(col("vec_id"))
     }),
+
+    // SUPERVISED linear probe on the top-2 PCA subspace — the standard
+    // embedding-quality read-out ("how much label does the dominant
+    // subspace carry?"): OLS y ≈ b0 + b1·pc1 + b2·pc2 by closed-form
+    // normal equations. Projections are quantized to int64 (the Scale
+    // convention), so all 9 sufficient statistics are exact map-side-
+    // combined integer sums; the 3×3 Cramer solve is fixed-order driver
+    // math the oracle replays term for term, and the scoring pass is
+    // one broadcast-literal expression per row. Corpus passes: one for
+    // the covariance, one for scoring — no data-sized shuffle anywhere.
+    "vs36_linear_probe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cov = Spectral.covarianceUpper(emb, "embedding", dim = 64)
+      val pcs = Spectral.principalComponents(cov, dim = 64, iters = 24, k = 2)
+      val p1 = array(pcs(0).map(lit).toIndexedSeq: _*)
+      val p2 = array(pcs(1).map(lit).toIndexedSeq: _*)
+      val proj = emb.select(col("vec_id"), col("label"),
+        floor(dotProductHof(col("embedding"), p1) * lit(Spectral.Scale)).as("q1"),
+        floor(dotProductHof(col("embedding"), p2) * lit(Spectral.Scale)).as("q2"),
+        col("label").cast("long").as("y"))
+      val (b0, b1, b2) = Spectral.probeCoefficients(proj)
+      val pred = (lit(b0) + lit(b1) * col("q1").cast("double")) +
+        lit(b2) * col("q2").cast("double")
+      proj.select(col("vec_id"), col("label"), pred.as("pred"),
+          (col("label").cast("double") - pred).as("resid"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Leave-one-out k-NN majority-vote classification over the eval
+    // slice — mislabel detection / pseudo-labeling (does each vector's
+    // neighborhood agree with its stored label?). Exact-cosine votes
+    // with deterministic ties: rank ties to lower neighbor_id, vote
+    // ties to the smaller label.
+    "vs37_knn_classify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnClassify(emb.filter(col("vec_id") < 50), emb, k = 5)
+        .orderBy(col("query_id"))
+    }),
+
+    // Embedding-space drift between two corpus snapshots (stand-in:
+    // even/odd vec_id halves) — the monitoring query the covariance
+    // tier's header promises: per-dimension mean shift in original
+    // units, exact by int64-quantized sums.
+    "vs38_embedding_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Spectral.meanDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), "embedding")
+        .orderBy(col("i"))
+    }),
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1595,5 +1645,88 @@ object VectorQueries {
          |  ${dotSql("embedding", "p2")} / sqrt(l2.lam) AS w2
          |FROM embeddings CROSS JOIN pv1 CROSS JOIN pv2
          |CROSS JOIN defl_lam l1 CROSS JOIN defl2_lam l2
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin,
+    // The Cramer determinants are the driver loop's formulas verbatim
+    // (first-row cofactor expansion, left to right); every S is an
+    // exact integer, so the doubles agree bit for bit.
+    "vs36_linear_probe" -> {
+      val det = "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)" +
+        " + s2 * (s1 * s12 - s11 * s2))"
+      s"""WITH $covCtes,
+         |${powerIterCtes(24)},
+         |${deflateCtes(mat = "covfull", vcte = "v24", dmat = "defl")},
+         |${powerIterChain(24, mat = "defl", pfx = "d", ortho = Some("v24"))},
+         |pv1 AS (SELECT list(v ORDER BY i) AS p1 FROM v24),
+         |pv2 AS (SELECT list(v ORDER BY i) AS p2 FROM dv24),
+         |proj AS MATERIALIZED (
+         |  SELECT vec_id, label,
+         |    CAST(FLOOR(${dotSql("embedding", "p1")} * 16384.0) AS BIGINT) AS q1,
+         |    CAST(FLOOR(${dotSql("embedding", "p2")} * 16384.0) AS BIGINT) AS q2
+         |  FROM embeddings CROSS JOIN pv1 CROSS JOIN pv2),
+         |st AS (SELECT
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(q1) AS DOUBLE) AS s1, CAST(SUM(q2) AS DOUBLE) AS s2,
+         |    CAST(SUM(label) AS DOUBLE) AS sy,
+         |    CAST(SUM(q1 * q1) AS DOUBLE) AS s11,
+         |    CAST(SUM(q1 * q2) AS DOUBLE) AS s12,
+         |    CAST(SUM(q2 * q2) AS DOUBLE) AS s22,
+         |    CAST(SUM(q1 * label) AS DOUBLE) AS s1y,
+         |    CAST(SUM(q2 * label) AS DOUBLE) AS s2y
+         |  FROM proj),
+         |coef AS (SELECT
+         |    (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+         |      + s2 * (s1y * s12 - s11 * s2y)) / $det AS b0,
+         |    (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+         |      + s2 * (s1 * s2y - s1y * s2)) / $det AS b1,
+         |    (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+         |      + sy * (s1 * s12 - s11 * s2)) / $det AS b2
+         |  FROM st)
+         |SELECT vec_id, label,
+         |  (b0 + b1 * CAST(q1 AS DOUBLE)) + b2 * CAST(q2 AS DOUBLE) AS pred,
+         |  CAST(label AS DOUBLE)
+         |    - ((b0 + b1 * CAST(q1 AS DOUBLE)) + b2 * CAST(q2 AS DOUBLE)) AS resid
+         |FROM proj CROSS JOIN coef ORDER BY vec_id""".stripMargin
+    },
+    "vs37_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+         |             embedding AS qv
+         |           FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+         |        embedding AS cv
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, true_label, neighbor_id, neighbor_label,
+         |    ${cosSql("qv", "cv")} AS cos
+         |  FROM c JOIN q ON query_id <> neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, true_label, neighbor_label, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored),
+         |votes AS (
+         |  SELECT query_id, true_label, neighbor_label, COUNT(*) AS votes
+         |  FROM ranked WHERE rank <= 5
+         |  GROUP BY query_id, true_label, neighbor_label),
+         |pick AS (
+         |  SELECT query_id, true_label, neighbor_label AS pred_label, votes,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, neighbor_label ASC) AS vrnk
+         |  FROM votes)
+         |SELECT query_id, true_label, pred_label, votes
+         |FROM pick WHERE vrnk = 1 ORDER BY query_id""".stripMargin,
+    "vs38_embedding_drift" -> {
+      def half(name: String, parity: Int) =
+        s"""$name AS (
+           |  SELECT CAST(r.i AS INT) AS i,
+           |    CAST(FLOOR(CAST(embedding[r.i + 1] AS DOUBLE) * 16384.0)
+           |      AS BIGINT) AS qi
+           |  FROM embeddings, range(0, 64) r(i) WHERE vec_id % 2 = $parity)""".stripMargin
+      s"""WITH ${half("qa", 0)},
+         |${half("qb", 1)},
+         |ma AS (SELECT i, CAST(SUM(qi) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |         / 16384.0 AS mean_a FROM qa GROUP BY i),
+         |mb AS (SELECT i, CAST(SUM(qi) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |         / 16384.0 AS mean_b FROM qb GROUP BY i)
+         |SELECT ma.i, mean_a, mean_b, mean_b - mean_a AS drift
+         |FROM ma JOIN mb ON ma.i = mb.i ORDER BY ma.i""".stripMargin
+    })
 }

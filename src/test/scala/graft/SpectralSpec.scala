@@ -124,4 +124,83 @@ class SpectralSpec extends SparkSuite {
         s"component $idx whitened variance $variance != 1")
     }
   }
+
+  test("probeCoefficients recovers an exact planted linear relationship") {
+    // y = 3 + 2·q1 − q2 exactly: every sufficient statistic is an exact
+    // small integer, the Cramer determinants divide evenly, and IEEE
+    // division of exact integers is correctly rounded — so the
+    // recovered coefficients are EXACT, not approximate.
+    import spark.implicits._
+    val rows = Seq((1L, 2L), (4L, -3L), (-2L, 5L), (7L, 1L), (0L, 0L), (3L, 8L))
+      .map { case (q1, q2) => (q1, q2, 3L + 2L * q1 - q2) }
+    val (b0, b1, b2) = Spectral.probeCoefficients(
+      rows.toDF("q1", "q2", "y"))
+    assert(b0 == 3.0 && b1 == 2.0 && b2 == -1.0, s"got ($b0, $b1, $b2)")
+  }
+
+  test("probeCoefficients satisfies the normal-equation identities on real data") {
+    // OLS with an intercept makes residuals orthogonal to every
+    // regressor column: Σr = Σr·q1 = Σr·q2 = 0 in exact arithmetic.
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val proj = emb.select(col("vec_id"),
+      floor(element_at(col("embedding"), 1).cast("double") * lit(Spectral.Scale)).as("q1"),
+      floor(element_at(col("embedding"), 2).cast("double") * lit(Spectral.Scale)).as("q2"),
+      col("label").cast("long").as("y"))
+    val (b0, b1, b2) = Spectral.probeCoefficients(proj)
+    val r = proj.select(
+      (col("y").cast("double") -
+        ((lit(b0) + lit(b1) * col("q1").cast("double")) +
+          lit(b2) * col("q2").cast("double"))).as("r"),
+      col("q1").cast("double").as("x1"), col("q2").cast("double").as("x2"))
+    val Array(sr, sr1, sr2) = r.agg(sum(col("r")), sum(col("r") * col("x1")),
+      sum(col("r") * col("x2"))).head().toSeq.map(_.asInstanceOf[Double]).toArray
+    // q-scale features are O(2^14), so the gradient sums carry that
+    // scale in their roundoff; normalize per-row per-unit-feature.
+    assert(math.abs(sr) < 1e-6, s"sum resid $sr")
+    assert(math.abs(sr1) < 1e-2, s"sum resid*q1 $sr1")
+    assert(math.abs(sr2) < 1e-2, s"sum resid*q2 $sr2")
+  }
+
+  test("probeCoefficients raises named errors on empty and singular input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("q1", "q2", "y")
+    val e1 = intercept[IllegalArgumentException](Spectral.probeCoefficients(empty))
+    assert(e1.getMessage.contains("empty projection"))
+    // q2 constant ⇒ collinear with the intercept ⇒ singular normal eqs.
+    val sing = Seq((1L, 5L, 1L), (2L, 5L, 2L), (3L, 5L, 3L))
+      .toDF("q1", "q2", "y")
+    val e2 = intercept[IllegalArgumentException](Spectral.probeCoefficients(sing))
+    assert(e2.getMessage.contains("singular"))
+  }
+
+  test("meanDrift matches the local per-dimension means exactly") {
+    val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val a = df.filter(col("vec_id") % 2 === 0)
+    val b = df.filter(col("vec_id") % 2 === 1)
+    val got = Spectral.meanDrift(a, b, "embedding")
+      .orderBy("i").collect()
+    assert(got.length == dim)
+    def localMeans(parity: Int): Array[Double] = {
+      val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .filter(col("vec_id") % 2 === parity)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val m = new Array[Double](dim)
+      rows.foreach { v =>
+        var i = 0
+        while (i < dim) {
+          m(i) += math.floor(v(i).toDouble * Spectral.Scale); i += 1
+        }
+      }
+      (0 until dim).map(i => m(i) / rows.length / Spectral.Scale).toArray
+    }
+    val (la, lb) = (localMeans(0), localMeans(1))
+    got.foreach { r =>
+      val i = r.getInt(0)
+      assert(math.abs(r.getDouble(1) - la(i)) < 1e-12, s"mean_a dim $i")
+      assert(math.abs(r.getDouble(2) - lb(i)) < 1e-12, s"mean_b dim $i")
+      assert(math.abs(r.getDouble(3) - (lb(i) - la(i))) < 1e-12, s"drift dim $i")
+    }
+  }
 }
