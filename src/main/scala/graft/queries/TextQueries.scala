@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Checkpoints, Dedup}
+import graft.operators.{Checkpoints, Dedup, Packing}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1508,6 +1508,21 @@ object TextQueries {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // SEQUENCE PACKING — the loader-side "concat-and-chunk" step: lay
+    // documents end to end in doc_id order and cut 256-token training
+    // sequences. Each doc's global start offset comes from the
+    // distributed two-phase prefix sum in operators.Packing (per-range
+    // partial sums → one metadata-sized carry window → within-range
+    // windows), so there is NO corpus-sized window partition anywhere;
+    // PlanAuditSpec pins both window shapes.
+    "ns60_sequence_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+      Packing.packSequences(docs, "doc_id", "n_tok", budget = 256)
+        .withColumnRenamed("weight", "n_tokens")
+        .orderBy(col("doc_id"))
+    }),
+
     // The removal ACTION behind ns37's diagnostic (Lee et al. 2022):
     // rewrite each doc dropping every token covered by a shingle whose
     // corpus occurrence count (with multiplicity — within-doc repeats
@@ -2470,6 +2485,22 @@ object TextQueries {
          |JOIN documents sb ON sb.doc_id = pairs.id_b
          |GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
          |ORDER BY source_a, source_b""".stripMargin,
+    // The oracle states the packing contract directly: one exclusive
+    // running sum in doc_id order (the bucketed decomposition is
+    // plan-shape, not semantics).
+    "ns60_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start, start // 256 AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
     "ns41_span_removal" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

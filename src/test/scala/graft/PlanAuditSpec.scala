@@ -453,6 +453,41 @@ class PlanAuditSpec extends SparkSuite {
       "ns54's histogram lost hash aggregation")
   }
 
+  test("ns60's carry window cumulates the range aggregate; row windows stay bucket-partitioned") {
+    // The packing prefix sum is scale-honest only if the ONE global-
+    // order window runs over the per-range partial sums (≤ buckets
+    // rows, metadata-sized) and every window that touches corpus rows
+    // is partitioned by the range key. A refactor to a single
+    // SUM-OVER-(ORDER BY id) would still return correct values but
+    // serialize the whole corpus through one window task.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val df = SparkEntry.queries("ns60_sequence_packing")(spark, sf0001)
+    df.collect() // finalize AQE
+    val windows = allNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.size >= 2, s"ns60 lost its two-phase window shape ($windows)")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(allNodes(w.child).exists(_.isInstanceOf[BaseAggregateExec]),
+        s"ns60's global-order window must cumulate the range AGGREGATE, " +
+          s"not corpus rows:\n$w")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "ns60 lost its bucket-partitioned local cumsum window")
+  }
+
   test("scan-aggregation stays inside whole-stage codegen") {
     // '*(n)' is the WholeStageCodegen stage marker in executed-plan
     // strings; both aggregates must carry it
