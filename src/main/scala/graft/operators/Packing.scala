@@ -68,4 +68,34 @@ object Packing {
       .select(col(idCol), col("weight"), col("start"),
         expr(s"start DIV $budget").as("bin"))
   }
+
+  /** The chunk table [[packSequences]] implies — the loader's actual
+    * read plan: one row per (bin, document) segment, with the
+    * document-local token half-open range [tok_from, tok_to) that bin
+    * consumes. A document spanning a bin boundary contributes one row
+    * per bin it crosses; by construction every bin except the last
+    * holds exactly `budget` tokens.
+    *
+    * Scale shape: [[packSequences]]'s plan plus one generator whose
+    * per-row fan-out is ⌈weight/budget⌉+1 — bounded by the row's own
+    * length, the ns56 cap discipline, never corpus-sized. All
+    * arithmetic stays int64.
+    */
+  def packChunks(df: DataFrame, idCol: String, weightCol: String,
+                 budget: Long, buckets: Int = 256): DataFrame = {
+    val packed = packSequences(df, idCol, weightCol, budget, buckets)
+      .filter(col("weight") > 0)
+      .withColumn("fin", col("start") + col("weight"))
+    packed
+      .select(col(idCol), col("start"), col("fin"),
+        explode(sequence(expr(s"start DIV $budget"),
+          expr(s"(fin - 1) DIV $budget"))).as("bin"))
+      .select(col("bin"), col(idCol),
+        (greatest(col("start"), col("bin") * budget) - col("start"))
+          .as("tok_from"),
+        (least(col("fin"), (col("bin") + 1) * budget) - col("start"))
+          .as("tok_to"),
+        (least(col("fin"), (col("bin") + 1) * budget)
+          - greatest(col("start"), col("bin") * budget)).as("n_tok_chunk"))
+  }
 }

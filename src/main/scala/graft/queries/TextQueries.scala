@@ -1523,6 +1523,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The chunk table ns60 implies — the loader's read plan: one row
+    // per (bin, doc) segment with the doc-local token range that bin
+    // consumes; docs crossing a bin boundary appear once per bin.
+    // Generator fan-out is bounded by each row's own length/budget.
+    "ns61_pack_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+      Packing.packChunks(docs, "doc_id", "n_tok", budget = 256)
+        .orderBy(col("bin"), col("doc_id"))
+    }),
+
     // The removal ACTION behind ns37's diagnostic (Lee et al. 2022):
     // rewrite each doc dropping every token covered by a shingle whose
     // corpus occurrence count (with multiplicity — within-doc repeats
@@ -2501,6 +2512,29 @@ object TextQueries {
         |  FROM t)
         |SELECT doc_id, n_tokens, start, start // 256 AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    "ns61_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, start, start + n_tokens AS fin FROM c
+        |  WHERE n_tokens > 0),
+        |x AS (
+        |  SELECT doc_id, start, fin,
+        |    unnest(range(start // 256, (fin - 1) // 256 + 1)) AS bin
+        |  FROM b)
+        |SELECT bin, doc_id,
+        |  greatest(start, bin * 256) - start AS tok_from,
+        |  least(fin, (bin + 1) * 256) - start AS tok_to,
+        |  least(fin, (bin + 1) * 256) - greatest(start, bin * 256) AS n_tok_chunk
+        |FROM x ORDER BY bin, doc_id""".stripMargin,
     "ns41_span_removal" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -38,6 +38,35 @@ class PackingSpec extends SparkSuite {
     }
   }
 
+  test("chunks tile every document exactly and fill every bin but the last") {
+    val df = Seq((0L, 10), (1L, 300), (2L, 5), (3L, 200), (4L, 1))
+      .toDF("doc_id", "n_tok")
+    val budget = 256L
+    val rows = Packing.packChunks(df, "doc_id", "n_tok", budget)
+      .orderBy("doc_id", "bin").collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // Per doc: segments start at 0, end at the doc's weight, contiguous.
+    val weights = Map(0L -> 10L, 1L -> 300L, 2L -> 5L, 3L -> 200L, 4L -> 1L)
+    rows.groupBy(_._1).foreach { case (id, segs) =>
+      val s = segs.sortBy(_._2)
+      assert(s.head._3 == 0L, s"doc $id first chunk starts at ${s.head._3}")
+      assert(s.last._4 == weights(id), s"doc $id last chunk ends early")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"doc $id chunks not contiguous")
+        case _ =>
+      }
+      assert(s.map(_._5).sum == weights(id), s"doc $id chunk sizes don't tile")
+    }
+    // Per bin: exactly `budget` tokens except the final bin.
+    val perBin = rows.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val lastBin = perBin.keys.max
+    perBin.foreach { case (bin, tot) =>
+      if (bin < lastBin) assert(tot == budget, s"bin $bin holds $tot tokens")
+      else assert(tot == weights.values.sum - lastBin * budget)
+    }
+  }
+
   test("named errors on non-positive budget or buckets") {
     val df = Seq((0L, 1)).toDF("doc_id", "n_tok")
     val e1 = intercept[IllegalArgumentException](
