@@ -47,8 +47,15 @@ object Packing {
     require(buckets > 0, s"packSequences: buckets must be positive, got $buckets")
     val n = df.count() // driver scalar: one count scan (the ns24 pattern)
     val width = math.max(1L, (n + buckets - 1) / buckets)
-    val base = df.select(col(idCol),
-      col(weightCol).cast("long").as("weight"),
+    // A null or negative weight would silently poison every offset
+    // after it — fail loudly at the row (the q60 guard pattern).
+    val w = when(col(weightCol).isNull || col(weightCol) < 0,
+      raise_error(concat(
+        lit(s"packSequences: $weightCol must be a non-null, non-negative " +
+          "token count; got "),
+        coalesce(col(weightCol).cast("string"), lit("NULL")))))
+      .otherwise(col(weightCol).cast("long"))
+    val base = df.select(col(idCol), w.as("weight"),
       expr(s"CAST($idCol AS BIGINT) DIV $width").as("bucket"))
     val rangeSums = base.groupBy(col("bucket"))
       .agg(sum(col("weight")).as("bw"))

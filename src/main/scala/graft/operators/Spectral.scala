@@ -185,7 +185,12 @@ object Spectral {
     * one scan producing dim-bounded int64 sums (quantized at [[Scale]],
     * map-side combined), so the result is exact and order-free; the
     * only floating point is the final (S/n)/Scale division chain the
-    * oracle replays. Shuffle is tasks × dim rows — never data-sized. */
+    * oracle replays. Shuffle is tasks × dim rows — never data-sized.
+    *
+    * An EMPTY snapshot yields an empty result (no dimensions observed
+    * on one side → the inner join keeps none): drift over nothing is
+    * reported as nothing, never as NaN rows — callers alerting on
+    * drift should alert on emptiness too. */
   def meanDrift(a: DataFrame, b: DataFrame, embCol: String): DataFrame = {
     def dimSums(df: DataFrame, s: String, c: String) = df
       .select(posexplode(quantized(col(embCol))).as(Seq("i", "qi")))

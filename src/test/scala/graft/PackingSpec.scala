@@ -67,6 +67,21 @@ class PackingSpec extends SparkSuite {
     }
   }
 
+  test("null and negative weights fail loudly, never poison offsets") {
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val withNull = Seq((0L, Option(5)), (1L, Option.empty[Int]))
+      .toDF("doc_id", "n_tok")
+    val e1 = intercept[Throwable](
+      Packing.packSequences(withNull, "doc_id", "n_tok", budget = 10).collect())
+    assert(chainMsg(e1).contains("non-negative token count"), chainMsg(e1))
+    val neg = Seq((0L, 5), (1L, -2)).toDF("doc_id", "n_tok")
+    val e2 = intercept[Throwable](
+      Packing.packSequences(neg, "doc_id", "n_tok", budget = 10).collect())
+    assert(chainMsg(e2).contains("non-negative token count"), chainMsg(e2))
+  }
+
   test("named errors on non-positive budget or buckets") {
     val df = Seq((0L, 1)).toDF("doc_id", "n_tok")
     val e1 = intercept[IllegalArgumentException](

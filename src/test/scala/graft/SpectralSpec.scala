@@ -203,4 +203,10 @@ class SpectralSpec extends SparkSuite {
       assert(math.abs(r.getDouble(3) - (lb(i) - la(i))) < 1e-12, s"drift dim $i")
     }
   }
+
+  test("meanDrift over an empty snapshot is empty, never NaN rows") {
+    val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    assert(Spectral.meanDrift(df.filter(lit(false)), df, "embedding").count() == 0)
+    assert(Spectral.meanDrift(df, df.filter(lit(false)), "embedding").count() == 0)
+  }
 }
