@@ -769,8 +769,9 @@ object VectorQueries {
     // convention), so all 9 sufficient statistics are exact map-side-
     // combined integer sums; the 3×3 Cramer solve is fixed-order driver
     // math the oracle replays term for term, and the scoring pass is
-    // one broadcast-literal expression per row. Corpus passes: one for
-    // the covariance, one for scoring — no data-sized shuffle anywhere.
+    // one broadcast-literal expression per row. Corpus passes: three —
+    // covariance, sufficient statistics, scoring — each a single
+    // linear scan; no data-sized shuffle anywhere.
     "vs36_linear_probe" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cov = Spectral.covarianceUpper(emb, "embedding", dim = 64)
