@@ -790,6 +790,32 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // The probe under EVAL DISCIPLINE: coefficients fit on the TRAIN
+    // slice only (vec_id % 5 ≠ 0), every row scored — the held-out
+    // residuals are the generalization readout an embedding-quality
+    // gate actually consumes (vs36's in-sample fit can only flatter).
+    // Same exact-statistics machinery; the train restriction is one
+    // pushed filter on the stats pass.
+    "vs39_probe_holdout" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cov = Spectral.covarianceUpper(emb, "embedding", dim = 64)
+      val pcs = Spectral.principalComponents(cov, dim = 64, iters = 24, k = 2)
+      val p1 = array(pcs(0).map(lit).toIndexedSeq: _*)
+      val p2 = array(pcs(1).map(lit).toIndexedSeq: _*)
+      val proj = emb.select(col("vec_id"), col("label"),
+        floor(dotProductHof(col("embedding"), p1) * lit(Spectral.Scale)).as("q1"),
+        floor(dotProductHof(col("embedding"), p2) * lit(Spectral.Scale)).as("q2"),
+        col("label").cast("long").as("y"))
+      val (b0, b1, b2) =
+        Spectral.probeCoefficients(proj.filter(col("vec_id") % 5 =!= 0))
+      val pred = (lit(b0) + lit(b1) * col("q1").cast("double")) +
+        lit(b2) * col("q2").cast("double")
+      proj.select(col("vec_id"), col("label"),
+          (col("vec_id") % 5 === 0).as("holdout"), pred.as("pred"),
+          (col("label").cast("double") - pred).as("resid"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Leave-one-out k-NN majority-vote classification over the eval
     // slice — mislabel detection / pseudo-labeling (does each vector's
     // neighborhood agree with its stored label?). Exact-cosine votes
@@ -1683,6 +1709,46 @@ object VectorQueries {
          |      + sy * (s1 * s12 - s11 * s2)) / $det AS b2
          |  FROM st)
          |SELECT vec_id, label,
+         |  (b0 + b1 * CAST(q1 AS DOUBLE)) + b2 * CAST(q2 AS DOUBLE) AS pred,
+         |  CAST(label AS DOUBLE)
+         |    - ((b0 + b1 * CAST(q1 AS DOUBLE)) + b2 * CAST(q2 AS DOUBLE)) AS resid
+         |FROM proj CROSS JOIN coef ORDER BY vec_id""".stripMargin
+    },
+    // vs36's chain with the sufficient statistics restricted to the
+    // train slice; scoring covers every row.
+    "vs39_probe_holdout" -> {
+      val det = "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)" +
+        " + s2 * (s1 * s12 - s11 * s2))"
+      s"""WITH $covCtes,
+         |${powerIterCtes(24)},
+         |${deflateCtes(mat = "covfull", vcte = "v24", dmat = "defl")},
+         |${powerIterChain(24, mat = "defl", pfx = "d", ortho = Some("v24"))},
+         |pv1 AS (SELECT list(v ORDER BY i) AS p1 FROM v24),
+         |pv2 AS (SELECT list(v ORDER BY i) AS p2 FROM dv24),
+         |proj AS MATERIALIZED (
+         |  SELECT vec_id, label,
+         |    CAST(FLOOR(${dotSql("embedding", "p1")} * 16384.0) AS BIGINT) AS q1,
+         |    CAST(FLOOR(${dotSql("embedding", "p2")} * 16384.0) AS BIGINT) AS q2
+         |  FROM embeddings CROSS JOIN pv1 CROSS JOIN pv2),
+         |st AS (SELECT
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(q1) AS DOUBLE) AS s1, CAST(SUM(q2) AS DOUBLE) AS s2,
+         |    CAST(SUM(label) AS DOUBLE) AS sy,
+         |    CAST(SUM(q1 * q1) AS DOUBLE) AS s11,
+         |    CAST(SUM(q1 * q2) AS DOUBLE) AS s12,
+         |    CAST(SUM(q2 * q2) AS DOUBLE) AS s22,
+         |    CAST(SUM(q1 * label) AS DOUBLE) AS s1y,
+         |    CAST(SUM(q2 * label) AS DOUBLE) AS s2y
+         |  FROM proj WHERE vec_id % 5 <> 0),
+         |coef AS (SELECT
+         |    (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+         |      + s2 * (s1y * s12 - s11 * s2y)) / $det AS b0,
+         |    (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+         |      + s2 * (s1 * s2y - s1y * s2)) / $det AS b1,
+         |    (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+         |      + sy * (s1 * s12 - s11 * s2)) / $det AS b2
+         |  FROM st)
+         |SELECT vec_id, label, vec_id % 5 = 0 AS holdout,
          |  (b0 + b1 * CAST(q1 AS DOUBLE)) + b2 * CAST(q2 AS DOUBLE) AS pred,
          |  CAST(label AS DOUBLE)
          |    - ((b0 + b1 * CAST(q1 AS DOUBLE)) + b2 * CAST(q2 AS DOUBLE)) AS resid
