@@ -39,31 +39,70 @@ object Spectral {
     * covariance in original (un-quantized) units.
     *
     * cov[i,j] = (S_ij/n − (S_i/n)(S_j/n)) / Scale², every S an exact
-    * int64 sum of quantized values.
+    * int64 sum of quantized values — computed via the mergeable
+    * sufficient statistics ([[covarianceStats]] → [[covarianceFromStats]]),
+    * so the monolithic scan and any sharded/merged computation agree
+    * bit for bit.
     */
-  def covarianceUpper(corpus: DataFrame, embCol: String, dim: Int): DataFrame = {
-    val n = corpus.count() // driver scalar (the ns24 pattern): one count scan
-    val nD = lit(n.toDouble)
+  def covarianceUpper(corpus: DataFrame, embCol: String, dim: Int): DataFrame =
+    covarianceFromStats(covarianceStats(corpus, embCol, dim))
+
+  /** Mergeable covariance sufficient statistics — the artifact tier of
+    * the second-moment pipeline. One corpus pass emits exact-int64 rows
+    * `(i int, j int, s bigint)`:
+    *   - `0 ≤ i ≤ j < dim`: the pair sum Σ qᵢ·qⱼ;
+    *   - `(i, −1)`:         the marginal Σ qᵢ;
+    *   - `(−1, −1)`:        the row count n.
+    * All three are sums of exact integers (values quantized at
+    * [[Scale]]), so stats are ASSOCIATIVE: `stats(A) ∪ stats(B)` summed
+    * per (i, j) is exactly `stats(A ∪ B)` — yesterday's persisted
+    * artifact merges with today's delta scan without rescanning
+    * history, the incremental-maintenance twin of the persisted SQ8/PQ
+    * codebooks (train-once / update-forever). Scale shape: identical to
+    * the monolithic pass — the d(d+1)/2 cross terms per row stay inside
+    * codegen, every sum combines map-side, and the artifact itself is
+    * d²-bounded (2,145 rows at d = 64), never data-sized. */
+  def covarianceStats(corpus: DataFrame, embCol: String, dim: Int): DataFrame = {
     val q = corpus.select(quantized(col(embCol)).as("q"))
     // Upper-triangle cross products: explode i, then the j ≥ i suffix —
     // both explodes stay inside one codegen stage; sums combine map-side.
-    val pairSums = q
+    val pairs = q
       .select(col("q"), explode(sequence(lit(0), lit(dim - 1))).as("i"))
       .select(col("i"), element_at(col("q"), col("i") + 1).as("qi"),
         posexplode(slice(col("q"), col("i") + 1, lit(dim) - col("i"))).as(Seq("p", "qj")))
       .select(col("i"), (col("i") + col("p")).as("j"),
         (col("qi") * col("qj")).as("qq"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("qq")).as("s_ij"))
+      .agg(sum(col("qq")).as("s"))
     val marg = q
       .select(posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy(col("i")).agg(sum(col("qi")).as("s"))
-    pairSums
+      .select(col("i"), lit(-1).as("j"), col("s"))
+    val cnt = q.agg(count(lit(1)).as("s"))
+      .select(lit(-1).as("i"), lit(-1).as("j"), col("s"))
+    pairs.select(col("i"), col("j"), col("s"))
+      .unionByName(marg).unionByName(cnt)
+  }
+
+  /** Upper-triangle covariance from (possibly unioned) stats rows in
+    * [[covarianceStats]]'s layout: one exact integer re-sum per (i, j)
+    * merges any number of shards, then the same fixed-order double
+    * expression as the monolithic path. The merge agg is d²-bounded;
+    * marginals and the count broadcast. */
+  def covarianceFromStats(stats: DataFrame): DataFrame = {
+    val merged = stats.groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
+    val cnt = merged.filter(col("i") === -1 && col("j") === -1)
+      .select(col("s").cast("double").as("nd"))
+    val marg = merged.filter(col("i") >= 0 && col("j") === -1)
+      .select(col("i"), col("s"))
+    merged.filter(col("i") >= 0 && col("j") >= 0)
+      .withColumnRenamed("s", "s_ij")
       .join(broadcast(marg.select(col("i"), col("s").as("s_i"))), Seq("i"))
       .join(broadcast(marg.select(col("i").as("j"), col("s").as("s_j"))), Seq("j"))
+      .crossJoin(broadcast(cnt))
       .select(col("i"), col("j"),
-        ((col("s_ij").cast("double") / nD
-          - (col("s_i").cast("double") / nD) * (col("s_j").cast("double") / nD))
+        ((col("s_ij").cast("double") / col("nd")
+          - (col("s_i").cast("double") / col("nd")) * (col("s_j").cast("double") / col("nd")))
           / lit(Scale) / lit(Scale)).as("cov"))
   }
 

@@ -838,6 +838,29 @@ object VectorQueries {
           emb.filter(col("vec_id") % 2 === 1), "embedding")
         .orderBy(col("i"))
     }),
+
+    // MERGEABLE covariance maintenance — the artifact tier of the
+    // spectral pipeline: yesterday's snapshot (even vec_ids) is reduced
+    // to its d²-bounded sufficient statistics and PERSISTED; today's
+    // delta (odd vec_ids) is scanned and its stats UNIONED with the
+    // reloaded artifact; one exact integer re-sum per (i, j) merges
+    // them. Because every statistic is an exact int64 sum of quantized
+    // values, merged-stats covariance is BIT-IDENTICAL to the
+    // monolithic corpus scan — the oracle is vs31's verbatim. At 100 TB
+    // this is the difference between rescanning all history per
+    // covariance refresh and scanning only the new shard (the persisted
+    // SQ8/PQ posture applied to second moments).
+    "vs40_cov_merge" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = freshDir("cov-stats")
+      Spectral.covarianceStats(emb.filter(col("vec_id") % 2 === 0),
+          "embedding", dim = 64)
+        .write.mode("overwrite").parquet(dir)
+      val merged = s.read.parquet(dir).unionByName(
+        Spectral.covarianceStats(emb.filter(col("vec_id") % 2 === 1),
+          "embedding", dim = 64))
+      Spectral.covarianceFromStats(merged).orderBy(col("i"), col("j"))
+    }),
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1636,6 +1659,12 @@ object VectorQueries {
     "vs28_sq8_persisted" -> oracleBase("vs09_sq8_search"),
     "vs29_pq_persisted" -> oracleBase("vs10_pq_search"),
     "vs31_embedding_covariance" ->
+      s"""WITH $covCtes
+         |SELECT i, j, cov FROM covf ORDER BY i, j""".stripMargin,
+    // Stats are exactly additive (int64 sums of quantized values), so
+    // the sharded+persisted+merged computation must equal the
+    // monolithic covariance bit for bit — vs31's oracle verbatim.
+    "vs40_cov_merge" ->
       s"""WITH $covCtes
          |SELECT i, j, cov FROM covf ORDER BY i, j""".stripMargin,
     "vs32_pca_projection" ->

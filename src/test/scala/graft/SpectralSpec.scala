@@ -56,6 +56,40 @@ class SpectralSpec extends SparkSuite {
       .foreach(r => assert(r.getDouble(2) >= 0.0))
   }
 
+  test("sharded covarianceStats merge is bit-identical to the monolithic scan") {
+    val full = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // Three-way shard (deliberately not the vs40 two-way split, and with
+    // one empty-ish residue class at small n allowed): union of per-shard
+    // stats must reproduce the monolithic covariance EXACTLY — the sums
+    // are exact integers, so merge order cannot perturb a single bit.
+    val stats = (0 until 3).map { r =>
+      Spectral.covarianceStats(full.filter(col("vec_id") % 3 === r),
+        "embedding", dim)
+    }.reduce(_ unionByName _)
+    val merged = Spectral.covarianceFromStats(stats)
+      .orderBy("i", "j").collect()
+    val mono = covUpper.orderBy("i", "j").collect()
+    assert(merged.length === dim * (dim + 1) / 2)
+    merged.zip(mono).foreach { case (m, o) =>
+      assert(m.getInt(0) === o.getInt(0) && m.getInt(1) === o.getInt(1))
+      // Bit equality, not tolerance: same integers, same op order.
+      assert(java.lang.Double.doubleToLongBits(m.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(o.getDouble(2)),
+        s"cov(${m.getInt(0)},${m.getInt(1)}) merged=${m.getDouble(2)} " +
+          s"mono=${o.getDouble(2)}")
+    }
+  }
+
+  test("covarianceStats artifact is d²-bounded with the documented row layout") {
+    val full = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val stats = Spectral.covarianceStats(full, "embedding", dim).collect()
+    assert(stats.length === dim * (dim + 1) / 2 + dim + 1)
+    val n = full.count()
+    val cntRows = stats.filter(r => r.getInt(0) == -1 && r.getInt(1) == -1)
+    assert(cntRows.length === 1 && cntRows.head.getLong(2) === n)
+    assert(stats.count(r => r.getInt(0) >= 0 && r.getInt(1) == -1) === dim)
+  }
+
   test("principalComponent is unit-norm and lifts the Rayleigh quotient monotonically") {
     val ref = localCov()
     def rayleigh(v: Array[Double]): Double = {
