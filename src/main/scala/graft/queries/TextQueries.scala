@@ -422,10 +422,16 @@ object TextQueries {
     // (here: most tokens; ties to the lower id), not the arbitrary
     // min-id member — the dedup policy real pipelines apply (keep the
     // longest/highest-quality variant, drop the rest). Composition of
-    // the verified LSH→CC chain with a per-cluster windowed argmax
-    // (partitioned window — cluster-sized, never corpus-wide).
+    // the verified LSH→CC chain with a per-cluster argmax as a PARTIAL
+    // AGGREGATION (max over struct(n_tok, −doc_id) — same winner as a
+    // row_number over (n_tok desc, doc_id asc)): the map side collapses
+    // each cluster to one candidate row BEFORE the shuffle, so the
+    // exchange carries tasks × clusters rows, never the corpus, and no
+    // per-group sort exists at all. The window form can't even take the
+    // rank pushdown (its stacked unbounded COUNT needs the full group),
+    // which is why the aggregation form wins at scale; PlanAuditSpec
+    // pins the no-window shape.
     "ns44_cluster_best" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
         shingleN = 3, k = 64, bands = 16, threshold = 0.8)
@@ -433,14 +439,12 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("component"))
       val scored = Tables.documents(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
-      val byCluster = Window.partitionBy(col("component"))
       labels.join(scored, Seq("doc_id"))
-        .withColumn("rnk", row_number().over(
-          byCluster.orderBy(col("n_tok").desc, col("doc_id").asc)))
-        .withColumn("n_docs", count(lit(1)).over(byCluster))
-        .filter(col("rnk") === 1)
-        .select(col("component"), col("doc_id").as("kept_id"),
-          col("n_tok").as("kept_tokens"), col("n_docs"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("n_tok"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("component"), (-col("best.nid")).as("kept_id"),
+          col("best.n_tok").as("kept_tokens"), col("n_docs"))
         .orderBy(col("component"))
     }),
 

@@ -61,6 +61,40 @@ class PlanAuditSpec extends SparkSuite {
       s"ns13 grew extra shuffles:\n$p")
   }
 
+  test("top-k window queries keep Spark's rank pushdown (WindowGroupLimit)") {
+    // A rank/row_number filter after a window should lower to
+    // WindowGroupLimit with a PARTIAL instance below the exchange: each
+    // map task keeps at most k rows per group BEFORE the shuffle, so at
+    // corpus scale the window exchange carries tasks × groups × k rows,
+    // never the corpus. A refactor that hides the rank filter from the
+    // optimizer (e.g. a materialization boundary or an expression the
+    // InferWindowGroupLimit rule can't see through) silently reverts to
+    // full per-group sorts — this pins the pushdown on the top-k window
+    // family.
+    Seq("q05_window_topk", "st07_latest_n_per_key", "st17_windowed_topk",
+        "vs01_knn_brute").foreach { name =>
+      val p = executedPlan(name)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit rank pushdown:\n$p")
+      assert(p.contains("Partial"),
+        s"$name has no partial (pre-shuffle) WindowGroupLimit:\n$p")
+    }
+  }
+
+  test("ns44's per-cluster argmax is a partial aggregation, not a window") {
+    // The representative pick needs BOTH the cluster's best row and its
+    // count — a window form stacks an unbounded COUNT over the rank,
+    // which blocks the rank pushdown and ships every cluster member
+    // through the sort. The aggregation form (max over struct) collapses
+    // map-side; pin that a refactor doesn't regress to the window.
+    val p = executedPlan("ns44_cluster_best")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"),
+      s"ns44 regressed to a windowed argmax:\n$p")
+    assert(finalPlan.contains("partial_max") || finalPlan.contains("partial_count"),
+      s"ns44 lost its partial aggregation:\n$p")
+  }
+
   test("q38's percentile aggregation aggregates without a join or window") {
     val p = executedPlan("q38_percentile_family")
     assert(!p.contains("Join") && !p.contains("Window"),
