@@ -218,6 +218,26 @@ object Spectral {
     (b0, b1, b2)
   }
 
+  /** Per-dimension means in original units read off a stats artifact
+    * ([[covarianceStats]] layout): μᵢ = (Sᵢ/n)/Scale — the centering
+    * vector PCA-based scoring (reconstruction-error OOD, whitening of
+    * centered data) consumes. The collect is dim+1 rows
+    * (dimension-bounded); the division order matches the SQL oracle's
+    * `(CAST(s AS DOUBLE) / nd) / Scale` term for term. */
+  def dimensionMeans(stats: DataFrame, dim: Int): Array[Double] = {
+    val rows = stats.filter(col("j") === -1).collect()
+    val n = rows.collectFirst { case r if r.getInt(0) == -1 => r.getLong(2) }
+      .getOrElse(throw new IllegalStateException(
+        "dimensionMeans: stats artifact has no count row"))
+    require(n > 0, "dimensionMeans: empty corpus — no rows behind the stats")
+    val mu = new Array[Double](dim)
+    rows.foreach { r =>
+      val i = r.getInt(0)
+      if (i >= 0) mu(i) = (r.getLong(2).toDouble / n.toDouble) / Scale
+    }
+    mu
+  }
+
   /** Per-dimension mean drift between two corpus snapshots — the
     * embedding-space drift monitor the covariance tier exists for (see
     * header): Δᵢ = mean_b(i) − mean_a(i) in original units. Each side is

@@ -1538,6 +1538,53 @@ object TextQueries {
         .orderBy(col("bin"), col("doc_id"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw
+    // document by how target-like its hashed-bigram feature profile is.
+    // Features are bigrams hashed into B=64 buckets; the target model is
+    // the bucket distribution of a curated slice (sources src0–src3
+    // stand in for the high-quality domain), the raw model is the whole
+    // corpus; each doc's weight is the product over its feature
+    // OCCURRENCES of the add-one-smoothed ratio
+    // p_t(f)/p_r(f) = ((ct+1)/(Nt+B)) / ((cr+1)/(Nr+B)). Log-free by
+    // the ns30 rule (ln is not correctly rounded; the raw product is):
+    // each ratio is (ct+1)/(cr+1) · (Nr+B)/(Nt+B) — two exact
+    // int64→double conversions per division (counts < 2^53 even at
+    // 100 TB), each division and the multiply one IEEE op, folded in
+    // bigram position order, so both engines agree bit-exactly.
+    // Scale shape: the feature-count table is B-sized (both models in
+    // ONE corpus-pass agg — the target count is a conditional sum, not
+    // a second scan) → broadcast back onto the exploded corpus; the
+    // per-doc fold is ns30's. Nt/Nr are a 2-value driver aggregate of
+    // the B-row table (metadata-bounded, the bm25Scores precedent).
+    "ns62_dsir_weights" -> ((s, d) => {
+      val B = 64
+      val isTarget = col("source").isin("src0", "src1", "src2", "src3")
+      val t = tokens(col("text"))
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), posexplode(
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as(Seq("pos", "ab")))
+        .select(col("doc_id"), col("source"), col("pos"),
+          pmod(graft.functions.TextFunctions.portableHash(
+            concat(col("ab.a"), lit("_"), col("ab.b"))), lit(B.toLong)).as("f"))
+      val cnt = bg.groupBy(col("f")).agg(
+        count(lit(1)).as("cr"),
+        sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("ct"))
+      val tot = cnt.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt")).head()
+      val (nr, nt) = (tot.getLong(0), tot.getLong(1))
+      require(nt > 0, "ns62: target slice contributed no bigram features")
+      val ratio = ((col("ct") + lit(1L)).cast("double") /
+          (col("cr") + lit(1L)).cast("double")) *
+        (lit(nr + B).cast("double") / lit(nt + B).cast("double"))
+      bg.join(broadcast(cnt.select(col("f"), ratio.as("r"))), Seq("f"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_feats"),
+          aggregate(array_sort(collect_list(struct(col("pos"), col("r")))),
+            lit(1.0), (acc, x) => acc * x.getField("r")).as("dsir_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The removal ACTION behind ns37's diagnostic (Lee et al. 2022):
     // rewrite each doc dropping every token covered by a shingle whose
     // corpus occurrence count (with multiplicity — within-doc repeats
@@ -2539,6 +2586,36 @@ object TextQueries {
         |  least(fin, (bin + 1) * 256) - start AS tok_to,
         |  least(fin, (bin + 1) * 256) - greatest(start, bin * 256) AS n_tok_chunk
         |FROM x ORDER BY bin, doc_id""".stripMargin,
+    "ns62_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, pr['pos'] AS pos,
+         |    pr['a'] || '_' || pr['b'] AS gm
+         |  FROM (SELECT doc_id, source,
+         |          unnest([{'pos': i, 'a': t[i], 'b': t[i + 1]}
+         |                  for i in range(1, len(t))]) AS pr
+         |        FROM toks) s),
+         |bg AS (
+         |  SELECT doc_id, source, pos, (${hashSql("gm")}) % 64 AS f FROM g),
+         |cnt AS (
+         |  SELECT f, CAST(COUNT(*) AS BIGINT) AS cr,
+         |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM bg GROUP BY f),
+         |tot AS (
+         |  SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+         |  FROM cnt),
+         |r AS (
+         |  SELECT f, (CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
+         |    * (CAST(nr + 64 AS DOUBLE) / CAST(nt + 64 AS DOUBLE)) AS r
+         |  FROM cnt CROSS JOIN tot),
+         |p AS (
+         |  SELECT bg.doc_id, bg.source, bg.pos, r.r FROM bg JOIN r USING (f))
+         |SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |  list_reduce(list_prepend(1.0, list(r ORDER BY pos)),
+         |    (acc, x) -> acc * x) AS dsir_weight
+         |FROM p GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
     "ns41_span_removal" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -861,6 +861,52 @@ object VectorQueries {
           "embedding", dim = 64))
       Spectral.covarianceFromStats(merged).orderBy(col("i"), col("j"))
     }),
+
+    // PCA reconstruction-error OOD scoring — the anomaly read-out of
+    // the spectral tier: center each embedding at the per-dimension
+    // mean, project onto the top-2 subspace (vs34's components), and
+    // score by the squared norm of what the subspace CANNOT represent
+    // (r = c − t₁v₁ − t₂v₂; resid2 = r·r). In-distribution rows live
+    // near the dominant subspace (small residual); outliers/noise/
+    // wrong-modality rows carry mass off it — the standard PCA anomaly
+    // detector, and the OOD gate an embedding-ingest pipeline runs
+    // before admitting a new shard. `cc` (centered energy c·c) ships
+    // alongside so callers can rank by absolute or relative residual
+    // without a second pass — the ratio is one division away, kept out
+    // of the engine to avoid a 0/0 on constant rows.
+    //
+    // One corpus pass builds the mergeable stats artifact (CACHED —
+    // d²-bounded, so the cache is metadata-sized; the PC collect and
+    // the mean collect both read it without rescanning the corpus),
+    // one pass scores: every per-row term is a fixed-order fold over
+    // broadcast-literal μ/v₁/v₂ arrays, so both engines agree
+    // bit-exactly. At 100 TB the stats pass IS vs40's artifact — a
+    // persisted shard merge, not a scan.
+    "vs41_ood_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stats = Spectral.covarianceStats(emb, "embedding", dim = 64).cache()
+      val pcs = Spectral.principalComponents(
+        Spectral.covarianceFromStats(stats), dim = 64, iters = 24, k = 2)
+      val mu = Spectral.dimensionMeans(stats, dim = 64)
+      stats.unpersist()
+      val muL = array(mu.map(lit).toIndexedSeq: _*)
+      val p1 = array(pcs(0).map(lit).toIndexedSeq: _*)
+      val p2 = array(pcs(1).map(lit).toIndexedSeq: _*)
+      val cent = zip_with(col("embedding"), muL,
+        (x, m) => x.cast("double") - m)
+      val tt = emb.select(col("vec_id"), col("label"), cent.as("c"))
+        .select(col("vec_id"), col("label"), col("c"),
+          dotProductHof(col("c"), p1).as("t1"),
+          dotProductHof(col("c"), p2).as("t2"))
+      tt.select(col("vec_id"), col("label"),
+          dotProductHof(col("c"), col("c")).as("cc"),
+          aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) => {
+            val r = (element_at(col("c"), i) - col("t1") * element_at(p1, i)) -
+              col("t2") * element_at(p2, i)
+            acc + r * r
+          }).as("resid2"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1667,6 +1713,33 @@ object VectorQueries {
     "vs40_cov_merge" ->
       s"""WITH $covCtes
          |SELECT i, j, cov FROM covf ORDER BY i, j""".stripMargin,
+    // μ comes off the same marginal sums the covariance uses
+    // ((S_i/n)/Scale — the driver's dimensionMeans order); the centered
+    // vector, both projections, and the residual fold replay the Spark
+    // expressions index-ascending, so resid2 is bit-exact.
+    "vs41_ood_residual" ->
+      s"""WITH $covCtes,
+         |${powerIterCtes(24)},
+         |${deflateCtes(mat = "covfull", vcte = "v24", dmat = "defl")},
+         |${powerIterChain(24, mat = "defl", pfx = "d", ortho = Some("v24"))},
+         |pv1 AS (SELECT list(v ORDER BY i) AS p1 FROM v24),
+         |pv2 AS (SELECT list(v ORDER BY i) AS p2 FROM dv24),
+         |mu AS (SELECT list((CAST(s AS DOUBLE) / nd) / 16384.0 ORDER BY i) AS m
+         |       FROM covm CROSS JOIN covn),
+         |cent AS MATERIALIZED (
+         |  SELECT vec_id, label,
+         |    [CAST(embedding[i] AS DOUBLE) - m[i] for i in range(1, 65)] AS c
+         |  FROM embeddings CROSS JOIN mu),
+         |tt AS MATERIALIZED (
+         |  SELECT vec_id, label, c, p1, p2,
+         |    ${dotSql("c", "p1")} AS t1, ${dotSql("c", "p2")} AS t2
+         |  FROM cent CROSS JOIN pv1 CROSS JOIN pv2)
+         |SELECT vec_id, label, ${dotSql("c", "c")} AS cc,
+         |  list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+         |    ((c[i] - t1 * p1[i]) - t2 * p2[i])
+         |      * ((c[i] - t1 * p1[i]) - t2 * p2[i]))), (acc, x) -> acc + x)
+         |    AS resid2
+         |FROM tt ORDER BY vec_id""".stripMargin,
     "vs32_pca_projection" ->
       s"""WITH $covCtes,
          |${powerIterCtes(24)},
