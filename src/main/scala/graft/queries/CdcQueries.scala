@@ -858,6 +858,58 @@ object CdcQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Mergeable KMV distinct-keys artifact over the change stream — the
+    // churn metric a snapshot cannot answer ("how many distinct keys has
+    // this feed EVER touched?" counts deleted keys too), maintained the
+    // vs40 way: each applied batch reduces to a k-bounded sketch row
+    // (the k smallest distinct portable-hash values of its touched
+    // keys), the rows persist as a parquet artifact, and any horizon's
+    // estimate comes from MERGING artifact rows — re-sketching the union
+    // of kept minima, which equals the sketch of the union exactly
+    // (every value a merged sketch would keep is ≤ some input's k-th
+    // minimum, so no input dropped it). The query emits each batch row,
+    // the merged row, and a from-scratch monolithic row: merged ==
+    // monolithic bit-for-bit is the artifact guarantee, visible in the
+    // output itself. Scale shape: per-batch sketches are map-side
+    // bounded aggs over that batch only; the merge explodes
+    // n_batches × k artifact values (metadata-sized) and NEVER rescans
+    // history — the monolithic pass exists here only as the equality
+    // witness. Estimate arithmetic is ns51's (Beyer et al. 2007),
+    // IEEE-exact on both engines.
+    "cdc32_kmv_artifact" -> ((s, d) => {
+      import graft.functions.KmvSketchAgg
+      val k = 64
+      val M = 2147483647.0
+      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+        Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val h = graft.functions.TextFunctions.portableHash(
+        element_at(col("dml.rowsValues"), "user_id"))
+      val dir = freshDir("cdc32")
+      env.select((ver % 2).as("batch"), h.as("h"))
+        .groupBy(col("batch"))
+        .agg(KmvSketchAgg.kMinValues(col("h"), k).as("sk"))
+        .write.mode("overwrite").parquet(dir)
+      val art = s.read.parquet(dir)
+      val merged = art.select(explode(col("sk")).as("h"))
+        .agg(KmvSketchAgg.kMinValues(col("h"), k).as("sk"))
+        .select(lit("merged").as("phase"), col("sk"))
+      val mono = env.select(h.as("h"))
+        .agg(KmvSketchAgg.kMinValues(col("h"), k).as("sk"))
+        .select(lit("monolithic").as("phase"), col("sk"))
+      def est(arr: org.apache.spark.sql.Column) =
+        when(size(arr) < k, size(arr).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * M
+            / element_at(arr, k).cast("double"))
+      art.select(concat(lit("batch"), col("batch").cast("string")).as("phase"),
+          col("sk"))
+        .unionByName(merged).unionByName(mono)
+        .select(col("phase"), size(col("sk")).cast("long").as("n_sketch"),
+          element_at(col("sk"), size(col("sk"))).cast("long").as("h_max_kept"),
+          est(col("sk")).as("est_distinct_keys"))
+        .orderBy(col("phase"))
+    }),
+
     "cdc29_schema_evolution" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("op", opFromEvent)
       val cut = ev.agg(
@@ -884,6 +936,36 @@ object CdcQueries {
     "CASE WHEN event_type = 'signup' THEN 'INSERT' WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END"
 
   val oracle: Map[String, String] = Map(
+    // The envelope stringifies user_id, so the oracle hashes the same
+    // VARCHAR rendering; version = event_id, so batch = event_id % 2.
+    "cdc32_kmv_artifact" -> {
+      val estOf = (sk: String) =>
+        s"""CASE WHEN len($sk) < 64 THEN CAST(len($sk) AS DOUBLE)
+           |  ELSE 63.0 * 2147483647 / CAST($sk[64] AS DOUBLE) END""".stripMargin
+      s"""WITH keys AS (
+         |  SELECT event_id % 2 AS batch,
+         |    (${hashSql("CAST(user_id AS VARCHAR)")}) AS h
+         |  FROM events),
+         |db AS (SELECT DISTINCT batch, h FROM keys),
+         |rb AS (SELECT batch, h,
+         |         ROW_NUMBER() OVER (PARTITION BY batch ORDER BY h) AS rn
+         |       FROM db),
+         |skb AS (SELECT batch, list(h ORDER BY h) AS sk
+         |        FROM rb WHERE rn <= 64 GROUP BY batch),
+         |mg AS (SELECT list_sort(list_distinct(a.sk || b.sk))[1:64] AS sk
+         |       FROM skb a, skb b WHERE a.batch = 0 AND b.batch = 1),
+         |dm AS (SELECT DISTINCT h FROM keys),
+         |rm AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM dm),
+         |skm AS (SELECT list(h ORDER BY h) AS sk FROM rm WHERE rn <= 64),
+         |allp AS (
+         |  SELECT 'batch' || CAST(batch AS VARCHAR) AS phase, sk FROM skb
+         |  UNION ALL SELECT 'merged', sk FROM mg
+         |  UNION ALL SELECT 'monolithic', sk FROM skm)
+         |SELECT phase, CAST(len(sk) AS BIGINT) AS n_sketch,
+         |  CAST(sk[len(sk)] AS BIGINT) AS h_max_kept,
+         |  ${estOf("sk")} AS est_distinct_keys
+         |FROM allp ORDER BY phase""".stripMargin
+    },
     "cdc01_envelope_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | o_orderdate, o_orderpriority

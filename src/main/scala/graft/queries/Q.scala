@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
 object Q {
   type QueryFn = (SparkSession, String) => DataFrame
 
+  /** DuckDB SQL for the portable polynomial hash of string expression
+    * `x` — lockstep with [[graft.functions.TextFunctions.portableHash]].
+    * The accumulator seed must be BIGINT — list_prepend(0, ...) would
+    * make the whole reduce INT32 and overflow at acc*31. */
+  def hashSql(x: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($x) + 1),
+       |  i -> CAST(unicode(substr($x, CAST(i AS INT), 1)) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % 2147483647)""".stripMargin
+
   /** Exact-sum of a 2-decimal-valued double column, result as double. */
   def sumd2(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 

@@ -145,13 +145,8 @@ object TextQueries {
 
   // ---- shared DuckDB SQL fragments (kept in lockstep with TextFunctions) ----
 
-  /** Portable polynomial hash of string expression `x`. The accumulator
-    * seed must be BIGINT — list_prepend(0, ...) would make the whole
-    * reduce INT32 and overflow at acc*31. */
-  private def hashSql(x: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($x) + 1),
-       |  i -> CAST(unicode(substr($x, CAST(i AS INT), 1)) AS BIGINT))),
-       |  (acc, c) -> (acc * 31 + c) % 2147483647)""".stripMargin
+  // Portable-hash SQL fragment now lives in Q.hashSql (shared with the
+  // CDC tier's sketch oracles); `import Q._` above keeps every use here.
 
   /** FakeDecoder oracle replica (Multimodal.FakeDecoder): fold the UTF-8
     * bytes (== codepoints for the ASCII fixture) through h ← h·31 + b
@@ -1585,6 +1580,67 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated Kneser-Ney bigram LM under a HELD-OUT split — the
+    // smoothed twin of ns30's exact in-corpus model, and the form a
+    // perplexity filter actually needs: the model trains on half the
+    // corpus (even doc_ids) and scores the other half, so unseen
+    // bigrams and unseen prefixes occur for real and the KN machinery
+    // (absolute discount D=0.75, continuation-probability backoff
+    // p_cont(b) = N1+(·,b)/N1+(··)) does its job instead of decorating
+    // in-vocabulary counts. Per test bigram:
+    //   seen prefix:  p = max(c(a,b)−D, 0)/c(a)
+    //                     + (D·N1+(a,·)/c(a)) · p_cont(b)
+    //   unseen prefix: p = p_cont(b)   (pure continuation backoff)
+    //   unseen b:      p_cont(b) = 0 → the doc's score is exactly 0 —
+    //                  the OOV flag, not an engine error.
+    // Log-free by the ns30 rule: every term is a few correctly-rounded
+    // IEEE ops on exact-int64-derived doubles in a pinned tree, folded
+    // in position order, so both engines agree bit-exactly (through
+    // gradual underflow included). Scale shape: the four model tables
+    // (pair, prefix, continuation counts + the 1-row N1+(··) scalar)
+    // are vocabulary-bounded → broadcast (web-scale: shuffled
+    // equi-joins, same family); the held-out corpus contributes one
+    // explode and the per-doc fold.
+    "ns63_kn_heldout" -> ((s, d) => {
+      val D = 0.75
+      val t = tokens(col("text"))
+      def bigrams(df: DataFrame) = df
+        .select(col("doc_id"), posexplode(
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as(Seq("pos", "ab")))
+        .select(col("doc_id"), col("pos"),
+          col("ab.a").as("a"), col("ab.b").as("b"))
+      val docs = Tables.documents(s, d)
+      val train = bigrams(docs.filter(col("doc_id") % 2 === 0))
+      val test = bigrams(docs.filter(col("doc_id") % 2 === 1))
+      val cnt = train.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      val pre = cnt.groupBy(col("a"))
+        .agg(sum(col("c")).as("ca"), count(lit(1)).as("n1a"))
+      val cont = cnt.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+      val nn = cnt.agg(count(lit(1)).as("nn"))
+      val pcont = coalesce(col("n1b"), lit(0L)).cast("double") /
+        col("nn").cast("double")
+      val p = when(col("ca").isNull, pcont)
+        .otherwise(
+          greatest(coalesce(col("c"), lit(0L)).cast("double") - lit(D), lit(0.0))
+            / col("ca").cast("double")
+          + lit(D) * col("n1a").cast("double") / col("ca").cast("double")
+            * pcont)
+      test
+        .join(broadcast(cnt), Seq("a", "b"), "left")
+        .join(broadcast(pre), Seq("a"), "left")
+        .join(broadcast(cont), Seq("b"), "left")
+        .crossJoin(broadcast(nn))
+        .withColumn("p", p)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("ca").isNull, 1L).otherwise(0L)).as("n_unseen_prefix"),
+          sum(when(col("n1b").isNull, 1L).otherwise(0L)).as("n_unseen_word"),
+          aggregate(array_sort(collect_list(struct(col("pos"), col("p")))),
+            lit(1.0), (acc, x) => acc * x.getField("p")).as("kn_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The removal ACTION behind ns37's diagnostic (Lee et al. 2022):
     // rewrite each doc dropping every token covered by a shingle whose
     // corpus occurrence count (with multiplicity — within-doc repeats
@@ -2616,6 +2672,51 @@ object TextQueries {
          |  list_reduce(list_prepend(1.0, list(r ORDER BY pos)),
          |    (acc, x) -> acc * x) AS dsir_weight
          |FROM p GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+    // The KN terms replay the Spark expression tree left to right;
+    // COALESCE(c, 0)/COALESCE(n1b, 0) mirror the left joins.
+    "ns63_kn_heldout" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, pr['pos'] AS pos, pr['a'] AS a, pr['b'] AS b FROM (
+         |    SELECT doc_id, unnest([{'pos': i, 'a': t[i], 'b': t[i + 1]}
+         |                           for i in range(1, len(t))]) AS pr
+         |    FROM toks) s),
+         |cnt AS (
+         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+         |  WHERE doc_id % 2 = 0 GROUP BY a, b),
+         |pre AS (
+         |  SELECT a, CAST(SUM(c) AS BIGINT) AS ca,
+         |    CAST(COUNT(*) AS BIGINT) AS n1a
+         |  FROM cnt GROUP BY a),
+         |cont AS (
+         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n1b FROM cnt GROUP BY b),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM cnt),
+         |p AS (
+         |  SELECT bg.doc_id, bg.pos,
+         |    pre.a IS NULL AS unseen_prefix, cont.b IS NULL AS unseen_word,
+         |    CASE WHEN pre.a IS NULL
+         |      THEN CAST(COALESCE(cont.n1b, 0) AS DOUBLE) / CAST(nn.nn AS DOUBLE)
+         |      ELSE GREATEST(CAST(COALESCE(cnt.c, 0) AS DOUBLE) - 0.75, 0.0)
+         |             / CAST(pre.ca AS DOUBLE)
+         |           + 0.75 * CAST(pre.n1a AS DOUBLE) / CAST(pre.ca AS DOUBLE)
+         |             * (CAST(COALESCE(cont.n1b, 0) AS DOUBLE)
+         |                / CAST(nn.nn AS DOUBLE))
+         |      END AS p
+         |  FROM bg
+         |  LEFT JOIN cnt ON cnt.a = bg.a AND cnt.b = bg.b
+         |  LEFT JOIN pre ON pre.a = bg.a
+         |  LEFT JOIN cont ON cont.b = bg.b
+         |  CROSS JOIN nn
+         |  WHERE bg.doc_id % 2 = 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(CASE WHEN unseen_prefix THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unseen_prefix,
+         |  CAST(SUM(CASE WHEN unseen_word THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unseen_word,
+         |  list_reduce(list_prepend(1.0, list(p ORDER BY pos)),
+         |    (acc, x) -> acc * x) AS kn_score
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ns41_span_removal" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
