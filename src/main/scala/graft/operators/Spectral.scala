@@ -223,9 +223,14 @@ object Spectral {
     * vector PCA-based scoring (reconstruction-error OOD, whitening of
     * centered data) consumes. The collect is dim+1 rows
     * (dimension-bounded); the division order matches the SQL oracle's
-    * `(CAST(s AS DOUBLE) / nd) / Scale` term for term. */
+    * `(CAST(s AS DOUBLE) / nd) / Scale` term for term. Like
+    * [[covarianceFromStats]], sharded stats merge by one exact re-sum
+    * first, so a raw union of shard artifacts reads correctly — without
+    * it a multi-shard union would silently surface ONE shard's count. */
   def dimensionMeans(stats: DataFrame, dim: Int): Array[Double] = {
-    val rows = stats.filter(col("j") === -1).collect()
+    val rows = stats.filter(col("j") === -1)
+      .groupBy(col("i"), col("j")).agg(sum(col("s")).as("s"))
+      .collect()
     val n = rows.collectFirst { case r if r.getInt(0) == -1 => r.getLong(2) }
       .getOrElse(throw new IllegalStateException(
         "dimensionMeans: stats artifact has no count row"))

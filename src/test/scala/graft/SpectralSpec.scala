@@ -208,6 +208,42 @@ class SpectralSpec extends SparkSuite {
     assert(e2.getMessage.contains("singular"))
   }
 
+  test("dimensionMeans reads the exact quantized means off the stats artifact") {
+    val full = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val stats = Spectral.covarianceStats(full, "embedding", dim)
+    val mu = Spectral.dimensionMeans(stats, dim)
+    // Local replay: the mean of floor(x * Scale) over all rows, divided
+    // back — same int64 sums, same (S/n)/Scale division order, so bit
+    // equality, not tolerance.
+    val n = emb.length
+    (0 until dim).foreach { i =>
+      var s = 0L
+      emb.foreach { v => s += math.floor(v(i) * Spectral.Scale).toLong }
+      assert(mu(i) === (s.toDouble / n.toDouble) / Spectral.Scale,
+        s"mean($i) mismatch")
+    }
+    // And it merges: a RAW 2-way shard union (no pre-aggregation) reads
+    // the same means — dimensionMeans re-sums shards itself.
+    val sharded = (0 until 2).map { r =>
+      Spectral.covarianceStats(full.filter(col("vec_id") % 2 === r),
+        "embedding", dim)
+    }.reduce(_ unionByName _)
+    val muSharded = Spectral.dimensionMeans(sharded, dim)
+    assert(muSharded.toSeq === mu.toSeq)
+  }
+
+  test("dimensionMeans raises named errors on a count-free or empty artifact") {
+    import spark.implicits._
+    val noCount = Seq((0, -1, 5L)).toDF("i", "j", "s")
+    val e1 = intercept[IllegalStateException](
+      Spectral.dimensionMeans(noCount, dim))
+    assert(e1.getMessage.contains("no count row"))
+    val empty = Seq((-1, -1, 0L)).toDF("i", "j", "s")
+    val e2 = intercept[IllegalArgumentException](
+      Spectral.dimensionMeans(empty, dim))
+    assert(e2.getMessage.contains("empty corpus"))
+  }
+
   test("meanDrift matches the local per-dimension means exactly") {
     val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val a = df.filter(col("vec_id") % 2 === 0)
