@@ -1580,6 +1580,53 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // UniMax language quotas (Chung et al. 2023, "UniMax: Fairer and
+    // More Effective Language Sampling") — the multilingual budget
+    // allocator: each language may contribute at most E=2 epochs of its
+    // own tokens (cap = 2·tokens), and the total budget (3/2 of the
+    // corpus here, so both branches bind on the fixture's skew) is
+    // waterfilled: languages whose cap fits under the fair share get
+    // their full cap; the rest share the leftover at one common level.
+    // Everything is exact int64 arithmetic (the `div` operator, never
+    // FP), so both engines agree; the greedy funded flag is computable
+    // per-row because it is monotone along the cap-ascending order —
+    // once a language exceeds its fair share, every larger cap does too
+    // (cap_r·(n−r+1) > remaining ⟹ remaining − cap_r < cap_r·(n−r),
+    // and later caps only grow). Negative intermediate quotients (Spark
+    // `div` truncates, DuckDB `//` floors) can never flip the flag:
+    // caps are ≥ 2, and both semantics agree for non-negative operands
+    // — the level numerator is provably ≥ 0 by the same invariant.
+    // Scale shape: everything past the one corpus agg runs on the
+    // n_langs-row table (metadata-sized windows — the ns54 histogram
+    // precedent); the corpus is scanned once.
+    "ns64_unimax_quota" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lt = Tables.documents(s, d)
+        .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens_total"))
+        .withColumn("cap_tokens", col("tokens_total") * lit(2L))
+      val base = lt.crossJoin(broadcast(lt.agg(
+        expr("3 * sum(tokens_total) div 2").as("budget"),
+        count(lit(1)).as("n_langs"))))
+      val w = Window.orderBy(col("cap_tokens"), col("lang"))
+      val flagged = base
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("pfx", sum(col("cap_tokens")).over(w))
+        .withColumn("funded", col("cap_tokens") <=
+          expr("(budget - (pfx - cap_tokens)) div (n_langs - rnk + 1)"))
+      val lvl = flagged.agg(
+        expr("(max(budget) - sum(case when funded then cap_tokens else 0 end))" +
+          " div greatest(sum(case when funded then 0 else 1 end), 1)")
+          .as("level"))
+      flagged.crossJoin(broadcast(lvl))
+        .select(col("lang"), col("n_docs"), col("tokens_total"),
+          col("cap_tokens"), col("funded"),
+          when(col("funded"), col("cap_tokens")).otherwise(col("level"))
+            .as("quota_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // Interpolated Kneser-Ney bigram LM under a HELD-OUT split — the
     // smoothed twin of ns30's exact in-corpus model, and the form a
     // perplexity filter actually needs: the model trains on half the
@@ -2672,6 +2719,38 @@ object TextQueries {
          |  list_reduce(list_prepend(1.0, list(r ORDER BY pos)),
          |    (acc, x) -> acc * x) AS dsir_weight
          |FROM p GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+    // Window sums CAST to BIGINT (DuckDB widens SUM to HUGEINT); `//`
+    // and Spark's `div` agree on every quotient the flag can decide
+    // (see the query comment on negative-operand semantics).
+    "ns64_unimax_quota" ->
+      """WITH lt AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_total
+        |  FROM documents GROUP BY lang),
+        |c AS (SELECT lang, n_docs, tokens_total,
+        |        tokens_total * 2 AS cap_tokens FROM lt),
+        |g AS (SELECT CAST(3 * SUM(tokens_total) AS BIGINT) // 2 AS budget,
+        |        CAST(COUNT(*) AS BIGINT) AS n_langs FROM lt),
+        |f AS (
+        |  SELECT c.*, budget, n_langs,
+        |    ROW_NUMBER() OVER (ORDER BY cap_tokens, lang) AS rnk,
+        |    CAST(SUM(cap_tokens) OVER (ORDER BY cap_tokens, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS pfx
+        |  FROM c CROSS JOIN g),
+        |ff AS (
+        |  SELECT *, cap_tokens <=
+        |    (budget - (pfx - cap_tokens)) // (n_langs - rnk + 1) AS funded
+        |  FROM f),
+        |lv AS (
+        |  SELECT CAST((MAX(budget)
+        |      - SUM(CASE WHEN funded THEN cap_tokens ELSE 0 END))
+        |    // GREATEST(SUM(CASE WHEN funded THEN 0 ELSE 1 END), 1)
+        |    AS BIGINT) AS level
+        |  FROM ff)
+        |SELECT lang, n_docs, tokens_total, cap_tokens, funded,
+        |  CASE WHEN funded THEN cap_tokens ELSE level END AS quota_tokens
+        |FROM ff CROSS JOIN lv ORDER BY lang""".stripMargin,
     // The KN terms replay the Spark expression tree left to right;
     // COALESCE(c, 0)/COALESCE(n1b, 0) mirror the left joins.
     "ns63_kn_heldout" ->
