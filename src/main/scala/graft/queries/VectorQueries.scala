@@ -907,6 +907,36 @@ object VectorQueries {
           }).as("resid2"))
         .orderBy(col("vec_id"))
     }),
+
+    // Matryoshka-style PREFIX-DIMENSION retrieval, recall-evaluated
+    // (Kusupati et al. 2022): search with only the first 16 of 64
+    // dimensions — the cheap first-stage pass MRL-trained embeddings
+    // are built for (store/scan 1/4 of the bytes, dot products cost
+    // 1/4) — and score its top-10 against the full-dimension ground
+    // truth, vs24's harness shape. On MRL embeddings the prefix is the
+    // information-ordered summary; on the synthetic fixture the recall
+    // number is the honest readout of what truncation costs. Scale
+    // shape: both searches are the vs01 broadcast-query corpus scan
+    // with rank-pushdown top-k; the truncation is a per-row slice at
+    // the scan, exactly the column a real deployment would store.
+    "vs42_prefix_dim_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pre = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val qs = col("vec_id") < 20
+      val exact = Similarity.bruteForceTopK(emb.filter(qs), emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.bruteForceTopK(pre.filter(qs), pre, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_at_10",
+          col("n_hit").cast("double") / col("n_exact").cast("double"))
+        .orderBy(col("query_id"))
+    }),
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1713,6 +1743,41 @@ object VectorQueries {
     "vs40_cov_merge" ->
       s"""WITH $covCtes
          |SELECT i, j, cov FROM covf ORDER BY i, j""".stripMargin,
+    "vs42_prefix_dim_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |             embedding[1:16] AS pqv
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |        embedding[1:16] AS pcv
+         |      FROM embeddings),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id ASC) AS rank
+         |    FROM c JOIN q ON query_id <> neighbor_id) s
+         |  WHERE rank <= 10),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${cosSql("pqv", "pcv")} DESC, neighbor_id ASC) AS rank
+         |    FROM c JOIN q ON query_id <> neighbor_id) s
+         |  WHERE rank <= 10),
+         |h AS (
+         |  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM exact e JOIN approx a
+         |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |  GROUP BY e.query_id),
+         |x AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM exact GROUP BY query_id)
+         |SELECT x.query_id, n_exact,
+         |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)
+         |    AS recall_at_10
+         |FROM x LEFT JOIN h ON x.query_id = h.query_id
+         |ORDER BY x.query_id""".stripMargin,
     // μ comes off the same marginal sums the covariance uses
     // ((S_i/n)/Scale — the driver's dimensionMeans order); the centered
     // vector, both projections, and the residual fold replay the Spark
