@@ -1563,9 +1563,15 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("pos"),
           pmod(graft.functions.TextFunctions.portableHash(
             concat(col("ab.a"), lit("_"), col("ab.b"))), lit(B.toLong)).as("f"))
-      val cnt = bg.groupBy(col("f")).agg(
-        count(lit(1)).as("cr"),
-        sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("ct"))
+      // Materialize the B-row model table once (the ns63 artifact
+      // discipline): the scalar totals and the broadcast ratio join
+      // both read it, so the corpus contributes exactly one model scan.
+      val cntDir = freshDir("ns62-model")
+      bg.groupBy(col("f")).agg(
+          count(lit(1)).as("cr"),
+          sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("ct"))
+        .write.mode("overwrite").parquet(cntDir)
+      val cnt = s.read.parquet(cntDir)
       val tot = cnt.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt")).head()
       val (nr, nt) = (tot.getLong(0), tot.getLong(1))
       require(nt > 0, "ns62: target slice contributed no bigram features")
@@ -1660,7 +1666,17 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val train = bigrams(docs.filter(col("doc_id") % 2 === 0))
       val test = bigrams(docs.filter(col("doc_id") % 2 === 1))
-      val cnt = train.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      // The pair-count table is the TRAINED MODEL — materialize it once
+      // (vocabulary-bounded parquet, exact int64 counts round-trip
+      // bit-safe) so the three derived tables and the scoring join all
+      // read the artifact: the train half is scanned exactly once.
+      // Without this, column pruning gives pre/cont/nn each a
+      // differently-pruned aggregation subtree, defeating exchange
+      // reuse — four train scans where one suffices.
+      val cntDir = freshDir("ns63-model")
+      train.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(cntDir)
+      val cnt = s.read.parquet(cntDir)
       val pre = cnt.groupBy(col("a"))
         .agg(sum(col("c")).as("ca"), count(lit(1)).as("n1a"))
       val cont = cnt.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
