@@ -1606,30 +1606,24 @@ object TextQueries {
     // n_langs-row table (metadata-sized windows — the ns54 histogram
     // precedent); the corpus is scanned once.
     "ns64_unimax_quota" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val lt = Tables.documents(s, d)
+      // The per-language table is multiply consumed (budget scalar +
+      // the waterfill's own rank/level passes) — artifact discipline:
+      // write the n_langs-row agg once, read it everywhere, so the
+      // corpus is scanned exactly once. The budget's 3t/2 uses Scala's
+      // truncating Long division — identical to `div`/`//` on the
+      // positive total.
+      val ltDir = freshDir("ns64-langs")
+      Tables.documents(s, d)
         .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens_total"))
         .withColumn("cap_tokens", col("tokens_total") * lit(2L))
-      val base = lt.crossJoin(broadcast(lt.agg(
-        expr("3 * sum(tokens_total) div 2").as("budget"),
-        count(lit(1)).as("n_langs"))))
-      val w = Window.orderBy(col("cap_tokens"), col("lang"))
-      val flagged = base
-        .withColumn("rnk", row_number().over(w))
-        .withColumn("pfx", sum(col("cap_tokens")).over(w))
-        .withColumn("funded", col("cap_tokens") <=
-          expr("(budget - (pfx - cap_tokens)) div (n_langs - rnk + 1)"))
-      val lvl = flagged.agg(
-        expr("(max(budget) - sum(case when funded then cap_tokens else 0 end))" +
-          " div greatest(sum(case when funded then 0 else 1 end), 1)")
-          .as("level"))
-      flagged.crossJoin(broadcast(lvl))
+        .write.mode("overwrite").parquet(ltDir)
+      val lt = s.read.parquet(ltDir)
+      val budget = 3L * lt.agg(sum(col("tokens_total"))).head().getLong(0) / 2L
+      graft.operators.Budgeting.waterfill(lt, "lang", "cap_tokens", budget)
         .select(col("lang"), col("n_docs"), col("tokens_total"),
-          col("cap_tokens"), col("funded"),
-          when(col("funded"), col("cap_tokens")).otherwise(col("level"))
-            .as("quota_tokens"))
+          col("cap_tokens"), col("funded"), col("quota").as("quota_tokens"))
         .orderBy(col("lang"))
     }),
 
