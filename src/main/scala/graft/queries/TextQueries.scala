@@ -1586,6 +1586,32 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Language-ID CONFUSION MATRIX — ns03's heuristic classifier
+    // evaluated against the gold `lang` column, the way a pipeline
+    // qualifies its cheap classifier before trusting it to route
+    // documents: one (declared, predicted) cell count per pair plus
+    // each cell's share of its declared language (the row-normalized
+    // recall view; diagonal share = per-language recall). Scale shape:
+    // one corpus scan into a |langs|²-bounded cell agg; the
+    // per-declared totals come from a window over the CELL table
+    // (metadata-sized — no second corpus scan, no artifact needed).
+    "ns65_langid_confusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = tokens(col("text"))
+      def score(ws: Seq[String]) = size(filter(t, w => w.isin(ws: _*)))
+      val (se, sd2, sf) = (score(stopEn), score(stopDe), score(stopFr))
+      val pred = when(se >= sd2 && se >= sf, "en")
+        .when(sd2 >= sf, "de").otherwise("fr")
+      Tables.documents(s, d)
+        .groupBy(col("lang").as("declared_lang"), pred.as("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_declared",
+          sum(col("n")).over(Window.partitionBy(col("declared_lang"))))
+        .withColumn("share",
+          col("n").cast("double") / col("n_declared").cast("double"))
+        .orderBy(col("declared_lang"), col("predicted_lang"))
+    }),
+
     // UniMax language quotas (Chung et al. 2023, "UniMax: Fairer and
     // More Effective Language Sampling") — the multilingual budget
     // allocator: each language may contribute at most E=2 epochs of its
@@ -2729,6 +2755,24 @@ object TextQueries {
          |  list_reduce(list_prepend(1.0, list(r ORDER BY pos)),
          |    (acc, x) -> acc * x) AS dsir_weight
          |FROM p GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+    "ns65_langid_confusion" -> {
+      val predSql =
+        s"""CASE WHEN ${stopCountSql(stopEn)} >= ${stopCountSql(stopDe)}
+           |      AND ${stopCountSql(stopEn)} >= ${stopCountSql(stopFr)}
+           |     THEN 'en'
+           |     WHEN ${stopCountSql(stopDe)} >= ${stopCountSql(stopFr)}
+           |     THEN 'de' ELSE 'fr' END""".stripMargin
+      s"""WITH cells AS (
+         |  SELECT lang AS declared_lang, $predSql AS predicted_lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT declared_lang, predicted_lang, n,
+         |  CAST(SUM(n) OVER (PARTITION BY declared_lang) AS BIGINT)
+         |    AS n_declared,
+         |  CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER (
+         |    PARTITION BY declared_lang) AS BIGINT) AS DOUBLE) AS share
+         |FROM cells ORDER BY declared_lang, predicted_lang""".stripMargin
+    },
     // Window sums CAST to BIGINT (DuckDB widens SUM to HUGEINT); `//`
     // and Spark's `div` agree on every quotient the flag can decide
     // (see the query comment on negative-operand semantics).

@@ -937,6 +937,40 @@ object VectorQueries {
           col("n_hit").cast("double") / col("n_exact").cast("double"))
         .orderBy(col("query_id"))
     }),
+
+    // RANKING-QUALITY metrics — the eval tier recall alone doesn't
+    // cover: per query, precision@10 (label-match relevance over the
+    // exact top-10) and reciprocal rank of the FIRST relevant neighbor
+    // (the MRR contribution; the mean is one driver-side step away and
+    // deliberately not folded here — summing per-query doubles is
+    // order-dependent, per-query rows are not). first_rel_rank stays
+    // NULL (and rr 0.0) when nothing relevant surfaces in the top-10 —
+    // the honest "retrieval failed" row. Scale shape: the ranked list
+    // is 20×10 rows; each label attach broadcasts the TINY candidate
+    // side against a pruned corpus projection — two thin column scans,
+    // no corpus-sized shuffle.
+    "vs43_retrieval_metrics" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val top = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20),
+        emb, k = 10)
+      val nl = emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"))
+      val ql = emb.select(col("vec_id").as("query_id"),
+        col("label").as("q_label"))
+      val marked = ql.join(
+          broadcast(nl.join(broadcast(top), Seq("neighbor_id"))),
+          Seq("query_id"))
+        .withColumn("rel", (col("q_label") === col("n_label")).cast("int"))
+      marked.groupBy(col("query_id"))
+        .agg(sum(col("rel")).cast("long").as("n_rel_at_10"),
+          min(when(col("rel") === 1, col("rank"))).cast("long")
+            .as("first_rel_rank"))
+        .withColumn("precision_at_10",
+          col("n_rel_at_10").cast("double") / lit(10.0))
+        .withColumn("rr", coalesce(
+          lit(1.0) / col("first_rel_rank").cast("double"), lit(0.0)))
+        .orderBy(col("query_id"))
+    }),
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -1743,6 +1777,29 @@ object VectorQueries {
     "vs40_cov_merge" ->
       s"""WITH $covCtes
          |SELECT i, j, cov FROM covf ORDER BY i, j""".stripMargin,
+    "vs43_retrieval_metrics" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS n_label
+         |      FROM embeddings),
+         |top AS (
+         |  SELECT query_id, q_label, neighbor_id, n_label, rank FROM (
+         |    SELECT query_id, q_label, neighbor_id, n_label, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id ASC) AS rank
+         |    FROM c JOIN q ON query_id <> neighbor_id) s
+         |  WHERE rank <= 10),
+         |m AS (
+         |  SELECT query_id,
+         |    CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rel_at_10,
+         |    CAST(MIN(CASE WHEN q_label = n_label THEN rank END) AS BIGINT)
+         |      AS first_rel_rank
+         |  FROM top GROUP BY query_id)
+         |SELECT query_id, n_rel_at_10, first_rel_rank,
+         |  CAST(n_rel_at_10 AS DOUBLE) / 10.0 AS precision_at_10,
+         |  COALESCE(1.0 / CAST(first_rel_rank AS DOUBLE), 0.0) AS rr
+         |FROM m ORDER BY query_id""".stripMargin,
     "vs42_prefix_dim_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
          |             embedding[1:16] AS pqv
