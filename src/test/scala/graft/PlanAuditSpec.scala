@@ -529,4 +529,62 @@ class PlanAuditSpec extends SparkSuite {
     assert(q01.contains("*(1) HashAggregate") || q01.contains("*(2) HashAggregate"),
       s"q01's aggregation fell out of codegen:\n$q01")
   }
+
+  /** Corpus-scan count in the FINAL plan section — the guard for the
+    * model-materialization rule (SCALE.md round 14): a multiply-
+    * consumed bounded aggregate must come off its artifact, never
+    * rescan the corpus per consumer. */
+  private def scansOf(plan: String, table: String): Int = {
+    val finalPlan = plan.split("== Initial Plan ==").head
+    finalPlan.sliding(table.length).count(_ == table)
+  }
+
+  test("ns62/ns63 score with ONE corpus scan; the model comes off its artifact") {
+    Seq("ns62_dsir_weights", "ns63_kn_heldout").foreach { name =>
+      val p = executedPlan(name)
+      assert(scansOf(p, "documents.parquet") == 1,
+        s"$name rescans the corpus for its model tables:\n$p")
+    }
+  }
+
+  test("ns64's waterfill never rescans the corpus — metadata table only") {
+    val p = executedPlan("ns64_unimax_quota")
+    assert(scansOf(p, "documents.parquet") == 0,
+      s"ns64's returned plan must read only the per-language artifact:\n$p")
+    assert(!p.split("== Initial Plan ==").head.contains("CartesianProduct"))
+  }
+
+  test("vs41's scoring pass is one corpus scan against broadcast literals") {
+    val p = executedPlan("vs41_ood_residual")
+    assert(scansOf(p, "embeddings.parquet") == 1,
+      s"vs41 must score in one scan (stats are collected, not re-planned):\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join"),
+      s"vs41's scoring must be join-free projection:\n$p")
+  }
+
+  test("ns65's confusion matrix is one scan; totals window over the cell table") {
+    val p = executedPlan("ns65_langid_confusion")
+    assert(scansOf(p, "documents.parquet") == 1,
+      s"ns65 must not rescan for its per-language totals:\n$p")
+    assert(!p.split("== Initial Plan ==").head.contains("Join"),
+      s"ns65 should window over cells, not join:\n$p")
+  }
+
+  test("vs43's label attaches broadcast the tiny ranked side") {
+    val p = executedPlan("vs43_retrieval_metrics")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"vs43 lost its broadcast label joins:\n$p")
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("CartesianProduct"),
+      s"vs43's label attach must never shuffle the ranked side:\n$p")
+  }
+
+  test("cdc32's merged sketch reads the artifact; events feed only the witness") {
+    val p = executedPlan("cdc32_kmv_artifact")
+    assert(scansOf(p, "events.parquet") == 1,
+      s"cdc32 must scan events once (the monolithic witness), the rest " +
+        s"comes off the persisted sketch rows:\n$p")
+  }
 }
