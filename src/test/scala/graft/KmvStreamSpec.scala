@@ -68,5 +68,17 @@ class KmvStreamSpec extends SparkSuite {
     // the number of batches, never with the data.
     art.select(size(col("sk")).as("n")).collect()
       .foreach(r => assert(r.getInt(0) <= k))
+
+    // At-least-once tolerance: a replayed foreachBatch append leaves
+    // DUPLICATE sketch rows in the artifact, and the merge must not
+    // care — re-sketching a multiset of kept minima deduplicates by
+    // construction (k smallest DISTINCT values), so redelivery can
+    // never corrupt the estimate.
+    val withDupes = art.unionByName(art)
+      .select(explode(col("sk")).as("h"))
+      .agg(KmvSketchAgg.kMinValues(col("h"), k).as("sk"))
+      .head().getSeq[Long](0)
+    assert(withDupes == want,
+      "duplicate artifact rows (redelivery) perturbed the merged sketch")
   }
 }
