@@ -910,6 +910,38 @@ object CdcQueries {
         .orderBy(col("phase"))
     }),
 
+    // SECONDARY-INDEX lookup over the durable store — a selective
+    // predicate on a NON-key column answered index-first: per applied
+    // batch the value→row_key postings are appended (value-partitioned
+    // parquet, no read of history), then lookupByValue reads ONE pruned
+    // postings partition, point-looks the store (min(keys, buckets)
+    // bucket reads, pushed row_key IN), and re-verifies against live
+    // values — stale postings from value changes/deletes prune here, so
+    // the answer equals the snapshot filter exactly while reading
+    // candidates instead of the table. SecondaryIndexSpec pins change/
+    // delete/time-travel/redelivery; this pins the end-to-end result
+    // against the raw-events oracle.
+    "cdc33_indexed_lookup" -> ((s, d) => {
+      import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
+      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+        Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val root = freshDir("cdc33")
+      val store = new ParquetUpsertStore(root, numBuckets = 8)
+      Seq(0L, 1L).foreach { b =>
+        val part = env.filter(ver % 2 === b)
+        store.applyBatch(part, b)
+        SecondaryIndex.indexBatch(root, "public.events", "event_type", part, b)
+      }
+      SecondaryIndex.lookupByValue(s, store, root, "public.events",
+          "event_type", "click")
+        .select(col("row_key").cast("long").as("user_id"),
+          col("version").as("event_id"),
+          element_at(col("values"), "event_type").as("event_type"),
+          element_at(col("values"), "value").cast("double").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     "cdc29_schema_evolution" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("op", opFromEvent)
       val cut = ev.agg(
@@ -1238,6 +1270,15 @@ object CdcQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM v b WHERE b.event_id = a.event_id + 1)
         |  AND a.event_id < (SELECT MAX(event_id) FROM v)
         |ORDER BY gap_after""".stripMargin,
+    "cdc33_indexed_lookup" ->
+      s"""SELECT user_id, event_id, event_type, value FROM (
+         |  SELECT user_id, event_id, event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn,
+         |    $opFromEventSql AS op
+         |  FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE' AND event_type = 'click'
+         |ORDER BY user_id""".stripMargin,
     "cdc31_replay_dupes" ->
       """WITH log AS (
         |  SELECT event_id, user_id, event_type FROM events

@@ -1,0 +1,83 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only SECONDARY INDEX over a [[ParquetUpsertStore]] table: a
+  * value-partitioned postings table `value → row_key` for one envelope
+  * values column, maintained per applied batch, so a selective
+  * predicate on a NON-key column answers by point lookups instead of a
+  * table scan (the store's own pruning only understands `row_key`).
+  *
+  * Soundness model — postings are a SUPERSET of the truth, verified at
+  * read time:
+  *   - no false negatives: a live row whose column currently equals v
+  *     was upserted WITH v by some batch at or before the read horizon,
+  *     and that batch indexed it;
+  *   - false positives (keys that later changed value, died, or were
+  *     superseded inside their own batch) survive in the postings but
+  *     are pruned by re-verifying the predicate against the store's
+  *     LIVE values after the point lookup — never a wrong answer.
+  * DELETEs therefore need no index maintenance at all, and a
+  * redelivered batch (at-least-once streams) merely appends duplicate
+  * postings that the lookup's DISTINCT collapses — the same replay
+  * posture as the store itself.
+  *
+  * Layout: `<root>/__index/<table>/<column>/v=<value>/...` — a sibling
+  * of the table directories, invisible to the store's manifest readers
+  * and to [[ParquetUpsertStore.vacuum]] (which touches only
+  * `manifest-*`/`snap-*` entries). Value-partitioning turns the lookup
+  * into one pruned directory read at any table size.
+  */
+object SecondaryIndex {
+
+  private def safe(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private[graft] def indexDir(root: String, table: String,
+                              column: String): String =
+    s"$root/__index/${safe(table)}/${safe(column)}"
+
+  /** Index the envelope batch applied (or about to be applied) as
+    * `batchId`: one posting `(row_key, batch, v)` per non-DELETE DML
+    * row of `table` whose values carry a non-null `column`. Rows
+    * missing the column contribute nothing — a null value is not an
+    * indexable predicate target. One pass over the batch, partitioned
+    * write, no read of existing postings or store state. */
+  def indexBatch(root: String, table: String, column: String,
+                 batch: DataFrame, batchId: Long): Unit =
+    UpsertSink.dmlProjection(batch)
+      .filter(col("table") === table)
+      .filter(col("op") =!= graft.model.OpType.Delete)
+      .select(col("row_key"), lit(batchId).as("batch"),
+        try_element_at(col("values"), lit(column)).as("v"))
+      .filter(col("v").isNotNull)
+      .write.mode("append").partitionBy("v")
+      .parquet(indexDir(root, table, column))
+
+  /** Live rows whose CURRENT `column` value equals `v`, index-first:
+    * read the one postings partition for `v` (directory-pruned, and
+    * batch-bounded under time travel), collect the DISTINCT candidate
+    * keys, point-look the store (min(keys, buckets) bucket reads, the
+    * pushed `row_key IN` filter), and re-verify the predicate against
+    * the live values. The candidate collect is the index's contract:
+    * secondary lookups are for SELECTIVE values — `maxKeys` fails
+    * loudly past the bound rather than silently shipping a data-sized
+    * driver collect (a value matching half the table wants the
+    * snapshot-filter plan instead, stated in the error). */
+  def lookupByValue(spark: SparkSession, store: ParquetUpsertStore,
+                    root: String, table: String, column: String, v: String,
+                    atOrBefore: Option[Long] = None,
+                    maxKeys: Int = 100000): DataFrame = {
+    val posts = spark.read.parquet(indexDir(root, table, column))
+      .filter(col("v") === v)
+    val horizon = atOrBefore.fold(posts)(h => posts.filter(col("batch") <= h))
+    val keys = horizon.select(col("row_key")).distinct()
+      .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq.sorted
+    require(keys.length <= maxKeys,
+      s"SecondaryIndex: value '$v' of '$table.$column' matches more than " +
+        s"$maxKeys candidate keys — too popular for an index-first point " +
+        "lookup; filter the snapshot instead")
+    store.lookup(spark, table, keys, atOrBefore)
+      .filter(try_element_at(col("values"), lit(column)) === v)
+  }
+}

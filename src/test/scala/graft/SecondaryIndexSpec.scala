@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.ChangeFeed
+import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
+import org.apache.spark.sql.functions._
+
+/** Secondary-index contract: index-first lookups equal snapshot filters
+  * exactly — stale postings (value changes, deletes, within-batch
+  * supersessions) are false positives the live re-verification prunes,
+  * never false negatives; time travel bounds the postings by batch and
+  * verifies against the historical snapshot; the over-popular guard and
+  * the partition-pruned postings read are both pinned. */
+class SecondaryIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def env(rows: Seq[(String, String, String, Long)]) =
+    ChangeFeed.wrapDml(
+      rows.toDF("user_id", "val", "op0", "ver"),
+      "t", Seq("user_id"), col("op0"), col("ver"), lit(0L))
+
+  private def liveSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+    df.select(col("row_key"), col("version"))
+      .as[(String, Long)].collect().toSet
+
+  test("index-first lookups equal snapshot filters through change, delete, and time travel") {
+    val root = checkpointDir("secidx")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+
+    val b0 = env(Seq(
+      ("k1", "a", "INSERT", 1L), ("k2", "a", "INSERT", 1L),
+      ("k3", "a", "INSERT", 1L), ("k4", "b", "INSERT", 1L)))
+    val b1 = env(Seq(
+      ("k1", "b", "UPDATE", 2L), ("k2", "a", "DELETE", 2L),
+      ("k5", "a", "INSERT", 2L)))
+    Seq((b0, 0L), (b1, 1L)).foreach { case (b, id) =>
+      store.applyBatch(b, id)
+      SecondaryIndex.indexBatch(root, "t", "val", b, id)
+    }
+
+    def byIndex(v: String, at: Option[Long] = None) = liveSet(
+      SecondaryIndex.lookupByValue(spark, store, root, "t", "val", v, at))
+    def byScan(v: String, at: Option[Long] = None) = liveSet(
+      at.fold(store.snapshot(spark, "t"))(store.snapshotAt(spark, "t", _))
+        .filter(try_element_at(col("values"), lit("val")) === v))
+
+    Seq("a", "b", "nope").foreach { v =>
+      assert(byIndex(v) == byScan(v), s"live lookup diverges for '$v'")
+    }
+    // The pruning actually had work to do: k1 changed value, k2 died.
+    assert(byIndex("a").map(_._1) == Set("k3", "k5"))
+    assert(byIndex("b").map(_._1) == Set("k1", "k4"))
+
+    // Time travel: postings batch-bounded, verified at the old snapshot.
+    Seq("a", "b").foreach { v =>
+      assert(byIndex(v, Some(0L)) == byScan(v, Some(0L)),
+        s"as-of lookup diverges for '$v'")
+    }
+    assert(byIndex("a", Some(0L)).map(_._1) ==
+      Set("k1", "k2", "k3"))
+
+    // Redelivery: re-indexing an applied batch duplicates postings and
+    // changes nothing (the lookup's DISTINCT + live verification).
+    SecondaryIndex.indexBatch(root, "t", "val", b1, 1L)
+    assert(byIndex("a") == byScan("a"), "duplicate postings leaked through")
+
+    // Over-popular value fails loudly instead of a data-sized collect.
+    val e = intercept[IllegalArgumentException](
+      SecondaryIndex.lookupByValue(spark, store, root, "t", "val", "a",
+        maxKeys = 1))
+    assert(e.getMessage.contains("too popular"))
+
+    // The postings read is value-partition-pruned at the source.
+    val posts = spark.read.parquet(SecondaryIndex.indexDir(root, "t", "val"))
+      .filter(col("v") === "a")
+    posts.collect()
+    val plan = posts.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("v#"),
+      s"postings scan lost its partition pruning:\n$plan")
+  }
+}
