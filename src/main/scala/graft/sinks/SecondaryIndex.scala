@@ -80,4 +80,37 @@ object SecondaryIndex {
     store.lookup(spark, table, keys, atOrBefore)
       .filter(try_element_at(col("values"), lit(column)) === v)
   }
+
+  /** Compact the postings log: rebuild it from the LIVE snapshot as of
+    * `asBatch` — one linear store scan replacing the whole append
+    * history, after which every posting is current (zero false
+    * positives until the next append) and the log stops growing with
+    * batch count. The vs27 tombstone-compaction posture: amortized
+    * maintenance, identical answers before and after (the lookup's
+    * re-verification makes compaction invisible to correctness —
+    * SecondaryIndexSpec pins it). Like [[ParquetUpsertStore.compact]],
+    * this collapses HISTORY: every rebuilt posting carries `asBatch`,
+    * so `lookupByValue(atOrBefore = t)` for t < asBatch finds no
+    * postings afterwards — time travel below the compaction point is
+    * unsupported, the store's own documented compaction contract.
+    * Swap is write-new/delete-old/rename:
+    * a crash between steps leaves either the old intact log or a
+    * complete new one (plus, at worst, an orphaned tmp dir the next
+    * compaction overwrites), never a half-truncated index. */
+  def compact(spark: SparkSession, store: ParquetUpsertStore,
+              root: String, table: String, column: String,
+              asBatch: Long): Unit = {
+    val dir = indexDir(root, table, column)
+    val tmp = dir + ".compact-tmp"
+    store.snapshotAt(spark, table, asBatch)
+      .select(col("row_key"), lit(asBatch).as("batch"),
+        try_element_at(col("values"), lit(column)).as("v"))
+      .filter(col("v").isNotNull)
+      .write.mode("overwrite").partitionBy("v").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dir))
+  }
 }

@@ -69,6 +69,22 @@ class SecondaryIndexSpec extends SparkSuite {
         maxKeys = 1))
     assert(e.getMessage.contains("too popular"))
 
+    // Compaction: rebuilt from the live snapshot, answers unchanged,
+    // stale postings gone (exactly one row per live indexed value), and
+    // a post-compaction append still lands.
+    SecondaryIndex.compact(spark, store, root, "t", "val", asBatch = 1L)
+    Seq("a", "b", "nope").foreach { v =>
+      assert(byIndex(v) == byScan(v), s"post-compaction lookup diverges for '$v'")
+    }
+    val postRows = spark.read
+      .parquet(SecondaryIndex.indexDir(root, "t", "val")).count()
+    assert(postRows == 4L, s"compacted postings must equal live rows, got $postRows")
+    val b2 = env(Seq(("k6", "a", "INSERT", 3L)))
+    store.applyBatch(b2, 2L)
+    SecondaryIndex.indexBatch(root, "t", "val", b2, 2L)
+    assert(byIndex("a").map(_._1) == Set("k3", "k5", "k6"))
+    assert(byIndex("a") == byScan("a"))
+
     // The postings read is value-partition-pruned at the source.
     val posts = spark.read.parquet(SecondaryIndex.indexDir(root, "t", "val"))
       .filter(col("v") === "a")
