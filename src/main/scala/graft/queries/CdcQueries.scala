@@ -930,8 +930,11 @@ object CdcQueries {
       val store = new ParquetUpsertStore(root, numBuckets = 8)
       Seq(0L, 1L).foreach { b =>
         val part = env.filter(ver % 2 === b)
-        store.applyBatch(part, b)
+        // Index FIRST (SecondaryIndex's ordering contract): a crash
+        // between the steps leaves superset postings the lookup prunes,
+        // never missing ones.
         SecondaryIndex.indexBatch(root, "public.events", "event_type", part, b)
+        store.applyBatch(part, b)
       }
       SecondaryIndex.lookupByValue(s, store, root, "public.events",
           "event_type", "click")

@@ -42,7 +42,15 @@ object SecondaryIndex {
     * row of `table` whose values carry a non-null `column`. Rows
     * missing the column contribute nothing — a null value is not an
     * indexable predicate target. One pass over the batch, partitioned
-    * write, no read of existing postings or store state. */
+    * write, no read of existing postings or store state.
+    *
+    * ORDERING CONTRACT: index BEFORE applying the batch to the store.
+    * A crash between the two steps then leaves postings for rows the
+    * store never got — harmless false positives the lookup's live
+    * re-verification prunes (the keys simply aren't live with that
+    * value). The reverse order turns the same crash into MISSING
+    * postings: permanent false negatives no read-time check can see.
+    * SecondaryIndexSpec pins the index-ahead-of-store case. */
   def indexBatch(root: String, table: String, column: String,
                  batch: DataFrame, batchId: Long): Unit =
     UpsertSink.dmlProjection(batch)

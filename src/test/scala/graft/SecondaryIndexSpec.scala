@@ -33,8 +33,8 @@ class SecondaryIndexSpec extends SparkSuite {
       ("k1", "b", "UPDATE", 2L), ("k2", "a", "DELETE", 2L),
       ("k5", "a", "INSERT", 2L)))
     Seq((b0, 0L), (b1, 1L)).foreach { case (b, id) =>
+      SecondaryIndex.indexBatch(root, "t", "val", b, id) // index-first contract
       store.applyBatch(b, id)
-      SecondaryIndex.indexBatch(root, "t", "val", b, id)
     }
 
     def byIndex(v: String, at: Option[Long] = None) = liveSet(
@@ -79,9 +79,16 @@ class SecondaryIndexSpec extends SparkSuite {
     val postRows = spark.read
       .parquet(SecondaryIndex.indexDir(root, "t", "val")).count()
     assert(postRows == 4L, s"compacted postings must equal live rows, got $postRows")
+    // Index-before-apply ordering (the crash-safety contract): with
+    // the postings written but the store batch NOT yet applied, the
+    // new key is a harmless false positive — lookups stay equal to
+    // the snapshot. After the apply lands, it surfaces.
     val b2 = env(Seq(("k6", "a", "INSERT", 3L)))
-    store.applyBatch(b2, 2L)
     SecondaryIndex.indexBatch(root, "t", "val", b2, 2L)
+    assert(byIndex("a").map(_._1) == Set("k3", "k5"),
+      "postings ahead of the store must prune, not surface")
+    assert(byIndex("a") == byScan("a"))
+    store.applyBatch(b2, 2L)
     assert(byIndex("a").map(_._1) == Set("k3", "k5", "k6"))
     assert(byIndex("a") == byScan("a"))
 
