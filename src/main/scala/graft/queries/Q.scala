@@ -41,10 +41,24 @@ object Q {
 
   /** Scratch directory for queries that exercise a file source/sink
     * (driver-local, under the build's target/ so nothing outside the repo
-    * is touched). */
+    * is touched). Self-cleaning: each dir is deleted on ITS OWN JVM's
+    * exit (run/Test are forked, so every Verify/Bench invocation cleans
+    * exactly what it created — concurrent runs never touch each other's
+    * scratch). Without this, thousands of accumulated artifact trees
+    * measurably slow the artifact-lifecycle queries' filesystem ops. */
   def freshDir(tag: String): String = {
     val base = java.nio.file.Paths.get("target", "tmp")
     java.nio.file.Files.createDirectories(base)
-    java.nio.file.Files.createTempDirectory(base, tag + "-").toString
+    val dir = java.nio.file.Files.createTempDirectory(base, tag + "-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try {
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Exception => () } // best-effort; never block exit
+    }))
+    dir.toString
   }
 }

@@ -18,6 +18,17 @@ trait SparkSuite extends AnyFunSuite {
   def checkpointDir(name: String): String = {
     val p = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), s"ckpt-$name-")
+    // Forked test JVMs clean their own scratch on exit (the Q.freshDir
+    // discipline) — accumulated checkpoint trees otherwise slow later
+    // runs' filesystem ops and bloat target/.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      try {
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(q => Files.deleteIfExists(q))
+      } catch { case _: Exception => () }
+    }))
     p.toAbsolutePath.toString
   }
 }
