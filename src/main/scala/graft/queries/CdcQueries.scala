@@ -945,6 +945,35 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // BLOOM-FRONTED point lookup — the miss fast path (HBase/Kudu bloom
+    // blocks, where the reference's sinks get theirs): per-batch key
+    // blooms are written BEFORE each apply (the index-ordering
+    // contract), and a probe mixing live keys with never-written ghosts
+    // answers identically to the plain lookup while the ghosts drop at
+    // the bloom — no bucket directory is opened for them. KeyBloomSpec
+    // pins the no-false-negative and pruning-rate properties; this pins
+    // the end-to-end answer against the raw-events oracle.
+    "cdc34_bloom_lookup" -> ((s, d) => {
+      import graft.sinks.{KeyBloom, ParquetUpsertStore}
+      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+        Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val root = freshDir("cdc34")
+      val store = new ParquetUpsertStore(root, numBuckets = 8)
+      Seq(0L, 1L).foreach { b =>
+        val part = env.filter(ver % 2 === b)
+        KeyBloom.addBatch(s, root, "public.events", part, b)
+        store.applyBatch(part, b)
+      }
+      val probes = (0L to 9L).map(_.toString) ++
+        (1 to 40).map(i => s"ghost-$i")
+      KeyBloom.lookup(s, store, root, "public.events", probes)
+        .select(col("row_key").cast("long").as("user_id"),
+          col("version").as("event_id"),
+          element_at(col("values"), "event_type").as("event_type"))
+        .orderBy(col("user_id"))
+    }),
+
     "cdc29_schema_evolution" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("op", opFromEvent)
       val cut = ev.agg(
@@ -1282,6 +1311,14 @@ object CdcQueries {
          |  FROM events) t
          |WHERE rn = 1 AND op <> 'DELETE' AND event_type = 'click'
          |ORDER BY user_id""".stripMargin,
+    "cdc34_bloom_lookup" ->
+      s"""SELECT user_id, event_id, event_type FROM (
+         |  SELECT user_id, event_id, event_type,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn,
+         |    $opFromEventSql AS op
+         |  FROM events WHERE user_id BETWEEN 0 AND 9) t
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "cdc31_replay_dupes" ->
       """WITH log AS (
         |  SELECT event_id, user_id, event_type FROM events
