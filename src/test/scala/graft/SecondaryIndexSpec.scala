@@ -100,4 +100,36 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("v#"),
       s"postings scan lost its partition pruning:\n$plan")
   }
+
+  test("model fuzz: random op sequences keep index-first equal to snapshot filters") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val opsGen = Gen.listOfN(60, for {
+      k <- Gen.choose(1, 8).map(i => s"k$i")
+      v <- Gen.oneOf("x", "y", "z")
+      op <- Gen.frequency(5 -> "INSERT", 3 -> "UPDATE", 2 -> "DELETE")
+    } yield (k, v, op))
+
+    (1L to 4L).foreach { seed =>
+      val root = checkpointDir(s"secidx-fuzz-$seed")
+      val store = new ParquetUpsertStore(root, numBuckets = 4)
+      val ops = sample(opsGen, seed).zipWithIndex
+        .map { case ((k, v, op), i) => (k, v, op, (i + 1).toLong) }
+      // Three batches in version order — the store's normal cadence.
+      ops.grouped(20).zipWithIndex.foreach { case (g, id) =>
+        val b = env(g)
+        SecondaryIndex.indexBatch(root, "t", "val", b, id.toLong)
+        store.applyBatch(b, id.toLong)
+      }
+      Seq("x", "y", "z", "absent").foreach { v =>
+        val byIdx = liveSet(SecondaryIndex.lookupByValue(
+          spark, store, root, "t", "val", v))
+        val byScan = liveSet(store.snapshot(spark, "t")
+          .filter(try_element_at(col("values"), lit("val")) === v))
+        assert(byIdx == byScan, s"seed=$seed value='$v': $byIdx vs $byScan")
+      }
+    }
+  }
 }
