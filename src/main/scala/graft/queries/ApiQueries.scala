@@ -820,9 +820,44 @@ object ApiQueries {
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(20)
     }),
+
+    // VARIANT — Spark 4's native semi-structured type: parse the JSON
+    // props column ONCE into the binary variant encoding at the scan,
+    // then typed path extraction (`variant_get($.k, int)`) runs as
+    // codegen'd binary navigation, never re-parsing text per access —
+    // the engine face that replaces ad-hoc from_json(schema) when the
+    // payload schema is open-ended. try_variant_get pins the missing-
+    // path contract (NULL, not an error) alongside. All extracted
+    // values are ints, so the per-type aggregate is oracle-exact
+    // against DuckDB's JSON extraction. Scale shape: one scan, one
+    // map-side-combined agg; the variant parse is row-local.
+    "q62_variant_extract" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      Tables.events(s, d).filter(col("props").isNotNull)
+        .select(col("event_type"),
+          variant_get(v, "$.k", "int").as("k"),
+          try_variant_get(v, "$.missing", "int").as("m"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "q62_variant_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+        |    AS sum_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+        |    AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+        |    AS max_k,
+        |  CAST(COUNT(*) AS BIGINT) AS n_missing
+        |FROM events WHERE props IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q21_custom_aggregator" ->
       """SELECT o_custkey,
         | (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
