@@ -272,4 +272,46 @@ object StatefulOps {
           out.result().iterator
         })
   }
+
+  case class KeyedEv(key: String, payload: String)
+
+  /** TTL-suppressed emission — the alerting-dedup contract: the FIRST
+    * arrival of a key emits and arms a per-key suppression state;
+    * repeats are swallowed while the state lives; once the TTL lapses
+    * (no re-arm — suppression measures from the first emission, not
+    * the last attempt), the key emits again. This is the face of
+    * Spark 4's STATE TTL (`TTLConfig` on a `transformWithState` value
+    * state): eviction the STORE performs by wall-clock, with no timer
+    * bookkeeping in the processor — the right tool when state must
+    * die by age rather than by event-time logic (contrast
+    * [[SessionTimerProcessor]], whose lifecycle IS event-time).
+    * Processing-time TTL means replays can differ across runs — use
+    * the timer form when exactly-once emission matters more than
+    * state-size bounds. */
+  class TtlSuppressProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[String, KeyedEv, KeyedEv] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState("seen", Encoders.scalaBoolean,
+        new TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[KeyedEv],
+                                 tv: TimerValues): Iterator[KeyedEv] = {
+      val out = Seq.newBuilder[KeyedEv]
+      rows.foreach { r =>
+        // get() returns nothing once the TTL has lapsed — the store
+        // evicted it; no processor-side clock reads.
+        if (!seen.exists()) { out += r; seen.update(true) }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** [[TtlSuppressProcessor]] wired over a keyed stream. */
+  def suppressRepeats(evs: Dataset[KeyedEv],
+                      ttl: java.time.Duration): Dataset[KeyedEv] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.key)
+      .transformWithState(new TtlSuppressProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 }

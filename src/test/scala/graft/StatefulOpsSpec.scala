@@ -230,4 +230,53 @@ class StatefulOpsSpec extends SparkSuite {
       s"stream $streamed != batch ${batch.filter(_._2 > 0)}")
     assert(streamed == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 1))
   }
+
+  test("suppressRepeats: state TTL swallows repeats, then readmits the key") {
+    import graft.streaming.StatefulOps.KeyedEv
+    // ProcessingTime time-mode queries schedule batches CONTINUOUSLY —
+    // the TTL clock has to advance — so drain-style waits
+    // (processAllAvailable / AvailableNow) never settle. Drive the
+    // query free-running instead and assert on what it emitted, using
+    // the progress stream to prove the suppressed rows were actually
+    // PROCESSED (an unprocessed row would vacuously "not leak").
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val in = MemoryStream[KeyedEv]
+      val q = StatefulOps.suppressRepeats(in.toDS(),
+          java.time.Duration.ofSeconds(8))
+        .writeStream.format("memory").queryName("ttl_out")
+        .option("checkpointLocation", checkpointDir("ttl"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L))
+        .start()
+      def emitted() = spark.table("ttl_out").as[KeyedEv].collect().toSeq
+      def processed(): Long =
+        q.recentProgress.map(_.numInputRows).sum
+      def waitFor(what: String)(cond: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (!cond) {
+          assert(System.currentTimeMillis() < deadline, s"timed out: $what")
+          Thread.sleep(200)
+        }
+      }
+
+      // phase 1: first a emits, in-batch repeat swallowed, b emits
+      in.addData(KeyedEv("a", "a1"), KeyedEv("a", "a2"), KeyedEv("b", "b1"))
+      waitFor("phase-1 rows processed")(processed() >= 3)
+      // phase 2 (well inside the TTL): repeats swallowed
+      in.addData(KeyedEv("a", "a3"), KeyedEv("b", "b2"))
+      waitFor("phase-2 rows processed")(processed() >= 5)
+      assert(emitted().map(_.payload).sorted == Seq("a1", "b1"),
+        s"suppression window leaked: ${emitted()}")
+
+      // let the TTL lapse — the STORE evicts the suppression state
+      Thread.sleep(10000)
+      in.addData(KeyedEv("a", "a4"))
+      waitFor("readmission after TTL")(
+        emitted().map(_.payload).sorted == Seq("a1", "a4", "b1"))
+      q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
