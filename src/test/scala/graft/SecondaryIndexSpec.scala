@@ -101,6 +101,48 @@ class SecondaryIndexSpec extends SparkSuite {
       s"postings scan lost its partition pruning:\n$plan")
   }
 
+  test("index and bloom artifacts survive store layout evolution (rebucket, compact, vacuum)") {
+    import graft.sinks.KeyBloom
+    val root = checkpointDir("secidx-layout")
+    val store = new ParquetUpsertStore(root, numBuckets = 2)
+    val b0 = env(Seq(("k1", "a", "INSERT", 1L), ("k2", "b", "INSERT", 1L),
+      ("k3", "a", "INSERT", 1L)))
+    val b1 = env(Seq(("k2", "a", "UPDATE", 2L), ("k4", "b", "INSERT", 2L)))
+    Seq((b0, 0L), (b1, 1L)).foreach { case (b, id) =>
+      SecondaryIndex.indexBatch(root, "t", "val", b, id)
+      KeyBloom.addBatch(spark, root, "t", b, id, expectedItems = 100L)
+      store.applyBatch(b, id)
+    }
+    def check(tag: String): Unit = {
+      Seq("a", "b").foreach { v =>
+        val byIdx = liveSet(SecondaryIndex.lookupByValue(
+          spark, store, root, "t", "val", v))
+        val byScan = liveSet(store.snapshot(spark, "t")
+          .filter(try_element_at(col("values"), lit("val")) === v))
+        assert(byIdx == byScan, s"[$tag] value '$v': $byIdx vs $byScan")
+      }
+      assert(liveSet(KeyBloom.lookup(spark, store, root, "t",
+        Seq("k1", "k4", "ghost"))) ==
+        liveSet(store.lookup(spark, "t", Seq("k1", "k4", "ghost"))),
+        s"[$tag] bloom-fronted lookup diverged")
+    }
+    check("baseline")
+    // The store's physical layout evolves under the artifacts' feet:
+    // rebucket changes the key→bucket map, compact rewrites snapshots,
+    // vacuum deletes history — the index/bloom layouts are siblings the
+    // store never touches, and the lookups recompute buckets from the
+    // CURRENT manifest.
+    store.rebucket(spark, "t", newNumBuckets = 5, asBatchId = 2L)
+    check("after rebucket")
+    store.compact(spark, "t", asBatchId = 3L)
+    check("after compact")
+    store.vacuum(spark, "t", keepFromBatchId = 3L)
+    check("after vacuum")
+    // artifacts still physically present
+    assert(spark.read.parquet(SecondaryIndex.indexDir(root, "t", "val"))
+      .count() > 0, "vacuum deleted the index postings")
+  }
+
   test("model fuzz: random op sequences keep index-first equal to snapshot filters") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
