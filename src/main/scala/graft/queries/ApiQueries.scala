@@ -844,6 +844,24 @@ object ApiQueries {
           sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_missing"))
         .orderBy(col("event_type"))
     }),
+
+    // VARIANT persisted — q62's type written to parquet as the binary
+    // variant encoding and read back: the storage face of open-schema
+    // columns (store once in the compact binary form; every later
+    // reader does typed path access with no JSON re-parse — at 100 TB
+    // the parse cost is paid once at ingest, not per query). Extraction
+    // after the round trip must equal extraction before it.
+    "q63_variant_roundtrip" -> ((s, d) => {
+      val dir = freshDir("variant-rt")
+      Tables.events(s, d).filter(col("props").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          parse_json(col("props")).as("v"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("event_id"), col("event_type"),
+          variant_get(col("v"), "$.k", "int").as("k"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -858,6 +876,11 @@ object ApiQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_missing
         |FROM events WHERE props IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q63_variant_roundtrip" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events WHERE props IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     "q21_custom_aggregator" ->
       """SELECT o_custkey,
         | (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
