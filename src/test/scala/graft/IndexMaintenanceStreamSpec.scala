@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.ChangeFeed
+import graft.sinks.{KeyBloom, ParquetUpsertStore, SecondaryIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** One keyed change event for the maintenance stream. */
+case class MaintEv(user_id: String, val0: String, op0: String, ver: Long)
+
+/** The artifacts maintained INSIDE the real streaming apply loop: one
+  * foreachBatch does index → bloom → store apply per micro-batch (the
+  * crash-safe ordering), across several micro-batches including
+  * updates and deletes; index-first and bloom-fronted lookups must
+  * equal snapshot filters at the end, and a REDELIVERED final batch
+  * (at-least-once) must change no answer — the store skips the
+  * replayed id, the artifacts absorb their duplicates by
+  * construction. */
+class IndexMaintenanceStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("foreachBatch-maintained index and blooms answer like snapshot filters, through replay") {
+    val root = checkpointDir("idx-maint")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+
+    def applyAll(b: DataFrame, id: Long): Unit = {
+      val env = ChangeFeed.wrapDml(b, "t", Seq("user_id"),
+        col("op0"), col("ver"), lit(0L))
+      SecondaryIndex.indexBatch(root, "t", "val0", env, id)
+      KeyBloom.addBatch(spark, root, "t", env, id, expectedItems = 1000L)
+      store.applyBatch(env, id)
+    }
+
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[MaintEv]
+    val q = in.toDF().writeStream
+      .option("checkpointLocation", checkpointDir("idx-maint-ckpt"))
+      .foreachBatch(applyAll _)
+      .start()
+    var lastBatch: Seq[MaintEv] = Nil
+    Seq(
+      (1 to 30).map(i => MaintEv(s"k$i", if (i % 3 == 0) "x" else "y",
+        "INSERT", i.toLong)),
+      Seq(MaintEv("k3", "y", "UPDATE", 100L), MaintEv("k6", "x", "DELETE", 101L),
+        MaintEv("k40", "x", "INSERT", 102L)),
+      Seq(MaintEv("k9", "z", "UPDATE", 200L), MaintEv("k41", "z", "INSERT", 201L))
+    ).foreach { batch =>
+      in.addData(batch: _*)
+      q.processAllAvailable()
+      lastBatch = batch
+    }
+    q.stop()
+
+    def checkAll(tag: String): Unit = {
+      def rows(df: DataFrame) =
+        df.select(col("row_key"), col("version")).as[(String, Long)]
+          .collect().toSet
+      Seq("x", "y", "z").foreach { v =>
+        assert(rows(SecondaryIndex.lookupByValue(
+            spark, store, root, "t", "val0", v)) ==
+          rows(store.snapshot(spark, "t")
+            .filter(try_element_at(col("values"), lit("val0")) === v)),
+          s"[$tag] indexed lookup diverges for '$v'")
+      }
+      val probes = Seq("k3", "k6", "k40", "k41", "ghost-1", "ghost-2")
+      assert(rows(KeyBloom.lookup(spark, store, root, "t", probes)) ==
+        rows(store.lookup(spark, "t", probes)),
+        s"[$tag] bloom-fronted lookup diverges")
+      // the update/delete really happened
+      assert(rows(SecondaryIndex.lookupByValue(
+        spark, store, root, "t", "val0", "z")).map(_._1) == Set("k9", "k41"))
+      assert(rows(store.lookup(spark, "t", Seq("k6"))).isEmpty)
+    }
+    checkAll("after stream")
+
+    // At-least-once redelivery of the final micro-batch: the store
+    // shadows the replayed id, the artifacts append duplicates the
+    // lookups collapse — no answer moves.
+    applyAll(lastBatch.toDF(), 2L)
+    checkAll("after redelivery")
+  }
+}
