@@ -587,4 +587,13 @@ class PlanAuditSpec extends SparkSuite {
       s"cdc32 must scan events once (the monolithic witness), the rest " +
         s"comes off the persisted sketch rows:\n$p")
   }
+
+  test("cdc33/cdc34 answer off the store and its artifacts, never the raw feed") {
+    Seq("cdc33_indexed_lookup", "cdc34_bloom_lookup").foreach { name =>
+      val p = executedPlan(name)
+      assert(scansOf(p, "events.parquet") == 0,
+        s"$name's returned plan must read buckets/postings only — the " +
+          s"feed was consumed at apply time:\n$p")
+    }
+  }
 }
