@@ -69,7 +69,7 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
   import ParquetUpsertStore._
 
   private def tableDir(table: String): String =
-    root + "/" + table.replaceAll("[^A-Za-z0-9._-]", "_")
+    ParquetUpsertStore.tableDir(root, table)
 
   /** Fault-injection seam (crash-consistency testing): applied to the
     * merged batch just before its parquet write. A test subclass can
@@ -563,6 +563,25 @@ object ParquetUpsertStore {
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[sinks] def tableDir(root: String, table: String): String =
+    root + "/" + table.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Ids of every committed manifest of the table at `tdir` (empty for a
+    * table that doesn't exist) — the sidecar artifacts' coverage oracle:
+    * [[KeyBloom.filterPresent]] refuses to prune when any committed
+    * batch lacks a bloom. Includes orphaned `.old` replace-swap sidecars
+    * (their ids are committed history a crashed swap merely hid). */
+  private[sinks] def committedManifestIds(fs: FileSystem, tdir: String): Seq[Long] =
+    try fs.listStatus(new Path(tdir)).toSeq
+      .map(_.getPath.getName)
+      .collect {
+        case n if n.matches("manifest-\\d+") =>
+          n.stripPrefix("manifest-").toLong
+        case n if n.matches("manifest-\\d+\\.old") =>
+          n.stripPrefix("manifest-").stripSuffix(".old").toLong
+      }.distinct
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
 
   /** The table's vacuum retention floor: the smallest manifest id that
     * survived the last vacuum — ids below it may have been deleted.

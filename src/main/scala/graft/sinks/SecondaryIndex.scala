@@ -1,13 +1,17 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets.UTF_8
+
 /** Append-only SECONDARY INDEX over a [[ParquetUpsertStore]] table: a
-  * value-partitioned postings table `value → row_key` for one envelope
-  * values column, maintained per applied batch, so a selective
-  * predicate on a NON-key column answers by point lookups instead of a
-  * table scan (the store's own pruning only understands `row_key`).
+  * postings table `value → row_key` for one envelope values column,
+  * maintained per applied batch, so a selective predicate on a NON-key
+  * column answers by point lookups instead of a table scan (the store's
+  * own pruning only understands `row_key`).
   *
   * Soundness model — postings are a SUPERSET of the truth, verified at
   * read time:
@@ -23,13 +27,35 @@ import org.apache.spark.sql.functions._
   * postings that the lookup's DISTINCT collapses — the same replay
   * posture as the store itself.
   *
-  * Layout: `<root>/__index/<table>/<column>/v=<value>/...` — a sibling
-  * of the table directories, invisible to the store's manifest readers
-  * and to [[ParquetUpsertStore.vacuum]] (which touches only
-  * `manifest-*`/`snap-*` entries). Value-partitioning turns the lookup
-  * into one pruned directory read at any table size.
+  * Layout: `<root>/__index/<table>/<column>/vb=<bucket>/...` — a
+  * sibling of the table directories, invisible to the store's manifest
+  * readers and to [[ParquetUpsertStore.vacuum]]. Postings are
+  * partitioned by `vb = pmod(hash(v), valueBuckets)`, a HASH of the
+  * value, never the raw value itself:
+  *   - a raw-value partition column would ship the value through Hive
+  *     directory naming, where an empty string becomes
+  *     `__HIVE_DEFAULT_PARTITION__` (read back as NULL — a silent
+  *     permanent false negative) and numeric-looking strings re-enter
+  *     through partition-type inference with changed equality;
+  *   - a high-cardinality column (timestamps, free text) would explode
+  *     into one directory per distinct value per append.
+  * The raw value `v` rides as an ordinary string DATA column (exact
+  * equality, no inference), plus `v_num = cast(v as double)` for range
+  * predicates; directory count is bounded by `valueBuckets` at any
+  * cardinality, and an equality lookup still reads exactly one pruned
+  * partition (bucket re-filtered on `v`). The bucket count is recorded
+  * once in a `_layout` file (underscore-prefixed: invisible to parquet
+  * readers) — writers and readers must agree on it or pruning would
+  * look in the wrong directory, so the recorded value wins over any
+  * later parameter.
   */
 object SecondaryIndex {
+
+  /** Default number of hash-bucketed value partitions: enough that a
+    * selective lookup reads ~1/64 of the postings, few enough that a
+    * per-batch append writes a bounded directory count at ANY value
+    * cardinality. */
+  val DefaultValueBuckets = 64
 
   private def safe(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
@@ -37,9 +63,67 @@ object SecondaryIndex {
                               column: String): String =
     s"$root/__index/${safe(table)}/${safe(column)}"
 
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Restore a postings directory from a [[compact]] swap that crashed
+    * between its two renames: the old log is intact under `<dir>.old`
+    * and nothing is at `<dir>` — rename it back (the manifest `.old`
+    * sidecar posture). Every read and maintenance entry point runs this
+    * first, so the crash window costs a re-run of the compaction, never
+    * a missing index. */
+  private def recoverSwap(fs: FileSystem, dir: String): Unit = {
+    val d = new Path(dir)
+    val aside = new Path(dir + ".old")
+    if (!fs.exists(d) && fs.exists(aside)) fs.rename(aside, d)
+  }
+
+  /** Record (first writer) or read back the layout's bucket count. */
+  private def ensureLayout(fs: FileSystem, dir: String,
+                           valueBuckets: Int): Int = {
+    require(valueBuckets > 0,
+      s"valueBuckets must be positive, got $valueBuckets")
+    readLayout(fs, dir).getOrElse {
+      val tmp = new Path(dir, "._layout.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"graft-secondary-index 1\nvalue_buckets $valueBuckets\n"
+        .getBytes(UTF_8))
+      finally out.close()
+      // first-writer-wins: a losing rename means a concurrent writer
+      // committed the layout — read theirs.
+      if (!fs.rename(tmp, new Path(dir, "_layout"))) fs.delete(tmp, false)
+      readLayout(fs, dir).getOrElse(valueBuckets)
+    }
+  }
+
+  private def readLayout(fs: FileSystem, dir: String): Option[Int] =
+    try {
+      val in = new BufferedReader(new InputStreamReader(
+        fs.open(new Path(dir, "_layout")), UTF_8))
+      try {
+        val header = in.readLine()
+        require(header != null && header.startsWith("graft-secondary-index"),
+          s"bad secondary-index layout header in $dir")
+        Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .collectFirst { case l if l.startsWith("value_buckets ") =>
+            l.stripPrefix("value_buckets ").trim.toInt }
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** The postings columns derived from an envelope projection: raw
+    * string value, numeric cast for range predicates, hash bucket.
+    * Sorted within partitions by (vb, v_num, v) so each written file's
+    * row groups carry tight min/max stats — the pushed range/equality
+    * filters then prune at the parquet footer. */
+  private def shapePostings(rows: DataFrame, nb: Int): DataFrame =
+    rows
+      .withColumn("v_num", col("v").try_cast("double")) // non-numeric → NULL
+      .withColumn("vb", pmod(hash(col("v")), lit(nb)))
+      .sortWithinPartitions(col("vb"), col("v_num"), col("v"))
+
   /** Index the envelope batch applied (or about to be applied) as
-    * `batchId`: one posting `(row_key, batch, v)` per non-DELETE DML
-    * row of `table` whose values carry a non-null `column`. Rows
+    * `batchId`: one posting `(row_key, batch, v, v_num)` per non-DELETE
+    * DML row of `table` whose values carry a non-null `column`. Rows
     * missing the column contribute nothing — a null value is not an
     * indexable predicate target. One pass over the batch, partitioned
     * write, no read of existing postings or store state.
@@ -52,73 +136,151 @@ object SecondaryIndex {
     * postings: permanent false negatives no read-time check can see.
     * SecondaryIndexSpec pins the index-ahead-of-store case. */
   def indexBatch(root: String, table: String, column: String,
-                 batch: DataFrame, batchId: Long): Unit =
-    UpsertSink.dmlProjection(batch)
-      .filter(col("table") === table)
-      .filter(col("op") =!= graft.model.OpType.Delete)
-      .select(col("row_key"), lit(batchId).as("batch"),
-        try_element_at(col("values"), lit(column)).as("v"))
-      .filter(col("v").isNotNull)
-      .write.mode("append").partitionBy("v")
-      .parquet(indexDir(root, table, column))
+                 batch: DataFrame, batchId: Long,
+                 valueBuckets: Int = DefaultValueBuckets): Unit = {
+    val dir = indexDir(root, table, column)
+    val fs = fsOf(batch.sparkSession, root)
+    recoverSwap(fs, dir)
+    fs.mkdirs(new Path(dir))
+    val nb = ensureLayout(fs, dir, valueBuckets)
+    shapePostings(
+      UpsertSink.dmlProjection(batch)
+        .filter(col("table") === table)
+        .filter(col("op") =!= graft.model.OpType.Delete)
+        .select(col("row_key"), lit(batchId).as("batch"),
+          try_element_at(col("values"), lit(column)).as("v"))
+        .filter(col("v").isNotNull), nb)
+      .write.mode("append").partitionBy("vb")
+      .parquet(dir)
+  }
 
-  /** Live rows whose CURRENT `column` value equals `v`, index-first:
-    * read the one postings partition for `v` (directory-pruned, and
-    * batch-bounded under time travel), collect the DISTINCT candidate
-    * keys, point-look the store (min(keys, buckets) bucket reads, the
-    * pushed `row_key IN` filter), and re-verify the predicate against
-    * the live values. The candidate collect is the index's contract:
-    * secondary lookups are for SELECTIVE values — `maxKeys` fails
-    * loudly past the bound rather than silently shipping a data-sized
-    * driver collect (a value matching half the table wants the
-    * snapshot-filter plan instead, stated in the error). */
-  def lookupByValue(spark: SparkSession, store: ParquetUpsertStore,
-                    root: String, table: String, column: String, v: String,
-                    atOrBefore: Option[Long] = None,
-                    maxKeys: Int = 100000): DataFrame = {
-    val posts = spark.read.parquet(indexDir(root, table, column))
-      .filter(col("v") === v)
+  /** Candidate keys from the postings for a predicate, bounded by
+    * `maxKeys` — the index's contract: secondary lookups are for
+    * SELECTIVE predicates, and the guard fails loudly rather than
+    * silently shipping a data-sized driver collect. */
+  private def candidateKeys(posts: DataFrame, what: String,
+                            atOrBefore: Option[Long],
+                            maxKeys: Int): Seq[String] = {
     val horizon = atOrBefore.fold(posts)(h => posts.filter(col("batch") <= h))
     val keys = horizon.select(col("row_key")).distinct()
       .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq.sorted
     require(keys.length <= maxKeys,
-      s"SecondaryIndex: value '$v' of '$table.$column' matches more than " +
-        s"$maxKeys candidate keys — too popular for an index-first point " +
-        "lookup; filter the snapshot instead")
+      s"SecondaryIndex: $what matches more than $maxKeys candidate keys — " +
+        "too popular for an index-first point lookup; filter the snapshot " +
+        "instead")
+    keys
+  }
+
+  /** Live rows whose CURRENT `column` value equals `v`, index-first:
+    * read the one postings partition `v` hashes to (directory-pruned,
+    * re-filtered on the raw value column, batch-bounded under time
+    * travel), collect the DISTINCT candidate keys, point-look the store
+    * (min(keys, buckets) bucket reads, the pushed `row_key IN` filter),
+    * and re-verify the predicate against the live values. */
+  def lookupByValue(spark: SparkSession, store: ParquetUpsertStore,
+                    root: String, table: String, column: String, v: String,
+                    atOrBefore: Option[Long] = None,
+                    maxKeys: Int = 100000): DataFrame = {
+    val dir = indexDir(root, table, column)
+    val fs = fsOf(spark, root)
+    recoverSwap(fs, dir)
+    val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
+    val posts = spark.read.parquet(dir)
+      .filter(col("vb") === ParquetUpsertStore.bucketOf(v, nb))
+      .filter(col("v") === v)
+    val keys = candidateKeys(posts, s"value '$v' of '$table.$column'",
+      atOrBefore, maxKeys)
     store.lookup(spark, table, keys, atOrBefore)
       .filter(try_element_at(col("values"), lit(column)) === v)
   }
 
-  /** Compact the postings log: rebuild it from the LIVE snapshot as of
-    * `asBatch` — one linear store scan replacing the whole append
-    * history, after which every posting is current (zero false
-    * positives until the next append) and the log stops growing with
-    * batch count. The vs27 tombstone-compaction posture: amortized
-    * maintenance, identical answers before and after (the lookup's
-    * re-verification makes compaction invisible to correctness —
-    * SecondaryIndexSpec pins it). Like [[ParquetUpsertStore.compact]],
-    * this collapses HISTORY: every rebuilt posting carries `asBatch`,
-    * so `lookupByValue(atOrBefore = t)` for t < asBatch finds no
-    * postings afterwards — time travel below the compaction point is
-    * unsupported, the store's own documented compaction contract.
-    * Swap is write-new/delete-old/rename:
-    * a crash between steps leaves either the old intact log or a
-    * complete new one (plus, at worst, an orphaned tmp dir the next
-    * compaction overwrites), never a half-truncated index. */
+  /** Live rows whose CURRENT `column` value, read as a number, lies in
+    * `[lo, hi]` — the range twin of [[lookupByValue]]. Hash buckets
+    * can't prune a range, so the postings read spans partitions, but
+    * the `v_num` predicate is PUSHED to the parquet scan and the
+    * sorted-write layout gives each row group tight min/max stats — the
+    * scan touches postings files overlapping the range, never the
+    * table, and the candidates it yields take the same bounded
+    * point-lookup + live re-verification path. Values that don't parse
+    * as numbers have NULL `v_num` and never match (a non-numeric value
+    * is not in any numeric range). */
+  def lookupByRange(spark: SparkSession, store: ParquetUpsertStore,
+                    root: String, table: String, column: String,
+                    lo: Double, hi: Double,
+                    atOrBefore: Option[Long] = None,
+                    maxKeys: Int = 100000): DataFrame = {
+    val dir = indexDir(root, table, column)
+    recoverSwap(fsOf(spark, root), dir)
+    val posts = spark.read.parquet(dir)
+      .filter(col("v_num") >= lo && col("v_num") <= hi)
+    val keys = candidateKeys(posts,
+      s"range [$lo, $hi] of '$table.$column'", atOrBefore, maxKeys)
+    store.lookup(spark, table, keys, atOrBefore)
+      .filter(try_element_at(col("values"), lit(column)).try_cast("double")
+        .between(lo, hi))
+  }
+
+  /** Compact the postings log: rebuild everything at or below `asBatch`
+    * from the LIVE snapshot as of that id — one linear store scan
+    * replacing the folded history, after which every folded posting is
+    * current (zero false positives until the next append) and the log
+    * stops growing with batch count. Postings from batches ABOVE
+    * `asBatch` are carried over verbatim: an in-flight batch that was
+    * indexed but not yet applied (the index-first ordering) keeps its
+    * postings, so a compaction racing the apply loop at a micro-batch
+    * boundary folds away nothing it shouldn't. The remaining unsafe
+    * window is a compaction LAUNCHED between a batch's index write and
+    * the moment its files are visible to the listing — run compaction
+    * at micro-batch boundaries (between foreachBatch invocations), the
+    * contract IndexMaintenanceStreamSpec pins.
+    *
+    * Like [[ParquetUpsertStore.compact]], this collapses history: every
+    * rebuilt posting carries `asBatch`, so `lookupByValue(atOrBefore=t)`
+    * for t < asBatch finds no postings afterwards — time travel below
+    * the compaction point is unsupported, the store's own documented
+    * compaction contract. Swap is write-new / rename-aside / rename-in /
+    * delete-aside: every rename checks its result, and a crash at any
+    * point leaves either the old intact log (possibly renamed aside,
+    * restored by [[recoverSwap]] on the next touch) or the complete new
+    * one — never a missing or half-truncated index. */
   def compact(spark: SparkSession, store: ParquetUpsertStore,
               root: String, table: String, column: String,
               asBatch: Long): Unit = {
     val dir = indexDir(root, table, column)
+    val fs = fsOf(spark, root)
+    recoverSwap(fs, dir)
+    val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
     val tmp = dir + ".compact-tmp"
-    store.snapshotAt(spark, table, asBatch)
+    val later =
+      try spark.read.parquet(dir).filter(col("batch") > asBatch)
+        .select(col("row_key"), col("batch"), col("v"))
+      catch { // no postings yet (or only empty appends): nothing to carry
+        case _: org.apache.spark.sql.AnalysisException => null
+      }
+    val rebuilt = store.snapshotAt(spark, table, asBatch)
       .select(col("row_key"), lit(asBatch).as("batch"),
         try_element_at(col("values"), lit(column)).as("v"))
       .filter(col("v").isNotNull)
-      .write.mode("overwrite").partitionBy("v").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(dir))
+    shapePostings(Option(later).fold(rebuilt)(rebuilt.unionByName(_)), nb)
+      .write.mode("overwrite").partitionBy("vb").parquet(tmp)
+    // the new log must carry the layout before it becomes visible
+    val out = fs.create(new Path(tmp, "_layout"), true)
+    try out.write(s"graft-secondary-index 1\nvalue_buckets $nb\n"
+      .getBytes(UTF_8))
+    finally out.close()
+    val d = new Path(dir)
+    val aside = new Path(dir + ".old")
+    fs.delete(aside, true) // stale aside from an earlier completed swap
+    if (fs.exists(d) && !fs.rename(d, aside))
+      throw new java.io.IOException(
+        s"SecondaryIndex.compact: rename $d -> $aside failed")
+    if (!fs.rename(new Path(tmp), d)) {
+      fs.rename(aside, d) // best-effort restore; recoverSwap backstops
+      throw new java.io.IOException(
+        s"SecondaryIndex.compact: rename $tmp -> $d failed")
+    }
+    if (fs.exists(aside) && !fs.delete(aside, true))
+      throw new java.io.IOException(
+        s"SecondaryIndex.compact: delete $aside failed")
   }
 }

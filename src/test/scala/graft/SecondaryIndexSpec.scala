@@ -92,13 +92,167 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(byIndex("a").map(_._1) == Set("k3", "k5", "k6"))
     assert(byIndex("a") == byScan("a"))
 
-    // The postings read is value-partition-pruned at the source.
+    // The postings read is bucket-partition-pruned at the source: the
+    // value hashes to one vb partition, the raw value re-filters as an
+    // ordinary pushed data predicate.
     val posts = spark.read.parquet(SecondaryIndex.indexDir(root, "t", "val"))
-      .filter(col("v") === "a")
+      .filter(col("vb") === 7).filter(col("v") === "a")
     posts.collect()
     val plan = posts.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("v#"),
+    assert(plan.contains("PartitionFilters") && plan.contains("vb#"),
       s"postings scan lost its partition pruning:\n$plan")
+  }
+
+  test("empty-string and numeric-looking values round-trip exactly") {
+    // A raw-value partition column would Hive-encode "" as
+    // __HIVE_DEFAULT_PARTITION__ (read back NULL — a permanent false
+    // negative) and type-infer "123"/"1.5" into int/double equality;
+    // the hash-bucketed layout keeps the value as a string data column.
+    val root = checkpointDir("secidx-oddvals")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    val b0 = env(Seq(
+      ("k1", "", "INSERT", 1L), ("k2", "123", "INSERT", 1L),
+      ("k3", "1.50", "INSERT", 1L), ("k4", "01", "INSERT", 1L),
+      ("k5", "1", "INSERT", 1L), ("k6", "", "INSERT", 1L)))
+    SecondaryIndex.indexBatch(root, "t", "val", b0, 0L)
+    store.applyBatch(b0, 0L)
+    def byIndex(v: String) = liveSet(
+      SecondaryIndex.lookupByValue(spark, store, root, "t", "val", v))
+    def byScan(v: String) = liveSet(store.snapshot(spark, "t")
+      .filter(try_element_at(col("values"), lit("val")) === v))
+    Seq("", "123", "1.50", "01", "1", "1.5").foreach { v =>
+      assert(byIndex(v) == byScan(v), s"lookup diverges for '$v'")
+    }
+    assert(byIndex("").map(_._1) == Set("k1", "k6"),
+      "empty-string values must survive the postings round-trip")
+    // string semantics preserved: "01" and "1" are DIFFERENT values
+    assert(byIndex("01").map(_._1) == Set("k4"))
+    assert(byIndex("1").map(_._1) == Set("k5"))
+    // compaction preserves them too
+    SecondaryIndex.compact(spark, store, root, "t", "val", asBatch = 0L)
+    Seq("", "123", "01", "1").foreach { v =>
+      assert(byIndex(v) == byScan(v), s"post-compaction diverges for '$v'")
+    }
+  }
+
+  test("high-cardinality column: bounded directory count, lookups still pruned") {
+    val root = checkpointDir("secidx-hicard")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    // ~unique values: one per key — the raw-value layout would write
+    // one directory per row per append.
+    val rows = (1 to 200).map(i => (s"k$i", s"u-$i", "INSERT", 1L))
+    val b0 = env(rows)
+    SecondaryIndex.indexBatch(root, "t", "val", b0, 0L, valueBuckets = 8)
+    store.applyBatch(b0, 0L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(
+        SecondaryIndex.indexDir(root, "t", "val")))
+      .map(_.getPath.getName).filter(_.startsWith("vb="))
+    assert(dirs.length <= 8,
+      s"directory count must be bounded by valueBuckets, got ${dirs.length}")
+    // a later writer with a DIFFERENT (default) bucket parameter must
+    // follow the recorded layout, not fork it
+    val b1 = env(Seq(("k201", "u-201", "INSERT", 2L)))
+    SecondaryIndex.indexBatch(root, "t", "val", b1, 1L)
+    store.applyBatch(b1, 1L)
+    Seq("u-1", "u-137", "u-201", "nope").foreach { v =>
+      assert(liveSet(SecondaryIndex.lookupByValue(
+          spark, store, root, "t", "val", v)) ==
+        liveSet(store.snapshot(spark, "t")
+          .filter(try_element_at(col("values"), lit("val")) === v)),
+        s"lookup diverges for '$v'")
+    }
+  }
+
+  test("range lookup equals the snapshot filter, through change and compaction") {
+    val root = checkpointDir("secidx-range")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    val b0 = env(Seq(
+      ("k1", "10", "INSERT", 1L), ("k2", "25", "INSERT", 1L),
+      ("k3", "30.5", "INSERT", 1L), ("k4", "99", "INSERT", 1L),
+      ("k5", "not-a-number", "INSERT", 1L)))
+    val b1 = env(Seq(
+      ("k1", "50", "UPDATE", 2L), // leaves [0,30] — stale posting prunes
+      ("k4", "99", "DELETE", 2L),
+      ("k6", "12", "INSERT", 2L)))
+    Seq((b0, 0L), (b1, 1L)).foreach { case (b, id) =>
+      SecondaryIndex.indexBatch(root, "t", "val", b, id)
+      store.applyBatch(b, id)
+    }
+    def byIndex(lo: Double, hi: Double) = liveSet(
+      SecondaryIndex.lookupByRange(spark, store, root, "t", "val", lo, hi))
+    def byScan(lo: Double, hi: Double) = liveSet(store.snapshot(spark, "t")
+      .filter(try_element_at(col("values"), lit("val")).try_cast("double")
+        .between(lo, hi)))
+    Seq((0.0, 30.0), (12.0, 60.0), (1000.0, 2000.0)).foreach { case (lo, hi) =>
+      assert(byIndex(lo, hi) == byScan(lo, hi),
+        s"range lookup diverges for [$lo, $hi]")
+    }
+    assert(byIndex(0.0, 30.0).map(_._1) == Set(// k1 changed, k4 died
+      "k2", "k6"), "stale range postings must prune")
+    assert(byIndex(12.0, 60.0).map(_._1) == Set("k1", "k2", "k3", "k6"))
+    // the range predicate is PUSHED to the postings scan
+    val posts = spark.read
+      .parquet(SecondaryIndex.indexDir(root, "t", "val"))
+      .filter(col("v_num") >= 0.0 && col("v_num") <= 30.0)
+    val plan = posts.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(v_num"),
+      s"range predicate not pushed to the postings scan:\n$plan")
+    // over-popular range fails loudly
+    val e = intercept[IllegalArgumentException](
+      SecondaryIndex.lookupByRange(spark, store, root, "t", "val",
+        0.0, 1000.0, maxKeys = 1))
+    assert(e.getMessage.contains("too popular"))
+    SecondaryIndex.compact(spark, store, root, "t", "val", asBatch = 1L)
+    Seq((0.0, 30.0), (12.0, 60.0)).foreach { case (lo, hi) =>
+      assert(byIndex(lo, hi) == byScan(lo, hi),
+        s"post-compaction range diverges for [$lo, $hi]")
+    }
+  }
+
+  test("compaction swap is crash-safe and retains in-flight postings") {
+    val root = checkpointDir("secidx-crash")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    val b0 = env(Seq(("k1", "a", "INSERT", 1L), ("k2", "b", "INSERT", 1L)))
+    SecondaryIndex.indexBatch(root, "t", "val", b0, 0L)
+    store.applyBatch(b0, 0L)
+    val dir = SecondaryIndex.indexDir(root, "t", "val")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def byIndex(v: String) = liveSet(
+      SecondaryIndex.lookupByValue(spark, store, root, "t", "val", v))
+    def byScan(v: String) = liveSet(store.snapshot(spark, "t")
+      .filter(try_element_at(col("values"), lit("val")) === v))
+
+    // Simulate a compact that crashed between its two renames: the old
+    // log sits aside at <dir>.old, nothing at <dir>, a complete tmp is
+    // orphaned. The next read must recover the old log and answer.
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".compact-tmp"))
+    assert(byIndex("a") == byScan("a"), "crashed swap must recover")
+    assert(byIndex("a").map(_._1) == Set("k1"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")),
+      "recovery must restore the postings directory")
+    // and a compaction after the crash works (overwrites the orphan tmp)
+    SecondaryIndex.compact(spark, store, root, "t", "val", asBatch = 0L)
+    assert(byIndex("a") == byScan("a"))
+
+    // In-flight retention: a batch indexed but NOT yet applied (the
+    // index-first ordering) survives a compaction at an older id —
+    // folding it away would be a permanent false negative once the
+    // apply lands.
+    val b1 = env(Seq(("k3", "a", "INSERT", 2L)))
+    SecondaryIndex.indexBatch(root, "t", "val", b1, 1L)
+    SecondaryIndex.compact(spark, store, root, "t", "val", asBatch = 0L)
+    assert(byIndex("a") == byScan("a"), "pre-apply: in-flight postings prune")
+    store.applyBatch(b1, 1L)
+    assert(byIndex("a").map(_._1) == Set("k1", "k3"),
+      "compaction must not fold away in-flight postings")
+    assert(byIndex("a") == byScan("a"))
   }
 
   test("index and bloom artifacts survive store layout evolution (rebucket, compact, vacuum)") {
