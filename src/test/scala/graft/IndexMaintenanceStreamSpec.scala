@@ -80,4 +80,96 @@ class IndexMaintenanceStreamSpec extends SparkSuite {
     applyAll(lastBatch.toDF(), 2L)
     checkAll("after redelivery")
   }
+
+  test("compaction at micro-batch boundaries of a live stream, through checkpoint restart") {
+    // THE CONTRACT: artifact compaction runs BETWEEN foreachBatch
+    // invocations (a micro-batch boundary — foreachBatch is serial, so
+    // the boundary is a quiesce point for the index→bloom→apply
+    // sequence), never between a batch's index write and its store
+    // apply. SecondaryIndex.compact additionally carries postings of
+    // batches above the compaction point, so an indexed-but-unapplied
+    // in-flight batch survives even a boundary race
+    // (SecondaryIndexSpec pins that face); this pins the streaming
+    // composition: compact while the query is LIVE, keep streaming,
+    // restart from the checkpoint, and every lookup stays equal to the
+    // snapshot filter across both boundaries.
+    val root = checkpointDir("idx-compact-stream")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    val applied = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+    def applyAll(b: DataFrame, id: Long): Unit = {
+      val env = ChangeFeed.wrapDml(b, "t", Seq("user_id"),
+        col("op0"), col("ver"), lit(0L))
+      SecondaryIndex.indexBatch(root, "t", "val0", env, id)
+      KeyBloom.addBatch(spark, root, "t", env, id)
+      store.applyBatch(env, id)
+      applied.set(math.max(applied.get, id))
+    }
+
+    def checkAll(tag: String): Unit = {
+      def rows(df: DataFrame) =
+        df.select(col("row_key"), col("version")).as[(String, Long)]
+          .collect().toSet
+      Seq("x", "y", "z").foreach { v =>
+        assert(rows(SecondaryIndex.lookupByValue(
+            spark, store, root, "t", "val0", v)) ==
+          rows(store.snapshot(spark, "t")
+            .filter(try_element_at(col("values"), lit("val0")) === v)),
+          s"[$tag] indexed lookup diverges for '$v'")
+      }
+      val probes = (1 to 30).map(i => s"k$i") ++
+        Seq("k60", "k61", "ghost-1", "ghost-2", "ghost-3")
+      assert(rows(KeyBloom.lookup(spark, store, root, "t", probes)) ==
+        rows(store.lookup(spark, "t", probes)),
+        s"[$tag] bloom-fronted lookup diverges")
+    }
+
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[MaintEv]
+    val ckpt = checkpointDir("idx-compact-stream-ckpt")
+    def start() = in.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(applyAll _)
+      .start()
+
+    val q1 = start()
+    in.addData((1 to 30).map(i =>
+      MaintEv(s"k$i", if (i % 3 == 0) "x" else "y", "INSERT", i.toLong)): _*)
+    q1.processAllAvailable()
+    in.addData(MaintEv("k3", "z", "UPDATE", 100L),
+      MaintEv("k6", "x", "DELETE", 101L))
+    q1.processAllAvailable()
+    checkAll("pre-compaction")
+
+    // Micro-batch boundary, query still LIVE: fold store + artifacts at
+    // the last applied id (the production cadence — store compaction,
+    // index rebuild from its snapshot, bloom snapshot from its keys).
+    val at = applied.get
+    store.compact(spark, "t", at)
+    SecondaryIndex.compact(spark, store, root, "t", "val0", at)
+    KeyBloom.compact(spark, store, root, "t", at)
+    checkAll("post-compaction, live query")
+
+    // The live stream keeps applying across the compaction boundary.
+    in.addData(MaintEv("k9", "z", "UPDATE", 200L),
+      MaintEv("k60", "x", "INSERT", 201L))
+    q1.processAllAvailable()
+    checkAll("post-compaction, next micro-batch")
+    q1.stop()
+
+    // Checkpoint restart over the compacted layout: the resumed stream's
+    // batches keep maintaining the folded artifacts.
+    in.addData(MaintEv("k61", "y", "INSERT", 300L),
+      MaintEv("k60", "y", "UPDATE", 301L))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    checkAll("after restart")
+    assert(store.lookup(spark, "t", Seq("k6")).isEmpty, "delete survived")
+    def keysFor(v: String) = SecondaryIndex.lookupByValue(
+        spark, store, root, "t", "val0", v)
+      .select(col("row_key")).as[String].collect().toSet
+    assert(keysFor("z") == Set("k3", "k9"))
+    assert(keysFor("y").contains("k60"), "post-restart update missing")
+  }
 }
