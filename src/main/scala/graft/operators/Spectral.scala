@@ -300,14 +300,54 @@ object Spectral {
       var k = 0
       while (k < dim) { ss += w(k) * w(k); k += 1 }
       val nrm = math.sqrt(ss)
-      // An all-zero covariance (constant embedding column) maps every
-      // iterate to 0; dividing would spread NaN corpus-wide. The
-      // current v (any unit vector) is a valid eigenvector of the zero
-      // matrix, so keep it and stop.
-      if (nrm == 0.0) return v
+      // A zero (or fully deflated) matrix maps every iterate to 0;
+      // dividing would spread NaN corpus-wide. Any unit vector
+      // ORTHOGONAL to the already-extracted set is a valid eigenvector
+      // (eigenvalue 0) — returning the raw start vector here would hand
+      // principalComponentsWithValues the SAME vector for every
+      // remaining component (k identical, non-orthogonal "components"),
+      // so pick deterministically from the extracted set's complement
+      // instead: the ortho-projected start, or the first canonical
+      // basis vector with a surviving projection.
+      if (nrm == 0.0) return orthoComplementUnit(v, ortho, dim)
       v = w.map(_ / nrm)
       t += 1
     }
     v
+  }
+
+  /** A deterministic unit vector orthogonal to `ortho`: the projection
+    * of `start` onto the complement if it survives, else the first
+    * canonical basis vector eᵢ whose projection does (one must, while
+    * fewer than dim vectors are extracted — the projector has rank
+    * dim − |ortho| > 0 and the eᵢ span everything). Fixed fold order
+    * throughout, like every other driver-side op here. */
+  private def orthoComplementUnit(start: Array[Double],
+                                  ortho: Seq[Array[Double]],
+                                  dim: Int): Array[Double] = {
+    def project(x: Array[Double]): Array[Double] = {
+      val w = x.clone()
+      ortho.foreach { u =>
+        var d = 0.0
+        var m = 0
+        while (m < dim) { d += w(m) * u(m); m += 1 }
+        m = 0
+        while (m < dim) { w(m) -= d * u(m); m += 1 }
+      }
+      w
+    }
+    def norm(x: Array[Double]): Double = {
+      var ss = 0.0
+      var k = 0
+      while (k < dim) { ss += x(k) * x(k); k += 1 }
+      math.sqrt(ss)
+    }
+    val candidates = Iterator(start) ++ (0 until dim).iterator.map { i =>
+      val e = new Array[Double](dim); e(i) = 1.0; e
+    }
+    candidates.map(project)
+      .map(w => (w, norm(w)))
+      .collectFirst { case (w, n) if n > 1e-12 => w.map(_ / n) }
+      .getOrElse(start) // over-extracted past dim: caller asked for k > rank
   }
 }

@@ -141,6 +141,28 @@ class SpectralSpec extends SparkSuite {
       s"PC2 Rayleigh ${rayleigh(p2)} exceeds PC1's ${rayleigh(p1)}")
   }
 
+  test("a zero covariance still yields a distinct orthonormal basis, not k copies") {
+    // Degenerate face (constant embedding column → all-zero covariance):
+    // power iteration's zero-norm early exit must hand back a vector in
+    // the EXTRACTED SET'S COMPLEMENT each time, or every component after
+    // the first would be the same non-orthogonal start vector.
+    import spark.implicits._
+    val d = 4
+    val zeroCov = (for (i <- 0 until d; j <- i until d) yield (i, j, 0.0))
+      .toList.toDF("i", "j", "cov")
+    val pcs = Spectral.principalComponentsWithValues(zeroCov, d, iters = 8, k = 3)
+    assert(pcs.length == 3)
+    pcs.foreach { case (_, lambda) =>
+      assert(math.abs(lambda) < 1e-12, s"zero matrix has eigenvalue $lambda")
+    }
+    for (a <- pcs.indices; b <- pcs.indices) {
+      val dot = (0 until d).map(i => pcs(a)._1(i) * pcs(b)._1(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9,
+        s"components $a,$b not orthonormal: dot=$dot")
+    }
+  }
+
   test("whitened projections have unit population variance per component") {
     // Var(x·vₖ)/λₖ = vₖᵀCvₖ/λₖ = 1 by construction when λₖ is the
     // extraction-time Rayleigh value — the property whitening is FOR.
