@@ -974,6 +974,38 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // RANGE lookup over the secondary index — the numeric twin of
+    // cdc33: postings carry v_num = try_cast(v as double), the range
+    // predicate is PUSHED to the postings scan (row-group min/max from
+    // the sorted write), candidates take the same bounded point-lookup
+    // path, and the live re-verification makes the answer equal the
+    // snapshot filter exactly. A mid-sequence compaction folds batch 0
+    // into a snapshot rebuild before batch 1 appends, so the gated path
+    // exercises folded + appended postings together (SecondaryIndexSpec
+    // pins the swap/crash/in-flight faces).
+    "cdc35_range_lookup" -> ((s, d) => {
+      import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
+      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+        Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val root = freshDir("cdc35")
+      val store = new ParquetUpsertStore(root, numBuckets = 8)
+      Seq(0L, 1L).foreach { b =>
+        val part = env.filter(ver % 2 === b)
+        SecondaryIndex.indexBatch(root, "public.events", "value", part, b)
+        store.applyBatch(part, b)
+        if (b == 0L)
+          SecondaryIndex.compact(s, store, root, "public.events", "value", 0L)
+      }
+      SecondaryIndex.lookupByRange(s, store, root, "public.events",
+          "value", 10.0, 20.0)
+        .select(col("row_key").cast("long").as("user_id"),
+          col("version").as("event_id"),
+          element_at(col("values"), "event_type").as("event_type"),
+          element_at(col("values"), "value").cast("double").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     "cdc29_schema_evolution" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("op", opFromEvent)
       val cut = ev.agg(
@@ -1319,6 +1351,16 @@ object CdcQueries {
          |    $opFromEventSql AS op
          |  FROM events WHERE user_id BETWEEN 0 AND 9) t
          |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "cdc35_range_lookup" ->
+      s"""SELECT user_id, event_id, event_type, value FROM (
+         |  SELECT user_id, event_id, event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn,
+         |    $opFromEventSql AS op
+         |  FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE'
+         |  AND CAST(value AS DOUBLE) BETWEEN 10.0 AND 20.0
+         |ORDER BY user_id""".stripMargin,
     "cdc31_replay_dupes" ->
       """WITH log AS (
         |  SELECT event_id, user_id, event_type FROM events
