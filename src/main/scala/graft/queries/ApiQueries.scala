@@ -862,6 +862,64 @@ object ApiQueries {
           variant_get(col("v"), "$.k", "int").as("k"))
         .orderBy(col("event_id"))
     }),
+
+    // VARIANT's third face: SCHEMA-DRIFT DISCOVERY — the metadata query
+    // an open-schema ingest actually runs ("which keys and types appear,
+    // per epoch?"): variant_explode over every document's top level,
+    // schema_of_variant per value, both collapsed to a cross-engine
+    // canonical type TIER (integer/number/string/boolean/null/array/
+    // object — engines disagree on the fine-grained spelling:
+    // DECIMAL(3,1) vs DOUBLE, BIGINT vs UBIGINT), aggregated into a
+    // key×tier×epoch count profile. This is the DDL-drift monitor for
+    // in-band schemas (the reference's dynamic-schema stance read as a
+    // query). The fixture's props carry one fixed key, so the payload
+    // is widened DETERMINISTICALLY from fixture columns (epoch-gated
+    // fragments: keys appear over epochs — exactly the drift the
+    // monitor exists to surface), and the oracle rebuilds the same JSON
+    // text and profiles it with DuckDB's json_keys/json_type. Scale
+    // shape: one corpus scan, row-local parse + explode (fan-out ≤
+    // keys-per-doc), map-side-combined count; output is key-cardinality
+    // × epochs — metadata-sized at any corpus size.
+    "q64_variant_schema_profile" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("props").isNotNull)
+      val epoch = pmod(col("event_id"), lit(3)).cast("int")
+      // fragments: NULL drops out of concat_ws on both engines
+      val kF = concat(lit("\"k\": "),
+        variant_get(parse_json(col("props")), "$.k", "int").cast("string"))
+      // floor(x)+0.5 renders identically in Spark and DuckDB (exact
+      // binary fraction, minimal-digit printing on both)
+      val amtF = when(epoch >= 1,
+        concat(lit("\"amt\": "), (floor(col("value")) + 0.5).cast("string")))
+      val tagsF = when(epoch === 2 && col("event_type") === "click",
+        concat(lit("\"tags\": [\""), col("event_type"), lit("\", 7]")))
+      val metaF = when(epoch === 2 && pmod(col("user_id"), lit(5)) === 0,
+        lit("\"meta\": {\"src\": \"web\"}"))
+      val noteF = when(pmod(col("user_id"), lit(11)) === 0,
+        lit("\"note\": null"))
+      ev.select(epoch.as("epoch"),
+          parse_json(concat(lit("{"),
+            concat_ws(", ", kF, amtF, tagsF, metaF, noteF), lit("}"))).as("v"))
+        .createOrReplaceTempView("q64_props")
+      s.sql("""
+        SELECT epoch, key,
+          CASE
+            WHEN sv IN ('BIGINT', 'INT', 'SMALLINT', 'TINYINT')
+              THEN 'integer'
+            WHEN sv = 'STRING' THEN 'string'
+            WHEN sv = 'BOOLEAN' THEN 'boolean'
+            WHEN sv IN ('VOID', 'NULL') THEN 'null'
+            WHEN sv LIKE 'ARRAY%' THEN 'array'
+            WHEN sv LIKE 'OBJECT%' OR sv LIKE 'STRUCT%' THEN 'object'
+            ELSE 'number'
+          END AS vtype,
+          COUNT(*) AS n
+        FROM (
+          SELECT epoch, p.key AS key, schema_of_variant(p.value) AS sv
+          FROM q64_props, LATERAL variant_explode(v) AS p
+        )
+        GROUP BY epoch, key, vtype
+        ORDER BY epoch, key, vtype""")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -881,6 +939,36 @@ object ApiQueries {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events WHERE props IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    "q64_variant_schema_profile" ->
+      """WITH base AS (
+        |  SELECT CAST(event_id % 3 AS INT) AS epoch,
+        |    ('{' || concat_ws(', ',
+        |      '"k": ' || CAST(CAST(json_extract_string(props, '$.k')
+        |        AS BIGINT) AS VARCHAR),
+        |      CASE WHEN event_id % 3 >= 1 THEN
+        |        '"amt": ' || CAST(FLOOR(value) + 0.5 AS VARCHAR) END,
+        |      CASE WHEN event_id % 3 = 2 AND event_type = 'click' THEN
+        |        '"tags": ["' || event_type || '", 7]' END,
+        |      CASE WHEN event_id % 3 = 2 AND user_id % 5 = 0 THEN
+        |        '"meta": {"src": "web"}' END,
+        |      CASE WHEN user_id % 11 = 0 THEN '"note": null' END
+        |    ) || '}')::JSON AS js
+        |  FROM events WHERE props IS NOT NULL)
+        |SELECT epoch, u.k AS key,
+        |  CASE COALESCE(json_type(base.js, '$.' || u.k), 'NULL')
+        |    WHEN 'UBIGINT' THEN 'integer'
+        |    WHEN 'BIGINT' THEN 'integer'
+        |    WHEN 'VARCHAR' THEN 'string'
+        |    WHEN 'BOOLEAN' THEN 'boolean'
+        |    WHEN 'NULL' THEN 'null'
+        |    WHEN 'ARRAY' THEN 'array'
+        |    WHEN 'OBJECT' THEN 'object'
+        |    ELSE 'number'
+        |  END AS vtype,
+        |  COUNT(*) AS n
+        |FROM base, UNNEST(json_keys(base.js)) AS u(k)
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q21_custom_aggregator" ->
       """SELECT o_custkey,
         | (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
