@@ -1533,6 +1533,31 @@ object TextQueries {
         .orderBy(col("bin"), col("doc_id"))
     }),
 
+    // The TRAINED tokenizer composed into packing — ns60 packs by
+    // whitespace counts, but a real loader packs by what the tokenizer
+    // actually emits: per-doc BPE token costs under ns52's five merges
+    // (ns55's lookup discipline — a word's encoded length is an exact
+    // join against the vocabulary-sized post-merge word table, never a
+    // per-document re-encoding), fed into ns60's two-phase prefix-sum
+    // bins. Docs whose every token is empty contribute no cost rows and
+    // consume no budget. Scale shape: ns55's one token-stream scan +
+    // broadcast word table, then packing's bucket-bounded carry window —
+    // the composition adds no new corpus pass over its parts.
+    "ns66_bpe_packing" -> ((s, d) => {
+      val words = bpeTrain(s, d, rounds = 5)._1
+      val wt = words.select(concat_ws("", col("cs")).as("tok"),
+        size(col("cs")).cast("long").as("n_seg"))
+      val docCosts = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .join(broadcast(wt), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_seg")).as("n_bpe"))
+      Packing.packSequences(docCosts, "doc_id", "n_bpe", budget = 512)
+        .withColumnRenamed("weight", "n_bpe_tokens")
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): score every raw
     // document by how target-like its hashed-bigram feature profile is.
@@ -2725,6 +2750,25 @@ object TextQueries {
         |  least(fin, (bin + 1) * 256) - start AS tok_to,
         |  least(fin, (bin + 1) * 256) - greatest(start, bin * 256) AS n_tok_chunk
         |FROM x ORDER BY bin, doc_id""".stripMargin,
+    "ns66_bpe_packing" ->
+      s"""WITH ${bpeCtes(5)},
+         |wt AS (
+         |  SELECT array_to_string(cs, '') AS tok, len(cs) AS n_seg FROM w5),
+         |t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |dc AS (
+         |  SELECT doc_id, CAST(SUM(n_seg) AS BIGINT) AS n_bpe_tokens
+         |  FROM t JOIN wt USING (tok) WHERE tok <> ''
+         |  GROUP BY doc_id),
+         |c AS (
+         |  SELECT doc_id, n_bpe_tokens,
+         |    CAST(COALESCE(SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start
+         |  FROM dc)
+         |SELECT doc_id, n_bpe_tokens, start, start // 512 AS bin
+         |FROM c ORDER BY doc_id""".stripMargin,
     "ns62_dsir_weights" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),

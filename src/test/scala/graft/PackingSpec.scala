@@ -67,6 +67,41 @@ class PackingSpec extends SparkSuite {
     }
   }
 
+  test("packing by trained-tokenizer costs fills bins at budget BPE tokens") {
+    // The ns66 composition: per-doc costs come from a token→segments
+    // lookup table (the trained tokenizer's apply side), NOT whitespace
+    // counts — offsets must be prefix sums of the BPE costs, and every
+    // bin except the last must hold exactly `budget` BPE tokens.
+    val costs = Map("aa" -> 1L, "bbb" -> 2L, "cccc" -> 3L)
+    val docTokens = Seq(
+      0L -> Seq("aa", "bbb", "cccc"),        // 6 BPE (3 whitespace)
+      1L -> Seq("cccc", "cccc", "cccc"),     // 9 BPE
+      2L -> Seq("aa"),                       // 1 BPE
+      3L -> Seq("bbb", "bbb", "aa", "aa"))   // 6 BPE
+    val wt = costs.toSeq.toDF("tok", "n_seg")
+    val docs = docTokens.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("doc_id", "tok")
+    val docCosts = docs.join(broadcast(wt), Seq("tok"))
+      .groupBy(col("doc_id")).agg(sum(col("n_seg")).as("n_bpe"))
+    val budget = 8L
+    val got = Packing.packSequences(docCosts, "doc_id", "n_bpe", budget)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 6L, 0L, 0L),   // [0, 6)   → bin 0
+      (1L, 9L, 6L, 0L),   // [6, 15)  → starts in bin 0
+      (2L, 1L, 15L, 1L),  // [15, 16) → bin 1
+      (3L, 6L, 16L, 2L)), // [16, 22) → bin 2
+      s"BPE-cost offsets wrong: ${got.toSeq}")
+    // Bin fullness via the chunk view: every bin but the last is FULL.
+    val byBin = Packing.packChunks(docCosts, "doc_id", "n_bpe", budget)
+      .groupBy(col("bin")).agg(sum(col("n_tok_chunk")).as("n"))
+      .orderBy(col("bin")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(byBin.init.forall(_._2 == budget),
+      s"a non-final bin is not full at $budget: ${byBin.toSeq}")
+    assert(byBin.map(_._2).sum == 22L, "chunks lost BPE tokens")
+  }
+
   test("null and negative weights fail loudly, never poison offsets") {
     def chainMsg(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
