@@ -1541,19 +1541,26 @@ object TextQueries {
     // per-document re-encoding), fed into ns60's two-phase prefix-sum
     // bins. Docs whose every token is empty contribute no cost rows and
     // consume no budget. Scale shape: ns55's one token-stream scan +
-    // broadcast word table, then packing's bucket-bounded carry window —
-    // the composition adds no new corpus pass over its parts.
+    // broadcast word table produce the per-doc COST TABLE, which is
+    // materialized as a parquet artifact (the round-14 model-
+    // materialization rule — packSequences consumes its input in two
+    // branches, and rescanning a 2-column artifact beats recomputing
+    // the corpus join+agg per branch); packing's bucket-bounded carry
+    // window then runs entirely off the artifact.
     "ns66_bpe_packing" -> ((s, d) => {
       val words = bpeTrain(s, d, rounds = 5)._1
       val wt = words.select(concat_ws("", col("cs")).as("tok"),
         size(col("cs")).cast("long").as("n_seg"))
-      val docCosts = Tables.documents(s, d)
+      val costDir = freshDir("ns66-costs")
+      Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .filter(length(col("tok")) > 0)
         .join(broadcast(wt), Seq("tok"))
         .groupBy(col("doc_id"))
         .agg(sum(col("n_seg")).as("n_bpe"))
-      Packing.packSequences(docCosts, "doc_id", "n_bpe", budget = 512)
+        .write.mode("overwrite").parquet(costDir)
+      Packing.packSequences(s.read.parquet(costDir), "doc_id", "n_bpe",
+          budget = 512)
         .withColumnRenamed("weight", "n_bpe_tokens")
         .orderBy(col("doc_id"))
     }),

@@ -588,12 +588,40 @@ class PlanAuditSpec extends SparkSuite {
         s"comes off the persisted sketch rows:\n$p")
   }
 
-  test("cdc33/cdc34 answer off the store and its artifacts, never the raw feed") {
-    Seq("cdc33_indexed_lookup", "cdc34_bloom_lookup").foreach { name =>
+  test("cdc33/cdc34/cdc35 answer off the store and its artifacts, never the raw feed") {
+    Seq("cdc33_indexed_lookup", "cdc34_bloom_lookup",
+        "cdc35_range_lookup").foreach { name =>
       val p = executedPlan(name)
       assert(scansOf(p, "events.parquet") == 0,
         s"$name's returned plan must read buckets/postings only — the " +
           s"feed was consumed at apply time:\n$p")
     }
+  }
+
+  test("q64's drift profile is one corpus scan with a row-local explode") {
+    val p = executedPlan("q64_variant_schema_profile")
+    assert(scansOf(p, "events.parquet") == 1,
+      s"q64 must profile the corpus in a single scan:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("Generate"),
+      s"q64 lost its variant_explode generator:\n$p")
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("BroadcastHashJoin"),
+      s"q64 is scan→explode→agg; a join crept in:\n$p")
+  }
+
+  test("ns66 packs off its cost artifact, never rescanning the corpus") {
+    val p = executedPlan("ns66_bpe_packing")
+    // packSequences consumes its input in two branches; the per-doc
+    // cost table is a materialized artifact so the returned plan reads
+    // ONLY it — the corpus scan + broadcast word-table join happened
+    // once, at artifact build time.
+    assert(scansOf(p, "documents.parquet") == 0,
+      s"ns66's packing plan must run off the cost artifact:\n$p")
+    assert(scansOf(p, "ns66-costs") >= 1,
+      s"ns66's packing plan lost its artifact read:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("Window"),
+      s"ns66 lost packing's prefix-sum windows:\n$p")
   }
 }
