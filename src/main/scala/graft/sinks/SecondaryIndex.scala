@@ -112,13 +112,20 @@ object SecondaryIndex {
 
   /** The postings columns derived from an envelope projection: raw
     * string value, numeric cast for range predicates, hash bucket.
-    * Sorted within partitions by (vb, v_num, v) so each written file's
-    * row groups carry tight min/max stats — the pushed range/equality
-    * filters then prune at the parquet footer. */
+    * Repartitioned BY the bucket before the partitioned write — without
+    * it every task writes into every vb directory it has rows for,
+    * O(tasks × valueBuckets) small files per append (the same
+    * file-explosion the store's bucket write guards against) — and
+    * sorted within partitions by (vb, v_num, v) so each written file's
+    * row groups carry tight min/max stats: the pushed range/equality
+    * filters then prune at the parquet footer. The shuffle is one pass
+    * over the micro-batch's postings — rows the write was about to
+    * move anyway. */
   private def shapePostings(rows: DataFrame, nb: Int): DataFrame =
     rows
       .withColumn("v_num", col("v").try_cast("double")) // non-numeric → NULL
       .withColumn("vb", pmod(hash(col("v")), lit(nb)))
+      .repartition(col("vb"))
       .sortWithinPartitions(col("vb"), col("v_num"), col("v"))
 
   /** Index the envelope batch applied (or about to be applied) as
