@@ -1006,6 +1006,36 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // INDEX INTERSECTION — a conjunction of predicates on two
+    // different indexed non-key columns (equality on event_type, range
+    // on value), each enumerating candidates from its own postings,
+    // intersected on the driver, verified by ONE store point lookup
+    // against live values: the bitmap-AND face. The point-lookup cost
+    // is bounded by the most selective conjunct; the maxKeys guard is
+    // per index.
+    "cdc36_index_intersection" -> ((s, d) => {
+      import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
+      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+        Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val root = freshDir("cdc36")
+      val store = new ParquetUpsertStore(root, numBuckets = 8)
+      Seq(0L, 1L).foreach { b =>
+        val part = env.filter(ver % 2 === b)
+        SecondaryIndex.indexBatch(root, "public.events", "event_type", part, b)
+        SecondaryIndex.indexBatch(root, "public.events", "value", part, b)
+        store.applyBatch(part, b)
+      }
+      SecondaryIndex.lookupByAll(s, store, root, "public.events",
+          equalTo = Map("event_type" -> "click"),
+          inRange = Map("value" -> (10.0, 60.0)))
+        .select(col("row_key").cast("long").as("user_id"),
+          col("version").as("event_id"),
+          element_at(col("values"), "event_type").as("event_type"),
+          element_at(col("values"), "value").cast("double").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     "cdc29_schema_evolution" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("op", opFromEvent)
       val cut = ev.agg(
@@ -1360,6 +1390,16 @@ object CdcQueries {
          |  FROM events) t
          |WHERE rn = 1 AND op <> 'DELETE'
          |  AND CAST(value AS DOUBLE) BETWEEN 10.0 AND 20.0
+         |ORDER BY user_id""".stripMargin,
+    "cdc36_index_intersection" ->
+      s"""SELECT user_id, event_id, event_type, value FROM (
+         |  SELECT user_id, event_id, event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn,
+         |    $opFromEventSql AS op
+         |  FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE' AND event_type = 'click'
+         |  AND CAST(value AS DOUBLE) BETWEEN 10.0 AND 60.0
          |ORDER BY user_id""".stripMargin,
     "cdc31_replay_dupes" ->
       """WITH log AS (

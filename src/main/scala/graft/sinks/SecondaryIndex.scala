@@ -227,6 +227,58 @@ object SecondaryIndex {
         .between(lo, hi))
   }
 
+  /** Live rows satisfying EVERY given predicate, by INDEX INTERSECTION
+    * (the bitmap-AND face every RDBMS ships): each predicate enumerates
+    * its own candidate keys from its own column's postings — equality
+    * predicates through the hash-bucket-pruned path, numeric ranges
+    * through the pushed `v_num` path — the driver intersects the
+    * (maxKeys-bounded) sets, and ONE store point lookup re-verifies all
+    * predicates against live values. The intersection can only shrink
+    * the candidate set, so the point-lookup cost is bounded by the most
+    * selective predicate; the guard is per predicate (each index must
+    * be selective enough to enumerate — an unselective conjunct belongs
+    * on the snapshot-filter plan, and the error says so). Soundness is
+    * per-index: every conjunct's live matches are in its own candidate
+    * superset, so their intersection contains every live row matching
+    * ALL conjuncts — stale entries prune at re-verification. */
+  def lookupByAll(spark: SparkSession, store: ParquetUpsertStore,
+                  root: String, table: String,
+                  equalTo: Map[String, String],
+                  inRange: Map[String, (Double, Double)] = Map.empty,
+                  atOrBefore: Option[Long] = None,
+                  maxKeys: Int = 100000): DataFrame = {
+    require(equalTo.nonEmpty || inRange.nonEmpty,
+      "SecondaryIndex.lookupByAll: at least one predicate is required")
+    val fs = fsOf(spark, root)
+    def posts(column: String): (DataFrame, Int) = {
+      val dir = indexDir(root, table, column)
+      recoverSwap(fs, dir)
+      (spark.read.parquet(dir),
+        readLayout(fs, dir).getOrElse(DefaultValueBuckets))
+    }
+    val perPredicate: Seq[Seq[String]] =
+      equalTo.toSeq.map { case (c, v) =>
+        val (p, nb) = posts(c)
+        candidateKeys(
+          p.filter(col("vb") === ParquetUpsertStore.bucketOf(v, nb))
+            .filter(col("v") === v),
+          s"value '$v' of '$table.$c'", atOrBefore, maxKeys)
+      } ++ inRange.toSeq.map { case (c, (lo, hi)) =>
+        candidateKeys(
+          posts(c)._1.filter(col("v_num") >= lo && col("v_num") <= hi),
+          s"range [$lo, $hi] of '$table.$c'", atOrBefore, maxKeys)
+      }
+    val keys = perPredicate.map(_.toSet).reduce(_ intersect _).toSeq.sorted
+    val verified = equalTo.foldLeft(
+        store.lookup(spark, table, keys, atOrBefore)) { case (df, (c, v)) =>
+      df.filter(try_element_at(col("values"), lit(c)) === v)
+    }
+    inRange.foldLeft(verified) { case (df, (c, (lo, hi))) =>
+      df.filter(try_element_at(col("values"), lit(c)).try_cast("double")
+        .between(lo, hi))
+    }
+  }
+
   /** Compact the postings log: rebuild everything at or below `asBatch`
     * from the LIVE snapshot as of that id — one linear store scan
     * replacing the folded history, after which every folded posting is

@@ -588,9 +588,9 @@ class PlanAuditSpec extends SparkSuite {
         s"comes off the persisted sketch rows:\n$p")
   }
 
-  test("cdc33/cdc34/cdc35 answer off the store and its artifacts, never the raw feed") {
+  test("cdc33-cdc36 answer off the store and its artifacts, never the raw feed") {
     Seq("cdc33_indexed_lookup", "cdc34_bloom_lookup",
-        "cdc35_range_lookup").foreach { name =>
+        "cdc35_range_lookup", "cdc36_index_intersection").foreach { name =>
       val p = executedPlan(name)
       assert(scansOf(p, "events.parquet") == 0,
         s"$name's returned plan must read buckets/postings only — the " +

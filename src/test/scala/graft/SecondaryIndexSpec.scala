@@ -212,6 +212,65 @@ class SecondaryIndexSpec extends SparkSuite {
     }
   }
 
+  test("index intersection equals the conjunctive snapshot filter") {
+    // Two indexed columns; rows move in and out of each predicate
+    // across batches so both candidate sets carry stale entries the
+    // live re-verification must prune, and the intersection must
+    // contain every row matching BOTH conjuncts.
+    val root = checkpointDir("secidx-and")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    def env2(rows: Seq[(String, String, String, String, Long)]) =
+      ChangeFeed.wrapDml(
+        rows.toDF("user_id", "cat", "score", "op0", "ver"),
+        "t", Seq("user_id"), col("op0"), col("ver"), lit(0L))
+    val b0 = env2(Seq(
+      ("k1", "a", "10", "INSERT", 1L), ("k2", "a", "99", "INSERT", 1L),
+      ("k3", "b", "15", "INSERT", 1L), ("k4", "a", "20", "INSERT", 1L)))
+    val b1 = env2(Seq(
+      ("k1", "b", "10", "UPDATE", 2L),  // leaves cat=a
+      ("k2", "a", "12", "UPDATE", 2L),  // enters the range
+      ("k4", "a", "20", "DELETE", 2L),
+      ("k5", "a", "18", "INSERT", 2L)))
+    Seq((b0, 0L), (b1, 1L)).foreach { case (b, id) =>
+      SecondaryIndex.indexBatch(root, "t", "cat", b, id)
+      SecondaryIndex.indexBatch(root, "t", "score", b, id)
+      store.applyBatch(b, id)
+    }
+    def byIndex(cat: String, lo: Double, hi: Double) = liveSet(
+      SecondaryIndex.lookupByAll(spark, store, root, "t",
+        equalTo = Map("cat" -> cat), inRange = Map("score" -> (lo, hi))))
+    def byScan(cat: String, lo: Double, hi: Double) = liveSet(
+      store.snapshot(spark, "t")
+        .filter(try_element_at(col("values"), lit("cat")) === cat)
+        .filter(try_element_at(col("values"), lit("score"))
+          .try_cast("double").between(lo, hi)))
+    Seq(("a", 5.0, 19.0), ("b", 5.0, 19.0), ("a", 50.0, 60.0))
+      .foreach { case (c, lo, hi) =>
+        assert(byIndex(c, lo, hi) == byScan(c, lo, hi),
+          s"intersection diverges for cat=$c score in [$lo,$hi]")
+      }
+    // k1 left cat=a (stale in cat postings), k2 entered the range, k4
+    // died, k5 inserted matching both — the pruning had work on BOTH
+    // sides.
+    assert(byIndex("a", 5.0, 19.0).map(_._1) == Set("k2", "k5"))
+    assert(byIndex("b", 5.0, 19.0).map(_._1) == Set("k1", "k3"))
+    // equality-only and range-only degenerate cases match their
+    // single-index twins
+    assert(liveSet(SecondaryIndex.lookupByAll(spark, store, root, "t",
+        equalTo = Map("cat" -> "a"))) ==
+      liveSet(SecondaryIndex.lookupByValue(spark, store, root, "t",
+        "cat", "a")))
+    // at least one predicate is required
+    val e = intercept[IllegalArgumentException](
+      SecondaryIndex.lookupByAll(spark, store, root, "t", Map.empty))
+    assert(e.getMessage.contains("at least one predicate"))
+    // the per-index guard still fires through the composite path
+    val e2 = intercept[IllegalArgumentException](
+      SecondaryIndex.lookupByAll(spark, store, root, "t",
+        equalTo = Map("cat" -> "a"), maxKeys = 1))
+    assert(e2.getMessage.contains("too popular"))
+  }
+
   test("compaction swap is crash-safe and retains in-flight postings") {
     val root = checkpointDir("secidx-crash")
     val store = new ParquetUpsertStore(root, numBuckets = 4)
