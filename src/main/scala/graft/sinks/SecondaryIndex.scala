@@ -66,6 +66,14 @@ object SecondaryIndex {
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Named error instead of Spark's path-not-found when a lookup hits a
+    * column that was never indexed (the V1 config-validation posture). */
+  private def requireIndexed(fs: FileSystem, dir: String, table: String,
+                             column: String): Unit =
+    require(fs.exists(new Path(dir)),
+      s"SecondaryIndex: no index exists for '$table.$column' — run " +
+        "indexBatch per applied batch (or compact once) before looking up")
+
   /** Restore a postings directory from a [[compact]] swap that crashed
     * between its two renames: the old log is intact under `<dir>.old`
     * and nothing is at `<dir>` — rename it back (the manifest `.old`
@@ -191,6 +199,7 @@ object SecondaryIndex {
     val dir = indexDir(root, table, column)
     val fs = fsOf(spark, root)
     recoverSwap(fs, dir)
+    requireIndexed(fs, dir, table, column)
     val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
     val posts = spark.read.parquet(dir)
       .filter(col("vb") === ParquetUpsertStore.bucketOf(v, nb))
@@ -217,7 +226,9 @@ object SecondaryIndex {
                     atOrBefore: Option[Long] = None,
                     maxKeys: Int = 100000): DataFrame = {
     val dir = indexDir(root, table, column)
-    recoverSwap(fsOf(spark, root), dir)
+    val fs = fsOf(spark, root)
+    recoverSwap(fs, dir)
+    requireIndexed(fs, dir, table, column)
     val posts = spark.read.parquet(dir)
       .filter(col("v_num") >= lo && col("v_num") <= hi)
     val keys = candidateKeys(posts,
@@ -253,6 +264,7 @@ object SecondaryIndex {
     def posts(column: String): (DataFrame, Int) = {
       val dir = indexDir(root, table, column)
       recoverSwap(fs, dir)
+      requireIndexed(fs, dir, table, column)
       (spark.read.parquet(dir),
         readLayout(fs, dir).getOrElse(DefaultValueBuckets))
     }

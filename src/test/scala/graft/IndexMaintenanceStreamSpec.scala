@@ -142,12 +142,11 @@ class IndexMaintenanceStreamSpec extends SparkSuite {
     checkAll("pre-compaction")
 
     // Micro-batch boundary, query still LIVE: fold store + artifacts at
-    // the last applied id (the production cadence — store compaction,
-    // index rebuild from its snapshot, bloom snapshot from its keys).
-    val at = applied.get
-    store.compact(spark, "t", at)
-    SecondaryIndex.compact(spark, store, root, "t", "val0", at)
-    KeyBloom.compact(spark, store, root, "t", at)
+    // the last applied id through the composite lifecycle op (store
+    // compaction, index rebuild from its snapshot, bloom snapshot from
+    // its keys — StoreMaintenance fixes the crash-safe order).
+    graft.sinks.StoreMaintenance.run(spark, store, root, "t",
+      indexColumns = Seq("val0"), asBatch = applied.get)
     checkAll("post-compaction, live query")
 
     // The live stream keeps applying across the compaction boundary.

@@ -269,6 +269,12 @@ class SecondaryIndexSpec extends SparkSuite {
       SecondaryIndex.lookupByAll(spark, store, root, "t",
         equalTo = Map("cat" -> "a"), maxKeys = 1))
     assert(e2.getMessage.contains("too popular"))
+    // a predicate on a never-indexed column is a NAMED error, not a
+    // Spark path-not-found
+    val e3 = intercept[IllegalArgumentException](
+      SecondaryIndex.lookupByAll(spark, store, root, "t",
+        equalTo = Map("cat" -> "a", "nosuchcol" -> "x")))
+    assert(e3.getMessage.contains("no index exists"))
   }
 
   test("compaction swap is crash-safe and retains in-flight postings") {
