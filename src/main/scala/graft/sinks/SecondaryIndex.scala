@@ -149,7 +149,12 @@ object SecondaryIndex {
     * re-verification prunes (the keys simply aren't live with that
     * value). The reverse order turns the same crash into MISSING
     * postings: permanent false negatives no read-time check can see.
-    * SecondaryIndexSpec pins the index-ahead-of-store case. */
+    * SecondaryIndexSpec pins the index-ahead-of-store case.
+    *
+    * Concurrency: ONE maintainer per index — the store's own
+    * one-writer-per-table contract extended to its sidecar (the
+    * streaming apply loop is serial, so this costs nothing); replays
+    * from restarts are safe at any count. */
   def indexBatch(root: String, table: String, column: String,
                  batch: DataFrame, batchId: Long,
                  valueBuckets: Int = DefaultValueBuckets): Unit = {

@@ -89,4 +89,50 @@ class StoreMaintenanceSpec extends SparkSuite {
     StoreMaintenance.run(spark, store, root, "t", Seq("val"), asBatch = 3L)
     checkAll("re-run")
   }
+
+  test("a crash between maintenance steps leaves sound reads at every boundary") {
+    // Every step of the composite fold is individually crash-safe; the
+    // cross-step property pinned here is that STOPPING after any prefix
+    // of the steps leaves index-first and bloom-fronted lookups equal
+    // to snapshot filters — stale sidecar artifacts over a compacted
+    // store are supersets the read paths prune, never lies — and a full
+    // re-run then completes the fold.
+    val root = checkpointDir("maint-crash")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    def applyAll(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      SecondaryIndex.indexBatch(root, "t", "val", b, id)
+      KeyBloom.addBatch(spark, root, "t", b, id)
+      store.applyBatch(b, id)
+    }
+    applyAll(env((1 to 15).map(i =>
+      (s"k$i", if (i % 3 == 0) "a" else "b", "INSERT", i.toLong))), 0L)
+    applyAll(env(Seq(("k3", "b", "UPDATE", 50L), ("k6", "a", "DELETE", 51L))), 1L)
+
+    def liveSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("row_key"), col("version")).as[(String, Long)]
+        .collect().toSet
+    def checkAll(tag: String): Unit = {
+      Seq("a", "b").foreach { v =>
+        assert(liveSet(SecondaryIndex.lookupByValue(
+            spark, store, root, "t", "val", v)) ==
+          liveSet(store.snapshot(spark, "t")
+            .filter(try_element_at(col("values"), lit("val")) === v)),
+          s"[$tag] indexed lookup diverges for '$v'")
+      }
+      assert(liveSet(KeyBloom.lookup(spark, store, root, "t",
+          Seq("k3", "k6", "k9", "ghost"))) ==
+        liveSet(store.lookup(spark, "t", Seq("k3", "k6", "k9", "ghost"))),
+        s"[$tag] bloom-fronted lookup diverges")
+    }
+    checkAll("baseline")
+    // crash after step 1 (store compacted, artifacts stale)
+    store.compact(spark, "t", 1L)
+    checkAll("after store compact only")
+    // crash after step 2 (index folded, blooms stale)
+    SecondaryIndex.compact(spark, store, root, "t", "val", 1L)
+    checkAll("after store+index")
+    // the re-run completes the fold
+    StoreMaintenance.run(spark, store, root, "t", Seq("val"), asBatch = 1L)
+    checkAll("after full re-run")
+  }
 }
