@@ -929,12 +929,16 @@ object CdcQueries {
       val root = freshDir("cdc33")
       val store = new ParquetUpsertStore(root, numBuckets = 8)
       Seq(0L, 1L).foreach { b =>
-        val part = env.filter(ver % 2 === b)
+        // persist: the micro-batch feeds two consumers (index + apply),
+        // the shape a real foreachBatch materializes once
+        val part = env.filter(ver % 2 === b).persist()
         // Index FIRST (SecondaryIndex's ordering contract): a crash
         // between the steps leaves superset postings the lookup prunes,
         // never missing ones.
-        SecondaryIndex.indexBatch(root, "public.events", "event_type", part, b)
-        store.applyBatch(part, b)
+        try {
+          SecondaryIndex.indexBatch(root, "public.events", "event_type", part, b)
+          store.applyBatch(part, b)
+        } finally part.unpersist()
       }
       SecondaryIndex.lookupByValue(s, store, root, "public.events",
           "event_type", "click")
@@ -961,9 +965,12 @@ object CdcQueries {
       val root = freshDir("cdc34")
       val store = new ParquetUpsertStore(root, numBuckets = 8)
       Seq(0L, 1L).foreach { b =>
-        val part = env.filter(ver % 2 === b)
-        KeyBloom.addBatch(s, root, "public.events", part, b)
-        store.applyBatch(part, b)
+        // persist: two consumers (bloom sizing+build, apply) of one batch
+        val part = env.filter(ver % 2 === b).persist()
+        try {
+          KeyBloom.addBatch(s, root, "public.events", part, b)
+          store.applyBatch(part, b)
+        } finally part.unpersist()
       }
       val probes = (0L to 9L).map(_.toString) ++
         (1 to 40).map(i => s"ghost-$i")
@@ -991,9 +998,12 @@ object CdcQueries {
       val root = freshDir("cdc35")
       val store = new ParquetUpsertStore(root, numBuckets = 8)
       Seq(0L, 1L).foreach { b =>
-        val part = env.filter(ver % 2 === b)
-        SecondaryIndex.indexBatch(root, "public.events", "value", part, b)
-        store.applyBatch(part, b)
+        // persist: two consumers (index + apply) of one batch
+        val part = env.filter(ver % 2 === b).persist()
+        try {
+          SecondaryIndex.indexBatch(root, "public.events", "value", part, b)
+          store.applyBatch(part, b)
+        } finally part.unpersist()
         if (b == 0L)
           SecondaryIndex.compact(s, store, root, "public.events", "value", 0L)
       }
@@ -1021,10 +1031,13 @@ object CdcQueries {
       val root = freshDir("cdc36")
       val store = new ParquetUpsertStore(root, numBuckets = 8)
       Seq(0L, 1L).foreach { b =>
-        val part = env.filter(ver % 2 === b)
-        SecondaryIndex.indexBatch(root, "public.events", "event_type", part, b)
-        SecondaryIndex.indexBatch(root, "public.events", "value", part, b)
-        store.applyBatch(part, b)
+        // persist: three consumers (two indexes + apply) of one batch
+        val part = env.filter(ver % 2 === b).persist()
+        try {
+          SecondaryIndex.indexBatch(root, "public.events", "event_type", part, b)
+          SecondaryIndex.indexBatch(root, "public.events", "value", part, b)
+          store.applyBatch(part, b)
+        } finally part.unpersist()
       }
       SecondaryIndex.lookupByAll(s, store, root, "public.events",
           equalTo = Map("event_type" -> "click"),
