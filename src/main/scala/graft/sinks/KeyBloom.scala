@@ -154,7 +154,13 @@ object KeyBloom {
       case BatchName(id) => snapId.forall(id.toLong > _)
       case n => snapId.exists(s => n == s"snapshot-$s.bloom")
     }
-    val blooms = useful.map(n => readBloom(f, new Path(dir, n)))
+    // A file listed a moment ago may be gone by the read (a concurrent
+    // compaction's superseding deletes). Losing ANY bloom loses
+    // coverage, so the only sound degradation is no pruning at all —
+    // the next lookup sees the post-compaction set and prunes again.
+    val blooms =
+      try useful.map(n => readBloom(f, new Path(dir, n)))
+      catch { case _: java.io.IOException => return keys }
     keys.filter(k => blooms.exists(_.mightContainString(k)))
   }
 

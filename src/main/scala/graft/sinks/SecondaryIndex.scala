@@ -174,21 +174,34 @@ object SecondaryIndex {
       .parquet(dir)
   }
 
+  /** The postings table, or None when the index directory exists but
+    * holds no data files yet (every append so far matched zero rows —
+    * [[indexBatch]] creates the directory and `_layout` up front). No
+    * postings means nothing was ever indexed, so "no candidates" is
+    * the CORRECT answer, not an error. */
+  private def readPostings(spark: SparkSession, dir: String): Option[DataFrame] =
+    try Some(spark.read.parquet(dir))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
   /** Candidate keys from the postings for a predicate, bounded by
     * `maxKeys` — the index's contract: secondary lookups are for
     * SELECTIVE predicates, and the guard fails loudly rather than
     * silently shipping a data-sized driver collect. */
-  private def candidateKeys(posts: DataFrame, what: String,
+  private def candidateKeys(posts: Option[DataFrame],
+                            filter: DataFrame => DataFrame, what: String,
                             atOrBefore: Option[Long],
-                            maxKeys: Int): Seq[String] = {
-    val horizon = atOrBefore.fold(posts)(h => posts.filter(col("batch") <= h))
-    val keys = horizon.select(col("row_key")).distinct()
-      .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq.sorted
-    require(keys.length <= maxKeys,
-      s"SecondaryIndex: $what matches more than $maxKeys candidate keys — " +
-        "too popular for an index-first point lookup; filter the snapshot " +
-        "instead")
-    keys
+                            maxKeys: Int): Seq[String] = posts match {
+    case None => Seq.empty
+    case Some(p) =>
+      val horizon = atOrBefore.fold(filter(p))(h =>
+        filter(p).filter(col("batch") <= h))
+      val keys = horizon.select(col("row_key")).distinct()
+        .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq.sorted
+      require(keys.length <= maxKeys,
+        s"SecondaryIndex: $what matches more than $maxKeys candidate keys — " +
+          "too popular for an index-first point lookup; filter the snapshot " +
+          "instead")
+      keys
   }
 
   /** Live rows whose CURRENT `column` value equals `v`, index-first:
@@ -206,11 +219,10 @@ object SecondaryIndex {
     recoverSwap(fs, dir)
     requireIndexed(fs, dir, table, column)
     val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
-    val posts = spark.read.parquet(dir)
-      .filter(col("vb") === ParquetUpsertStore.bucketOf(v, nb))
-      .filter(col("v") === v)
-    val keys = candidateKeys(posts, s"value '$v' of '$table.$column'",
-      atOrBefore, maxKeys)
+    val keys = candidateKeys(readPostings(spark, dir),
+      _.filter(col("vb") === ParquetUpsertStore.bucketOf(v, nb))
+        .filter(col("v") === v),
+      s"value '$v' of '$table.$column'", atOrBefore, maxKeys)
     store.lookup(spark, table, keys, atOrBefore)
       .filter(try_element_at(col("values"), lit(column)) === v)
   }
@@ -234,9 +246,8 @@ object SecondaryIndex {
     val fs = fsOf(spark, root)
     recoverSwap(fs, dir)
     requireIndexed(fs, dir, table, column)
-    val posts = spark.read.parquet(dir)
-      .filter(col("v_num") >= lo && col("v_num") <= hi)
-    val keys = candidateKeys(posts,
+    val keys = candidateKeys(readPostings(spark, dir),
+      _.filter(col("v_num") >= lo && col("v_num") <= hi),
       s"range [$lo, $hi] of '$table.$column'", atOrBefore, maxKeys)
     store.lookup(spark, table, keys, atOrBefore)
       .filter(try_element_at(col("values"), lit(column)).try_cast("double")
@@ -266,23 +277,23 @@ object SecondaryIndex {
     require(equalTo.nonEmpty || inRange.nonEmpty,
       "SecondaryIndex.lookupByAll: at least one predicate is required")
     val fs = fsOf(spark, root)
-    def posts(column: String): (DataFrame, Int) = {
+    def posts(column: String): (Option[DataFrame], Int) = {
       val dir = indexDir(root, table, column)
       recoverSwap(fs, dir)
       requireIndexed(fs, dir, table, column)
-      (spark.read.parquet(dir),
+      (readPostings(spark, dir),
         readLayout(fs, dir).getOrElse(DefaultValueBuckets))
     }
     val perPredicate: Seq[Seq[String]] =
       equalTo.toSeq.map { case (c, v) =>
         val (p, nb) = posts(c)
-        candidateKeys(
-          p.filter(col("vb") === ParquetUpsertStore.bucketOf(v, nb))
+        candidateKeys(p,
+          _.filter(col("vb") === ParquetUpsertStore.bucketOf(v, nb))
             .filter(col("v") === v),
           s"value '$v' of '$table.$c'", atOrBefore, maxKeys)
       } ++ inRange.toSeq.map { case (c, (lo, hi)) =>
-        candidateKeys(
-          posts(c)._1.filter(col("v_num") >= lo && col("v_num") <= hi),
+        candidateKeys(posts(c)._1,
+          _.filter(col("v_num") >= lo && col("v_num") <= hi),
           s"range [$lo, $hi] of '$table.$c'", atOrBefore, maxKeys)
       }
     val keys = perPredicate.map(_.toSet).reduce(_ intersect _).toSeq.sorted

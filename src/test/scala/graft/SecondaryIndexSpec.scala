@@ -212,6 +212,26 @@ class SecondaryIndexSpec extends SparkSuite {
     }
   }
 
+  test("an index whose appends all matched zero rows answers empty, not an error") {
+    // indexBatch creates the directory and _layout up front; if every
+    // append so far carried no rows with the column, there are no data
+    // files — "no candidates" is the correct answer (nothing was ever
+    // indexed, so nothing live carries the column).
+    val root = checkpointDir("secidx-empty")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    val b0 = ChangeFeed.wrapDml(
+      Seq(("k1", "INSERT", 1L)).toDF("user_id", "op0", "ver"),
+      "t", Seq("user_id"), col("op0"), col("ver"), lit(0L))
+    SecondaryIndex.indexBatch(root, "t", "nocol", b0, 0L) // column absent
+    store.applyBatch(b0, 0L)
+    assert(liveSet(SecondaryIndex.lookupByValue(
+      spark, store, root, "t", "nocol", "x")).isEmpty)
+    assert(liveSet(SecondaryIndex.lookupByRange(
+      spark, store, root, "t", "nocol", 0.0, 9.0)).isEmpty)
+    assert(liveSet(SecondaryIndex.lookupByAll(spark, store, root, "t",
+      equalTo = Map("nocol" -> "x"))).isEmpty)
+  }
+
   test("index intersection equals the conjunctive snapshot filter") {
     // Two indexed columns; rows move in and out of each predicate
     // across batches so both candidate sets carry stale entries the
