@@ -1565,6 +1565,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The CHUNK TABLE of ns66 — what a loader actually reads: one row
+    // per (bin, doc) segment with the doc-local BPE-token range that
+    // bin consumes, docs crossing a bin boundary appearing once per
+    // bin. Same cost artifact, same budget; every bin except the last
+    // holds exactly 512 trained-tokenizer tokens by construction
+    // (PackingSpec pins the fullness property on the lookup-cost
+    // composition).
+    "ns67_bpe_pack_chunks" -> ((s, d) => {
+      val words = bpeTrain(s, d, rounds = 5)._1
+      val wt = words.select(concat_ws("", col("cs")).as("tok"),
+        size(col("cs")).cast("long").as("n_seg"))
+      val costDir = freshDir("ns67-costs")
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .join(broadcast(wt), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_seg")).as("n_bpe"))
+        .write.mode("overwrite").parquet(costDir)
+      Packing.packChunks(s.read.parquet(costDir), "doc_id", "n_bpe",
+          budget = 512)
+        .orderBy(col("bin"), col("doc_id"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): score every raw
     // document by how target-like its hashed-bigram feature profile is.
@@ -2776,6 +2800,36 @@ object TextQueries {
          |  FROM dc)
          |SELECT doc_id, n_bpe_tokens, start, start // 512 AS bin
          |FROM c ORDER BY doc_id""".stripMargin,
+    "ns67_bpe_pack_chunks" ->
+      s"""WITH ${bpeCtes(5)},
+         |wt AS (
+         |  SELECT array_to_string(cs, '') AS tok, len(cs) AS n_seg FROM w5),
+         |t AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |dc AS (
+         |  SELECT doc_id, CAST(SUM(n_seg) AS BIGINT) AS n_bpe
+         |  FROM t JOIN wt USING (tok) WHERE tok <> ''
+         |  GROUP BY doc_id),
+         |c AS (
+         |  SELECT doc_id, n_bpe,
+         |    CAST(COALESCE(SUM(n_bpe) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start
+         |  FROM dc),
+         |b AS (
+         |  SELECT doc_id, start, start + n_bpe AS fin FROM c
+         |  WHERE n_bpe > 0),
+         |x AS (
+         |  SELECT doc_id, start, fin,
+         |    unnest(range(start // 512, (fin - 1) // 512 + 1)) AS bin
+         |  FROM b)
+         |SELECT bin, doc_id,
+         |  greatest(start, bin * 512) - start AS tok_from,
+         |  least(fin, (bin + 1) * 512) - start AS tok_to,
+         |  least(fin, (bin + 1) * 512) - greatest(start, bin * 512)
+         |    AS n_tok_chunk
+         |FROM x ORDER BY bin, doc_id""".stripMargin,
     "ns62_dsir_weights" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),

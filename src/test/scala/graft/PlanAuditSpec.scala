@@ -610,18 +610,21 @@ class PlanAuditSpec extends SparkSuite {
       s"q64 is scan→explode→agg; a join crept in:\n$p")
   }
 
-  test("ns66 packs off its cost artifact, never rescanning the corpus") {
-    val p = executedPlan("ns66_bpe_packing")
+  test("ns66/ns67 pack off their cost artifacts, never rescanning the corpus") {
     // packSequences consumes its input in two branches; the per-doc
     // cost table is a materialized artifact so the returned plan reads
     // ONLY it — the corpus scan + broadcast word-table join happened
     // once, at artifact build time.
-    assert(scansOf(p, "documents.parquet") == 0,
-      s"ns66's packing plan must run off the cost artifact:\n$p")
-    assert(scansOf(p, "ns66-costs") >= 1,
-      s"ns66's packing plan lost its artifact read:\n$p")
-    val finalPlan = p.split("== Initial Plan ==").head
-    assert(finalPlan.contains("Window"),
-      s"ns66 lost packing's prefix-sum windows:\n$p")
+    Seq("ns66_bpe_packing" -> "ns66-costs",
+        "ns67_bpe_pack_chunks" -> "ns67-costs").foreach { case (name, art) =>
+      val p = executedPlan(name)
+      assert(scansOf(p, "documents.parquet") == 0,
+        s"$name's packing plan must run off the cost artifact:\n$p")
+      assert(scansOf(p, art) >= 1,
+        s"$name's packing plan lost its artifact read:\n$p")
+      val finalPlan = p.split("== Initial Plan ==").head
+      assert(finalPlan.contains("Window"),
+        s"$name lost packing's prefix-sum windows:\n$p")
+    }
   }
 }
