@@ -912,7 +912,7 @@ object CdcQueries {
 
     // SECONDARY-INDEX lookup over the durable store — a selective
     // predicate on a NON-key column answered index-first: per applied
-    // batch the value→row_key postings are appended (value-partitioned
+    // batch the value→row_key postings are appended (hash-bucketed
     // parquet, no read of history), then lookupByValue reads ONE pruned
     // postings partition, point-looks the store (min(keys, buckets)
     // bucket reads, pushed row_key IN), and re-verifies against live
