@@ -205,15 +205,21 @@ object Bench {
     // self-declares dirty so no reader mistakes contention for a
     // regression; the run still completes (timings remain useful as
     // upper bounds), but the recording should be redone idle.
-    val calibFloor = 0.14
+    // Default pinned to THIS box class; override via env when the
+    // hardware changes (a source edit should not be required to re-pin),
+    // and the floor used is recorded in the JSON so a reader can judge
+    // the gate itself, not just its verdict.
+    val calibFloor = sys.env.get("SPARK_GRAFT_BENCH_CALIB_FLOOR")
+      .map(_.toDouble).getOrElse(0.14)
     val dirty = math.max(calibPre, calibPost) > calibFloor * 1.5
     if (dirty) System.err.println(
       f"BENCH DIRTY: calibration $calibPre%.3f/$calibPost%.3f exceeds " +
-        f"${calibFloor * 1.5}%.3f (1.5x pinned idle floor $calibFloor%.2f) — " +
+        f"${calibFloor * 1.5}%.3f (1.5x idle floor $calibFloor%.2f) — " +
         "the box was contended during recording; re-record idle")
     def summary(rs: Iterable[(String, Option[(Double, Double)])], note: String) =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,""" +
         s""""calib":[${f(calibPre)},${f(calibPost)}],"dirty":$dirty,""" +
+        s""""calib_floor":${f(calibFloor)},""" +
         s""""queries":${qmap(_._1, rs)},"queries_min":${qmap(_._2, rs)},""" +
         s""""sf":"$sfDir","fixture":$fixtureJson$onlyMarker$note}"""
     // Line 1: every query's median + min. Line 2: a SHORT summary (total +

@@ -105,9 +105,15 @@ object KeyBloom {
     * aligned with the store's own compaction cadence. */
   def compact(spark: SparkSession, store: ParquetUpsertStore, root: String,
               table: String, asBatch: Long, fpp: Double = 0.01): Unit = {
+    // persist: two consumers (sizing count + bloom build) of one key
+    // projection — without it the snapshot's bucket merge runs twice
     val live = store.snapshotAt(spark, table, asBatch).select(col("row_key"))
-    val n = math.max(live.count(), 1L)
-    val bf = live.stat.bloomFilter("row_key", n, fpp)
+      .persist()
+    val bf =
+      try {
+        val n = math.max(live.count(), 1L)
+        live.stat.bloomFilter("row_key", n, fpp)
+      } finally live.unpersist()
     val f = fs(spark, root)
     val dir = new Path(bloomDir(root, table))
     writeBloom(f, dir, s"snapshot-$asBatch.bloom", bf)
@@ -150,6 +156,16 @@ object KeyBloom {
     val covered = (id: Long) =>
       snapId.exists(id <= _) || batchIds.contains(id)
     if (committed.exists(!covered(_))) return keys
+    // The cross-check only sees SURVIVING manifests: once vacuum has run
+    // (floor armed), batches below the floor are unlistable, so their
+    // coverage can only be vouched for by a snapshot bloom at or above
+    // the floor — without one, a key live from a vacuumed-away batch
+    // could be in no bloom at all (the permanent false negative the
+    // cross-check exists to prevent). StoreMaintenance.run's ordering
+    // (bloom compact before vacuum) always satisfies this; a direct
+    // vacuum call degrades to no pruning until the next compact.
+    val floor = ParquetUpsertStore.readFloor(f, tdir)
+    if (floor != Long.MinValue && !snapId.exists(_ >= floor)) return keys
     val useful = names.filter {
       case BatchName(id) => snapId.forall(id.toLong > _)
       case n => snapId.exists(s => n == s"snapshot-$s.bloom")

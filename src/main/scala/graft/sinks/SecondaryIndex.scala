@@ -27,11 +27,28 @@ import java.nio.charset.StandardCharsets.UTF_8
   * postings that the lookup's DISTINCT collapses — the same replay
   * posture as the store itself.
   *
-  * Layout: `<root>/__index/<table>/<column>/vb=<bucket>/...` — a
-  * sibling of the table directories, invisible to the store's manifest
-  * readers and to [[ParquetUpsertStore.vacuum]]. Postings are
-  * partitioned by `vb = pmod(hash(v), valueBuckets)`, a HASH of the
-  * value, never the raw value itself:
+  * The "every batch indexed" premise does not rest on callers never
+  * forgetting: each [[indexBatch]] leaves a `_cover-<id>` marker, each
+  * [[compact]] records a `covered_through` id in its pointer commit,
+  * and every lookup cross-checks that against the store's committed
+  * manifests and its vacuum floor. A coverage gap (partial adoption, a
+  * swallowed indexBatch failure, a vacuum that outran the index)
+  * degrades LOUDLY to an unpruned snapshot filter — the answer stays
+  * correct, never a silent false negative.
+  *
+  * Layout: `<root>/__index/<table>/<column>/` — a sibling of the table
+  * directories, invisible to the store's manifest readers and to
+  * [[ParquetUpsertStore.vacuum]]:
+  * {{{
+  *   _layout        value-bucket count (immutable; first writer wins)
+  *   _gen-<n>       generation pointer (highest n is current); carries
+  *                  covered_through — the store's own manifest-log
+  *                  commit discipline, so compaction is READER-ATOMIC
+  *   _cover-<id>    per-batch coverage marker (folded by compaction)
+  *   gen-<n>/       the postings parquet log of generation n
+  * }}}
+  * Postings are partitioned by `vb = pmod(hash(v), valueBuckets)`, a
+  * HASH of the value, never the raw value itself:
   *   - a raw-value partition column would ship the value through Hive
   *     directory naming, where an empty string becomes
   *     `__HIVE_DEFAULT_PARTITION__` (read back as NULL — a silent
@@ -44,10 +61,23 @@ import java.nio.charset.StandardCharsets.UTF_8
   * predicates; directory count is bounded by `valueBuckets` at any
   * cardinality, and an equality lookup still reads exactly one pruned
   * partition (bucket re-filtered on `v`). The bucket count is recorded
-  * once in a `_layout` file (underscore-prefixed: invisible to parquet
+  * once in `_layout` (underscore-prefixed: invisible to parquet
   * readers) — writers and readers must agree on it or pruning would
   * look in the wrong directory, so the recorded value wins over any
-  * later parameter.
+  * later parameter, and a layout that cannot be committed AND read
+  * back fails loudly (a silently forked bucket count would scatter
+  * postings into wrong partitions — permanent false negatives).
+  *
+  * Generations make [[compact]] atomic for CONCURRENT READERS, not
+  * just crash-safe for the one maintainer: the new postings log is
+  * written complete into a fresh `gen-<n+1>/`, committed by renaming a
+  * new `_gen-<n+1>` pointer into place (an atomic create — nothing a
+  * reader might hold is ever deleted-then-recreated), and the PREVIOUS
+  * generation survives until the NEXT compaction, so a reader that
+  * resolved the old pointer finishes against intact files. A reader
+  * that stalls across two full compactions can race the grace window;
+  * the read path detects the vanished generation and re-resolves the
+  * pointer instead of erroring or answering empty.
   */
 object SecondaryIndex {
 
@@ -74,34 +104,96 @@ object SecondaryIndex {
       s"SecondaryIndex: no index exists for '$table.$column' — run " +
         "indexBatch per applied batch (or compact once) before looking up")
 
-  /** Restore a postings directory from a [[compact]] swap that crashed
-    * between its two renames: the old log is intact under `<dir>.old`
-    * and nothing is at `<dir>` — rename it back (the manifest `.old`
-    * sidecar posture). Every read and maintenance entry point runs this
-    * first, so the crash window costs a re-run of the compaction, never
-    * a missing index. */
-  private def recoverSwap(fs: FileSystem, dir: String): Unit = {
-    val d = new Path(dir)
-    val aside = new Path(dir + ".old")
-    if (!fs.exists(d) && fs.exists(aside)) fs.rename(aside, d)
+  // ---------------------------------------------------------------------
+  // generation pointers (the manifest-log discipline) + coverage markers
+  // ---------------------------------------------------------------------
+
+  private val GenName = "_gen-(\\d+)".r
+  private val CoverName = "_cover-(\\d+)".r
+
+  private final case class Pointer(n: Long, coveredThrough: Option[Long])
+
+  private def genPath(dir: String, n: Long): String = s"$dir/gen-$n"
+
+  /** Everything the driver needs about an index, from ONE directory
+    * listing: current pointer, coverage markers, orphan generation
+    * numbers (crashed compactions). */
+  private final case class IndexState(pointer: Option[Pointer],
+                                      covers: Set[Long],
+                                      genNumbers: Set[Long],
+                                      pointerNumbers: Set[Long])
+
+  private def readPointerFile(fs: FileSystem, dir: String,
+                              n: Long): Option[Pointer] =
+    try {
+      val in = new BufferedReader(new InputStreamReader(
+        fs.open(new Path(dir, s"_gen-$n")), UTF_8))
+      try {
+        val header = in.readLine()
+        require(header != null && header.startsWith("graft-secondary-index-gen"),
+          s"bad secondary-index generation header in $dir/_gen-$n")
+        val cov = Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .collectFirst { case l if l.startsWith("covered_through ") =>
+            l.stripPrefix("covered_through ").trim }
+          .filter(_ != "-").map(_.toLong)
+        Some(Pointer(n, cov))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def readState(fs: FileSystem, dir: String): IndexState = {
+    val names =
+      try fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val ptrNums = names.collect { case GenName(n) => n.toLong }
+    val covers = names.collect { case CoverName(id) => id.toLong }.toSet
+    val gens = names.collect {
+      case n if n.startsWith("gen-") && n.stripPrefix("gen-").forall(_.isDigit) =>
+        n.stripPrefix("gen-").toLong
+    }.toSet
+    val ptr = ptrNums.sorted.reverseIterator
+      .flatMap(readPointerFile(fs, dir, _)).nextOption()
+    IndexState(ptr, covers, gens, ptrNums.toSet)
   }
 
-  /** Record (first writer) or read back the layout's bucket count. */
+  /** Commit `_gen-<n>` via tmp + rename-to-a-NEW-name — atomic create,
+    * never a delete a concurrent reader could observe. A failed rename
+    * means the number is already committed (a replay): fine. */
+  private def commitPointer(fs: FileSystem, dir: String, n: Long,
+                            coveredThrough: Option[Long]): Unit = {
+    val tmp = new Path(dir, s"._gen-$n.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(("graft-secondary-index-gen 1\n" +
+      s"covered_through ${coveredThrough.fold("-")(_.toString)}\n").getBytes(UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(dir, s"_gen-$n"))) fs.delete(tmp, false)
+  }
+
+  /** Record (first writer) or read back the layout's bucket count, and
+    * make sure a generation pointer exists. A layout that can neither
+    * be committed nor read back fails LOUDLY: proceeding with the
+    * caller's parameter could fork the bucket count between writers —
+    * postings scattered into wrong vb partitions, silent permanent
+    * false negatives. */
   private def ensureLayout(fs: FileSystem, dir: String,
                            valueBuckets: Int): Int = {
     require(valueBuckets > 0,
       s"valueBuckets must be positive, got $valueBuckets")
-    readLayout(fs, dir).getOrElse {
+    fs.mkdirs(new Path(dir))
+    val nb = readLayout(fs, dir).getOrElse {
       val tmp = new Path(dir, "._layout.tmp")
       val out = fs.create(tmp, true)
-      try out.write(s"graft-secondary-index 1\nvalue_buckets $valueBuckets\n"
+      try out.write(s"graft-secondary-index 2\nvalue_buckets $valueBuckets\n"
         .getBytes(UTF_8))
       finally out.close()
       // first-writer-wins: a losing rename means a concurrent writer
       // committed the layout — read theirs.
       if (!fs.rename(tmp, new Path(dir, "_layout"))) fs.delete(tmp, false)
-      readLayout(fs, dir).getOrElse(valueBuckets)
+      readLayout(fs, dir).getOrElse(throw new java.io.IOException(
+        s"SecondaryIndex: cannot commit or read back _layout in $dir — " +
+          "refusing to proceed with an unrecorded bucket count"))
     }
+    if (readState(fs, dir).pointer.isEmpty) commitPointer(fs, dir, 0L, None)
+    nb
   }
 
   private def readLayout(fs: FileSystem, dir: String): Option[Int] =
@@ -117,6 +209,177 @@ object SecondaryIndex {
             l.stripPrefix("value_buckets ").trim.toInt }
       } finally in.close()
     } catch { case _: java.io.IOException => None }
+
+  /** Current postings directory — the test/observability hook for plan
+    * and file-count assertions against the LIVE generation. */
+  private[graft] def postingsDir(spark: SparkSession, root: String,
+                                 table: String, column: String): String = {
+    val dir = indexDir(root, table, column)
+    val st = readState(fsOf(spark, root), dir)
+    genPath(dir, st.pointer.fold(0L)(_.n))
+  }
+
+  // ---------------------------------------------------------------------
+  // coverage: is index-first pruning provably sound right now?
+  // ---------------------------------------------------------------------
+
+  /** True iff every batch whose rows can be live at the read horizon is
+    * provably indexed. Three ways to lose soundness, each detected from
+    * metadata-sized driver reads:
+    *   - a committed manifest id with neither a `_cover` marker nor a
+    *     compaction (`covered_through`) subsuming it — partial adoption
+    *     or a swallowed indexBatch;
+    *   - a vacuumed store ([[ParquetUpsertStore.readFloor]] armed) with
+    *     no compaction at or above the floor: the deleted manifests may
+    *     have been uncovered, and their ids are no longer listable, so
+    *     the manifest cross-check alone would pass vacuously;
+    *   - a time-travel read below `covered_through`: compaction
+    *     re-stamps every folded posting at its own id, so older
+    *     horizons can no longer be batch-bounded. */
+  private def coverageSound(fs: FileSystem, st: IndexState, root: String,
+                            table: String, atOrBefore: Option[Long]): Boolean = {
+    val covT = st.pointer.flatMap(_.coveredThrough)
+    val tdir = ParquetUpsertStore.tableDir(root, table)
+    val committed = ParquetUpsertStore.committedManifestIds(fs, tdir)
+      .filter(id => atOrBefore.forall(id <= _))
+    val covered = (id: Long) => covT.exists(id <= _) || st.covers.contains(id)
+    val floor = ParquetUpsertStore.readFloor(fs, tdir)
+    committed.forall(covered) &&
+      (floor == Long.MinValue || covT.exists(_ >= floor)) &&
+      covT.forall(ct => atOrBefore.forall(ct <= _))
+  }
+
+  private def warnUnpruned(table: String, column: String, why: String): Unit =
+    System.err.println(s"SecondaryIndex: index-first pruning for " +
+      s"'$table.$column' is not provably sound ($why) — answering from an " +
+      "unpruned snapshot filter; run indexBatch per applied batch and " +
+      "compact to restore coverage")
+
+  // ---------------------------------------------------------------------
+  // predicates (shared by the API lookups and the DSv2 pushdown)
+  // ---------------------------------------------------------------------
+
+  /** One index-answerable conjunct. Equality compares the raw string
+    * value (the envelope's own rendering); ranges compare
+    * `try_cast(v as double)` — non-numeric values are NULL and never
+    * match (a non-numeric value is not in any numeric range). */
+  private[graft] sealed trait Pred { def column: String; def describe: String }
+  private[graft] final case class EqPred(column: String, v: String) extends Pred {
+    def describe = s"value '$v' of '$column'"
+  }
+  private[graft] final case class RangePred(column: String, lo: Double,
+                                            hi: Double) extends Pred {
+    def describe = s"range [$lo, $hi] of '$column'"
+  }
+  /** IN — a disjunction of equalities on ONE column, still bucket-pruned
+    * (the postings read touches only the values' hash buckets). */
+  private[graft] final case class InPred(column: String,
+                                         vs: Seq[String]) extends Pred {
+    def describe = s"values (${vs.mkString(", ")}) of '$column'"
+  }
+
+  private def postingsFilter(p: Pred, nb: Int): DataFrame => DataFrame = p match {
+    case EqPred(_, v) =>
+      _.filter(col("vb") === ParquetUpsertStore.bucketOf(v, nb))
+        .filter(col("v") === v)
+    case RangePred(_, lo, hi) =>
+      _.filter(col("v_num") >= lo && col("v_num") <= hi)
+    case InPred(_, vs) =>
+      val buckets = vs.map(ParquetUpsertStore.bucketOf(_, nb)).distinct
+      _.filter(col("vb").isin(buckets: _*)).filter(col("v").isin(vs: _*))
+  }
+
+  /** Re-verify a predicate against the store's LIVE values — the read
+    * side of the superset model. */
+  private def verify(df: DataFrame, p: Pred): DataFrame = p match {
+    case EqPred(c, v) =>
+      df.filter(try_element_at(col("values"), lit(c)) === v)
+    case RangePred(c, lo, hi) =>
+      df.filter(try_element_at(col("values"), lit(c)).try_cast("double")
+        .between(lo, hi))
+    case InPred(c, vs) =>
+      df.filter(try_element_at(col("values"), lit(c)).isin(vs: _*))
+  }
+
+  // ---------------------------------------------------------------------
+  // postings reads (stale-pointer-safe)
+  // ---------------------------------------------------------------------
+
+  private final class StaleGeneration extends RuntimeException
+
+  /** Run `body` against the CURRENT generation's postings (None = the
+    * generation holds no data files yet — every append so far matched
+    * zero rows, so "no candidates" is the correct answer under sound
+    * coverage). The pointer is re-resolved and the body retried when a
+    * concurrent compaction's cleanup deletes the generation out from
+    * under the read — the race is only reachable when a reader stalls
+    * across TWO compactions (the previous generation is retained as a
+    * grace copy), and the sound response is to re-resolve, never to
+    * error or answer empty. */
+  private def withPostings[T](spark: SparkSession, fs: FileSystem,
+                              dir: String)(body: Option[DataFrame] => T): T = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val ptr = readState(fs, dir).pointer.getOrElse(Pointer(0L, None))
+      val gp = new Path(genPath(dir, ptr.n))
+      try {
+        val posts =
+          if (!fs.exists(gp)) None
+          else try Some(spark.read.parquet(gp.toString))
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              // empty generation — unless it vanished between the
+              // existence check and the listing (a racing cleanup)
+              if (fs.exists(gp)) None else throw new StaleGeneration
+          }
+        return body(posts)
+      } catch {
+        case e @ (_: StaleGeneration | _: org.apache.spark.SparkException |
+                  _: java.io.FileNotFoundException) =>
+          if (attempt >= 5) e match {
+            case _: StaleGeneration => throw new java.io.IOException(
+              s"SecondaryIndex: generation under $dir kept vanishing " +
+                "across retries — compactions are outpacing this reader")
+            case other => throw other
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Candidate keys for one predicate, bounded by `maxKeys`; None when
+    * the predicate matches more than `maxKeys` distinct keys. */
+  private def enumerate(spark: SparkSession, fs: FileSystem, dir: String,
+                        nb: Int, p: Pred, atOrBefore: Option[Long],
+                        maxKeys: Int): Option[Seq[String]] =
+    withPostings(spark, fs, dir) {
+      case None => Some(Seq.empty)
+      case Some(posts) =>
+        val horizon = atOrBefore.fold(postingsFilter(p, nb)(posts))(h =>
+          postingsFilter(p, nb)(posts).filter(col("batch") <= h))
+        val keys = horizon.select(col("row_key")).distinct()
+          .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq.sorted
+        if (keys.length > maxKeys) None else Some(keys)
+    }
+
+  /** Cheap selectivity probe: the predicate's posting-ROW count, capped
+    * at `cap` — an upper bound on its distinct-key count, used only to
+    * ORDER conjuncts cheapest-first (enumeration decides fitness). */
+  private def probe(spark: SparkSession, fs: FileSystem, dir: String,
+                    nb: Int, p: Pred, atOrBefore: Option[Long],
+                    cap: Int): Long =
+    withPostings(spark, fs, dir) {
+      case None => 0L
+      case Some(posts) =>
+        val horizon = atOrBefore.fold(postingsFilter(p, nb)(posts))(h =>
+          postingsFilter(p, nb)(posts).filter(col("batch") <= h))
+        horizon.limit(cap).count()
+    }
+
+  // ---------------------------------------------------------------------
+  // maintenance: per-batch appends and reader-atomic compaction
+  // ---------------------------------------------------------------------
 
   /** The postings columns derived from an envelope projection: raw
     * string value, numeric cast for range predicates, hash bucket.
@@ -141,28 +404,33 @@ object SecondaryIndex {
     * DML row of `table` whose values carry a non-null `column`. Rows
     * missing the column contribute nothing — a null value is not an
     * indexable predicate target. One pass over the batch, partitioned
-    * write, no read of existing postings or store state.
+    * write into the current generation, then a `_cover-<batchId>`
+    * marker: the marker commits LAST, so a crash mid-append leaves an
+    * unclaimed (possibly partial) append that the coverage check
+    * refuses to trust — degraded pruning, never a false negative.
     *
     * ORDERING CONTRACT: index BEFORE applying the batch to the store.
     * A crash between the two steps then leaves postings for rows the
     * store never got — harmless false positives the lookup's live
     * re-verification prunes (the keys simply aren't live with that
     * value). The reverse order turns the same crash into MISSING
-    * postings: permanent false negatives no read-time check can see.
+    * postings — which the coverage cross-check would catch (the
+    * committed manifest has no marker), but catching it costs the
+    * whole index's pruning until the next compaction.
     * SecondaryIndexSpec pins the index-ahead-of-store case.
     *
     * Concurrency: ONE maintainer per index — the store's own
     * one-writer-per-table contract extended to its sidecar (the
     * streaming apply loop is serial, so this costs nothing); replays
-    * from restarts are safe at any count. */
+    * from restarts are safe at any count. Concurrent READERS need no
+    * coordination (the generation-pointer discipline). */
   def indexBatch(root: String, table: String, column: String,
                  batch: DataFrame, batchId: Long,
                  valueBuckets: Int = DefaultValueBuckets): Unit = {
     val dir = indexDir(root, table, column)
     val fs = fsOf(batch.sparkSession, root)
-    recoverSwap(fs, dir)
-    fs.mkdirs(new Path(dir))
     val nb = ensureLayout(fs, dir, valueBuckets)
+    val ptr = readState(fs, dir).pointer.getOrElse(Pointer(0L, None))
     shapePostings(
       UpsertSink.dmlProjection(batch)
         .filter(col("table") === table)
@@ -171,37 +439,111 @@ object SecondaryIndex {
           try_element_at(col("values"), lit(column)).as("v"))
         .filter(col("v").isNotNull), nb)
       .write.mode("append").partitionBy("vb")
-      .parquet(dir)
+      .parquet(genPath(dir, ptr.n))
+    // coverage marker: claim AFTER the evidence is durable
+    fs.create(new Path(dir, s"_cover-$batchId"), true).close()
   }
 
-  /** The postings table, or None when the index directory exists but
-    * holds no data files yet (every append so far matched zero rows —
-    * [[indexBatch]] creates the directory and `_layout` up front). No
-    * postings means nothing was ever indexed, so "no candidates" is
-    * the CORRECT answer, not an error. */
-  private def readPostings(spark: SparkSession, dir: String): Option[DataFrame] =
-    try Some(spark.read.parquet(dir))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  /** Compact the postings log: rebuild everything at or below `asBatch`
+    * from the LIVE snapshot as of that id — one linear store scan
+    * replacing the folded history, after which every folded posting is
+    * current (zero false positives until the next append) and the log
+    * stops growing with batch count. Postings from batches ABOVE
+    * `asBatch` are carried over verbatim: an in-flight batch that was
+    * indexed but not yet applied (the index-first ordering) keeps its
+    * postings, so a compaction racing the apply loop at a micro-batch
+    * boundary folds away nothing it shouldn't.
+    *
+    * READER-ATOMIC: the new generation is written complete, committed
+    * by an atomic pointer-file create (`_gen-<n+1>`), and the previous
+    * generation is RETAINED until the next compaction — a concurrent
+    * reader resolves the old pointer or the new one and either way
+    * reads intact files; there is no window with no postings directory
+    * (the r15 rename-aside swap's weakness). Cleanup deletes only
+    * generations two-or-more behind and superseded pointer/cover
+    * files, all after the commit; a crash at ANY point leaves a
+    * committed, complete index plus harmless extra files the next
+    * compaction removes.
+    *
+    * Like [[ParquetUpsertStore.compact]], this collapses history: every
+    * rebuilt posting carries `asBatch`, so `lookupByValue(atOrBefore=t)`
+    * for t < asBatch can no longer be batch-bounded — the coverage
+    * check detects that case and the lookup degrades to an unpruned
+    * snapshot filter (correct, slower) instead of answering from
+    * collapsed postings. */
+  def compact(spark: SparkSession, store: ParquetUpsertStore,
+              root: String, table: String, column: String,
+              asBatch: Long): Unit = {
+    val dir = indexDir(root, table, column)
+    val fs = fsOf(spark, root)
+    val nb = ensureLayout(fs, dir, DefaultValueBuckets)
+    val st = readState(fs, dir)
+    val ptr = st.pointer.getOrElse(Pointer(0L, None))
+    val newN = (st.genNumbers ++ st.pointerNumbers + ptr.n).max + 1
+    val later = {
+      val gp = new Path(genPath(dir, ptr.n))
+      if (!fs.exists(gp)) null
+      else try spark.read.parquet(gp.toString).filter(col("batch") > asBatch)
+        .select(col("row_key"), col("batch"), col("v"))
+      catch { // no postings yet (or only empty appends): nothing to carry
+        case _: org.apache.spark.sql.AnalysisException => null
+      }
+    }
+    val rebuilt = store.snapshotAt(spark, table, asBatch)
+      .select(col("row_key"), lit(asBatch).as("batch"),
+        try_element_at(col("values"), lit(column)).as("v"))
+      .filter(col("v").isNotNull)
+    shapePostings(Option(later).fold(rebuilt)(rebuilt.unionByName(_)), nb)
+      .write.mode("overwrite").partitionBy("vb").parquet(genPath(dir, newN))
+    // covered_through never regresses: an older-id re-compaction carries
+    // the later-stamped postings forward, so prior coverage still holds.
+    val covT = math.max(asBatch, ptr.coveredThrough.getOrElse(Long.MinValue))
+    commitPointer(fs, dir, newN, Some(covT))
+    val committed = readState(fs, dir)
+    require(committed.pointer.exists(_.n >= newN),
+      s"SecondaryIndex.compact: pointer _gen-$newN did not commit in $dir")
+    // cleanup (all post-commit; crash leaves only harmless extras):
+    // generations two-or-more behind, superseded pointers, folded covers
+    (committed.genNumbers - ptr.n - newN)
+      .foreach(n => fs.delete(new Path(genPath(dir, n)), true))
+    (committed.pointerNumbers - newN)
+      .foreach(n => fs.delete(new Path(dir, s"_gen-$n"), false))
+    committed.covers.filter(_ <= covT)
+      .foreach(id => fs.delete(new Path(dir, s"_cover-$id"), false))
+  }
 
-  /** Candidate keys from the postings for a predicate, bounded by
-    * `maxKeys` — the index's contract: secondary lookups are for
-    * SELECTIVE predicates, and the guard fails loudly rather than
-    * silently shipping a data-sized driver collect. */
-  private def candidateKeys(posts: Option[DataFrame],
-                            filter: DataFrame => DataFrame, what: String,
-                            atOrBefore: Option[Long],
-                            maxKeys: Int): Seq[String] = posts match {
-    case None => Seq.empty
-    case Some(p) =>
-      val horizon = atOrBefore.fold(filter(p))(h =>
-        filter(p).filter(col("batch") <= h))
-      val keys = horizon.select(col("row_key")).distinct()
-        .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq.sorted
-      require(keys.length <= maxKeys,
-        s"SecondaryIndex: $what matches more than $maxKeys candidate keys — " +
-          "too popular for an index-first point lookup; filter the snapshot " +
-          "instead")
-      keys
+  // ---------------------------------------------------------------------
+  // lookups
+  // ---------------------------------------------------------------------
+
+  private def scanFallback(spark: SparkSession, store: ParquetUpsertStore,
+                           table: String, preds: Seq[Pred],
+                           atOrBefore: Option[Long]): DataFrame =
+    preds.foldLeft(atOrBefore.fold(store.snapshot(spark, table))(
+      store.snapshotAt(spark, table, _)))(verify)
+
+  /** The single-predicate lookup core: coverage-checked index-first
+    * candidates + verified point lookup, or the loud unpruned fallback. */
+  private def lookupOne(spark: SparkSession, store: ParquetUpsertStore,
+                        root: String, table: String, p: Pred,
+                        atOrBefore: Option[Long], maxKeys: Int): DataFrame = {
+    val dir = indexDir(root, table, p.column)
+    val fs = fsOf(spark, root)
+    requireIndexed(fs, dir, table, p.column)
+    val st = readState(fs, dir)
+    if (!coverageSound(fs, st, root, table, atOrBefore)) {
+      warnUnpruned(table, p.column, "coverage gap or collapsed history")
+      return scanFallback(spark, store, table, Seq(p), atOrBefore)
+    }
+    val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
+    enumerate(spark, fs, dir, nb, p, atOrBefore, maxKeys) match {
+      case Some(keys) =>
+        verify(store.lookup(spark, table, keys, atOrBefore), p)
+      case None => throw new IllegalArgumentException(
+        s"SecondaryIndex: ${p.describe} of '$table' matches more than " +
+          s"$maxKeys candidate keys — too popular for an index-first point " +
+          "lookup; filter the snapshot instead")
+    }
   }
 
   /** Live rows whose CURRENT `column` value equals `v`, index-first:
@@ -213,19 +555,8 @@ object SecondaryIndex {
   def lookupByValue(spark: SparkSession, store: ParquetUpsertStore,
                     root: String, table: String, column: String, v: String,
                     atOrBefore: Option[Long] = None,
-                    maxKeys: Int = 100000): DataFrame = {
-    val dir = indexDir(root, table, column)
-    val fs = fsOf(spark, root)
-    recoverSwap(fs, dir)
-    requireIndexed(fs, dir, table, column)
-    val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
-    val keys = candidateKeys(readPostings(spark, dir),
-      _.filter(col("vb") === ParquetUpsertStore.bucketOf(v, nb))
-        .filter(col("v") === v),
-      s"value '$v' of '$table.$column'", atOrBefore, maxKeys)
-    store.lookup(spark, table, keys, atOrBefore)
-      .filter(try_element_at(col("values"), lit(column)) === v)
-  }
+                    maxKeys: Int = 100000): DataFrame =
+    lookupOne(spark, store, root, table, EqPred(column, v), atOrBefore, maxKeys)
 
   /** Live rows whose CURRENT `column` value, read as a number, lies in
     * `[lo, hi]` — the range twin of [[lookupByValue]]. Hash buckets
@@ -234,40 +565,28 @@ object SecondaryIndex {
     * sorted-write layout gives each row group tight min/max stats — the
     * scan touches postings files overlapping the range, never the
     * table, and the candidates it yields take the same bounded
-    * point-lookup + live re-verification path. Values that don't parse
-    * as numbers have NULL `v_num` and never match (a non-numeric value
-    * is not in any numeric range). */
+    * point-lookup + live re-verification path. */
   def lookupByRange(spark: SparkSession, store: ParquetUpsertStore,
                     root: String, table: String, column: String,
                     lo: Double, hi: Double,
                     atOrBefore: Option[Long] = None,
-                    maxKeys: Int = 100000): DataFrame = {
-    val dir = indexDir(root, table, column)
-    val fs = fsOf(spark, root)
-    recoverSwap(fs, dir)
-    requireIndexed(fs, dir, table, column)
-    val keys = candidateKeys(readPostings(spark, dir),
-      _.filter(col("v_num") >= lo && col("v_num") <= hi),
-      s"range [$lo, $hi] of '$table.$column'", atOrBefore, maxKeys)
-    store.lookup(spark, table, keys, atOrBefore)
-      .filter(try_element_at(col("values"), lit(column)).try_cast("double")
-        .between(lo, hi))
-  }
+                    maxKeys: Int = 100000): DataFrame =
+    lookupOne(spark, store, root, table, RangePred(column, lo, hi),
+      atOrBefore, maxKeys)
 
-  /** Live rows satisfying EVERY given predicate, by INDEX INTERSECTION
-    * (the bitmap-AND face every RDBMS ships): each predicate enumerates
-    * its own candidate keys from its own column's postings — equality
-    * predicates through the hash-bucket-pruned path, numeric ranges
-    * through the pushed `v_num` path — the driver intersects the
-    * (maxKeys-bounded) sets, and ONE store point lookup re-verifies all
-    * predicates against live values. The intersection can only shrink
-    * the candidate set, so the point-lookup cost is bounded by the most
-    * selective predicate; the guard is per predicate (each index must
-    * be selective enough to enumerate — an unselective conjunct belongs
-    * on the snapshot-filter plan, and the error says so). Soundness is
-    * per-index: every conjunct's live matches are in its own candidate
-    * superset, so their intersection contains every live row matching
-    * ALL conjuncts — stale entries prune at re-verification. */
+  /** Live rows satisfying EVERY given predicate, index-first. Planning
+    * is CHEAPEST-FIRST: each conjunct's postings are probed for a
+    * bounded row count, conjuncts are tried in ascending order, and the
+    * FIRST one whose distinct keys fit under `maxKeys` supplies the
+    * candidate set — every other conjunct is verified against live
+    * values at the store lookup (which the superset model requires
+    * anyway), so a popular conjunct can never fail a query a selective
+    * one answers. The guard only fires when NO conjunct fits — every
+    * index is too unselective for a point lookup, and the error says to
+    * filter the snapshot instead. Conjuncts whose coverage is unsound
+    * are skipped for candidate duty (their verification still runs); if
+    * no sound conjunct exists the whole lookup degrades loudly to the
+    * unpruned snapshot filter. */
   def lookupByAll(spark: SparkSession, store: ParquetUpsertStore,
                   root: String, table: String,
                   equalTo: Map[String, String],
@@ -276,98 +595,77 @@ object SecondaryIndex {
                   maxKeys: Int = 100000): DataFrame = {
     require(equalTo.nonEmpty || inRange.nonEmpty,
       "SecondaryIndex.lookupByAll: at least one predicate is required")
+    val preds: Seq[Pred] =
+      equalTo.toSeq.map { case (c, v) => EqPred(c, v) } ++
+        inRange.toSeq.map { case (c, (lo, hi)) => RangePred(c, lo, hi) }
     val fs = fsOf(spark, root)
-    def posts(column: String): (Option[DataFrame], Int) = {
-      val dir = indexDir(root, table, column)
-      recoverSwap(fs, dir)
-      requireIndexed(fs, dir, table, column)
-      (readPostings(spark, dir),
-        readLayout(fs, dir).getOrElse(DefaultValueBuckets))
+    // every named column must have an index (the V1 named-error posture)
+    preds.foreach(p =>
+      requireIndexed(fs, indexDir(root, table, p.column), table, p.column))
+    val sound = preds.filter { p =>
+      val dir = indexDir(root, table, p.column)
+      coverageSound(fs, readState(fs, dir), root, table, atOrBefore)
     }
-    val perPredicate: Seq[Seq[String]] =
-      equalTo.toSeq.map { case (c, v) =>
-        val (p, nb) = posts(c)
-        candidateKeys(p,
-          _.filter(col("vb") === ParquetUpsertStore.bucketOf(v, nb))
-            .filter(col("v") === v),
-          s"value '$v' of '$table.$c'", atOrBefore, maxKeys)
-      } ++ inRange.toSeq.map { case (c, (lo, hi)) =>
-        candidateKeys(posts(c)._1,
-          _.filter(col("v_num") >= lo && col("v_num") <= hi),
-          s"range [$lo, $hi] of '$table.$c'", atOrBefore, maxKeys)
-      }
-    val keys = perPredicate.map(_.toSet).reduce(_ intersect _).toSeq.sorted
-    val verified = equalTo.foldLeft(
-        store.lookup(spark, table, keys, atOrBefore)) { case (df, (c, v)) =>
-      df.filter(try_element_at(col("values"), lit(c)) === v)
+    if (sound.isEmpty) {
+      warnUnpruned(table, preds.map(_.column).mkString(","),
+        "no conjunct has sound coverage")
+      return scanFallback(spark, store, table, preds, atOrBefore)
     }
-    inRange.foldLeft(verified) { case (df, (c, (lo, hi))) =>
-      df.filter(try_element_at(col("values"), lit(c)).try_cast("double")
-        .between(lo, hi))
-    }
+    val ordered =
+      if (sound.lengthCompare(1) == 0) sound
+      else sound.map { p =>
+        val dir = indexDir(root, table, p.column)
+        val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
+        p -> probe(spark, fs, dir, nb, p, atOrBefore, maxKeys + 1)
+      }.sortBy(_._2).map(_._1)
+    val candidates = ordered.iterator.flatMap { p =>
+      val dir = indexDir(root, table, p.column)
+      val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
+      enumerate(spark, fs, dir, nb, p, atOrBefore, maxKeys)
+    }.nextOption().getOrElse(throw new IllegalArgumentException(
+      s"SecondaryIndex: every conjunct of " +
+        preds.map(_.describe).mkString("(", " AND ", ")") +
+        s" on '$table' matches more than $maxKeys candidate keys — too " +
+        "popular for an index-first point lookup; filter the snapshot " +
+        "instead"))
+    preds.foldLeft(store.lookup(spark, table, candidates, atOrBefore))(verify)
   }
 
-  /** Compact the postings log: rebuild everything at or below `asBatch`
-    * from the LIVE snapshot as of that id — one linear store scan
-    * replacing the folded history, after which every folded posting is
-    * current (zero false positives until the next append) and the log
-    * stops growing with batch count. Postings from batches ABOVE
-    * `asBatch` are carried over verbatim: an in-flight batch that was
-    * indexed but not yet applied (the index-first ordering) keeps its
-    * postings, so a compaction racing the apply loop at a micro-batch
-    * boundary folds away nothing it shouldn't. The remaining unsafe
-    * window is a compaction LAUNCHED between a batch's index write and
-    * the moment its files are visible to the listing — run compaction
-    * at micro-batch boundaries (between foreachBatch invocations), the
-    * contract IndexMaintenanceStreamSpec pins.
-    *
-    * Like [[ParquetUpsertStore.compact]], this collapses history: every
-    * rebuilt posting carries `asBatch`, so `lookupByValue(atOrBefore=t)`
-    * for t < asBatch finds no postings afterwards — time travel below
-    * the compaction point is unsupported, the store's own documented
-    * compaction contract. Swap is write-new / rename-aside / rename-in /
-    * delete-aside: every rename checks its result, and a crash at any
-    * point leaves either the old intact log (possibly renamed aside,
-    * restored by [[recoverSwap]] on the next touch) or the complete new
-    * one — never a missing or half-truncated index. */
-  def compact(spark: SparkSession, store: ParquetUpsertStore,
-              root: String, table: String, column: String,
-              asBatch: Long): Unit = {
-    val dir = indexDir(root, table, column)
+  // ---------------------------------------------------------------------
+  // DSv2 pushdown seam (graft-upsert relation)
+  // ---------------------------------------------------------------------
+
+  /** Best-effort candidate keys for a conjunction of pushed filters —
+    * the [[graft.sources.UpsertRelation]] seam. NEVER throws for "index
+    * can't help" reasons: returns None (full-scan fallback) when no
+    * named column has an index, coverage is unsound, or every indexed
+    * conjunct is over `maxKeys`. The returned keys are a SUPERSET of
+    * the matching live keys (sound coverage + cheapest fitting
+    * conjunct); the relation's scan re-applies every filter above, so
+    * pruning here is purely an optimization. */
+  private[graft] def candidatesForScan(spark: SparkSession, root: String,
+                                       table: String, preds: Seq[Pred],
+                                       atOrBefore: Option[Long],
+                                       maxKeys: Int): Option[Seq[String]] = {
     val fs = fsOf(spark, root)
-    recoverSwap(fs, dir)
-    val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
-    val tmp = dir + ".compact-tmp"
-    val later =
-      try spark.read.parquet(dir).filter(col("batch") > asBatch)
-        .select(col("row_key"), col("batch"), col("v"))
-      catch { // no postings yet (or only empty appends): nothing to carry
-        case _: org.apache.spark.sql.AnalysisException => null
-      }
-    val rebuilt = store.snapshotAt(spark, table, asBatch)
-      .select(col("row_key"), lit(asBatch).as("batch"),
-        try_element_at(col("values"), lit(column)).as("v"))
-      .filter(col("v").isNotNull)
-    shapePostings(Option(later).fold(rebuilt)(rebuilt.unionByName(_)), nb)
-      .write.mode("overwrite").partitionBy("vb").parquet(tmp)
-    // the new log must carry the layout before it becomes visible
-    val out = fs.create(new Path(tmp, "_layout"), true)
-    try out.write(s"graft-secondary-index 1\nvalue_buckets $nb\n"
-      .getBytes(UTF_8))
-    finally out.close()
-    val d = new Path(dir)
-    val aside = new Path(dir + ".old")
-    fs.delete(aside, true) // stale aside from an earlier completed swap
-    if (fs.exists(d) && !fs.rename(d, aside))
-      throw new java.io.IOException(
-        s"SecondaryIndex.compact: rename $d -> $aside failed")
-    if (!fs.rename(new Path(tmp), d)) {
-      fs.rename(aside, d) // best-effort restore; recoverSwap backstops
-      throw new java.io.IOException(
-        s"SecondaryIndex.compact: rename $tmp -> $d failed")
+    val indexed = preds.filter(p =>
+      fs.exists(new Path(indexDir(root, table, p.column))))
+    val sound = indexed.filter { p =>
+      val dir = indexDir(root, table, p.column)
+      coverageSound(fs, readState(fs, dir), root, table, atOrBefore)
     }
-    if (fs.exists(aside) && !fs.delete(aside, true))
-      throw new java.io.IOException(
-        s"SecondaryIndex.compact: delete $aside failed")
+    if (sound.isEmpty) return None
+    val ordered =
+      if (sound.lengthCompare(1) == 0) sound
+      else sound.map { p =>
+        val dir = indexDir(root, table, p.column)
+        val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
+        p -> probe(spark, fs, dir, nb, p, atOrBefore, maxKeys + 1)
+      }.sortBy(_._2).map(_._1)
+    ordered.iterator.flatMap { p =>
+      val dir = indexDir(root, table, p.column)
+      val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
+      enumerate(spark, fs, dir, nb, p, atOrBefore, maxKeys)
+    }.nextOption()
   }
 }

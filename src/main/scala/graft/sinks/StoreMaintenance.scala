@@ -1,5 +1,6 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** One-call maintenance for a store table AND its sidecar artifacts —
@@ -47,5 +48,41 @@ object StoreMaintenance {
     KeyBloom.compact(spark, store, root, table, asBatch)
     if (vacuumRetainBatches >= 0L)
       store.vacuum(spark, table, keepFromBatchId = asBatch - vacuumRetainBatches)
+  }
+
+  /** Auto-maintenance policy — the store's `autoCompactManifests`
+    * posture extended to its sidecars, which otherwise accumulate one
+    * bloom file and one postings append per batch until someone calls
+    * [[run]] by hand. Call after every applied batch (a micro-batch
+    * boundary, so the quiesce contract holds for free): the check is a
+    * couple of driver-side directory listings, and the composite fold
+    * fires only when the per-batch bloom count or any index's
+    * appends-since-last-fold (its `_cover` markers, exactly one per
+    * un-folded indexed batch) exceed `maxSidecarAppends`. With the
+    * policy in the loop, sidecar file counts — and therefore every
+    * lookup's opened-file count — stay O(maxSidecarAppends) no matter
+    * how many batches the stream has applied. Returns whether the fold
+    * ran. */
+  def auto(spark: SparkSession, store: ParquetUpsertStore, root: String,
+           table: String, indexColumns: Seq[String], lastCommitted: Long,
+           maxSidecarAppends: Int = 16,
+           vacuumRetainBatches: Long = -1L): Boolean = {
+    require(maxSidecarAppends > 0,
+      s"maxSidecarAppends must be positive, got $maxSidecarAppends")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def count(dir: String, pattern: String): Int =
+      try fs.listStatus(new Path(dir))
+        .count(_.getPath.getName.matches(pattern))
+      catch { case _: java.io.FileNotFoundException => 0 }
+    val bloomAppends = count(KeyBloom.bloomDir(root, table),
+      "batch-\\d+\\.bloom")
+    val indexAppends = indexColumns.map(c =>
+      count(SecondaryIndex.indexDir(root, table, c), "_cover-\\d+"))
+    val due = bloomAppends > maxSidecarAppends ||
+      indexAppends.exists(_ > maxSidecarAppends)
+    if (due) run(spark, store, root, table, indexColumns, lastCommitted,
+      vacuumRetainBatches)
+    due
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.sinks.ParquetUpsertStore
+import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.functions.col
@@ -52,9 +52,12 @@ final class UpsertDataSource extends RelationProvider
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation =
-    UpsertRelation(sqlContext, storeFor(parameters), tableFor(parameters),
+    UpsertRelation(sqlContext, storeFor(parameters),
+      root = parameters("path"), table = tableFor(parameters),
       asOf = parameters.get("asOf").map(_.toLong),
-      typed = parameters.get("typed").exists(_.toBoolean))
+      typed = parameters.get("typed").exists(_.toBoolean),
+      indexMaxKeys = parameters.get("indexMaxKeys").map(_.toInt)
+        .getOrElse(100000))
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],
@@ -69,10 +72,21 @@ final class UpsertDataSource extends RelationProvider
 
 /** One CDC-maintained table at one (optional) point in time. Live rows
   * only — tombstoned keys are already folded out by the store's read
-  * path, matching [[ParquetUpsertStore.snapshot]]/`lookup` semantics. */
+  * path, matching [[ParquetUpsertStore.snapshot]]/`lookup` semantics.
+  *
+  * A `typed=true` relation additionally routes pushed predicates on
+  * NON-key columns through any [[graft.sinks.SecondaryIndex]] postings
+  * that exist for them (equality, IN, numeric ranges): the index
+  * enumerates a bounded candidate-key superset, the scan becomes the
+  * store's point lookup on those keys, and Spark re-applies every
+  * filter above the scan — so a plain `.filter` on an indexed column
+  * answers index-first from SQL, and the index degrades to the full
+  * snapshot scan (never a wrong answer) when no index exists, coverage
+  * is unsound, or the predicate is too popular (`indexMaxKeys`). */
 final case class UpsertRelation(sqlContext: SQLContext,
-                                store: ParquetUpsertStore, table: String,
-                                asOf: Option[Long], typed: Boolean)
+                                store: ParquetUpsertStore, root: String,
+                                table: String, asOf: Option[Long],
+                                typed: Boolean, indexMaxKeys: Int = 100000)
     extends BaseRelation with PrunedFilteredScan {
 
   private def spark = sqlContext.sparkSession
@@ -119,11 +133,48 @@ final case class UpsertRelation(sqlContext: SQLContext,
     sets.reduceOption(_ intersect _).map(_.toSeq.sorted)
   }
 
+  /** Pushed filters re-expressed as index predicates, where expressible.
+    * String equality/IN use the postings' raw-value column (exact);
+    * numeric comparisons use the `v_num` double cast — inclusive bounds
+    * and nearest-rounding monotonicity make the candidate set a sound
+    * SUPERSET of the exact-typed matches Spark re-checks above the
+    * scan. Anything else (null tests, OR, non-string/numeric types) is
+    * simply not index-answerable and contributes nothing. */
+  private def indexPreds(f: Filter): Seq[SecondaryIndex.Pred] = f match {
+    case EqualTo(c, v: String) => Seq(SecondaryIndex.EqPred(c, v))
+    case EqualTo(c, v: java.lang.Number) =>
+      Seq(SecondaryIndex.RangePred(c, v.doubleValue, v.doubleValue))
+    case GreaterThan(c, v: java.lang.Number) =>
+      Seq(SecondaryIndex.RangePred(c, v.doubleValue, Double.MaxValue))
+    case GreaterThanOrEqual(c, v: java.lang.Number) =>
+      Seq(SecondaryIndex.RangePred(c, v.doubleValue, Double.MaxValue))
+    case LessThan(c, v: java.lang.Number) =>
+      Seq(SecondaryIndex.RangePred(c, -Double.MaxValue, v.doubleValue))
+    case LessThanOrEqual(c, v: java.lang.Number) =>
+      Seq(SecondaryIndex.RangePred(c, -Double.MaxValue, v.doubleValue))
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      Seq(SecondaryIndex.InPred(c,
+        vs.iterator.map(_.asInstanceOf[String]).toSeq))
+    case And(l, r) => indexPreds(l) ++ indexPreds(r)
+    case _ => Seq.empty
+  }
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val base =
-      if (typed) store.snapshotTyped(spark, table, asOf)
-      else pinnedKeys(filters) match {
+      if (typed) {
+        val preds = filters.toSeq.flatMap(indexPreds)
+        val keys =
+          if (preds.isEmpty) None
+          else SecondaryIndex.candidatesForScan(spark, root, table, preds,
+            asOf, indexMaxKeys)
+        keys match {
+          case Some(ks) => store.lookup(spark, table, ks, asOf)
+            .select(graft.operators.DmlFlattener.typedColumns(
+              col("values"), schema): _*)
+          case None => store.snapshotTyped(spark, table, asOf)
+        }
+      } else pinnedKeys(filters) match {
         case Some(keys) => store.lookup(spark, table, keys, asOf)
         case None => asOf.fold(store.snapshot(spark, table))(
           store.snapshotAt(spark, table, _))

@@ -77,7 +77,7 @@ class SecondaryIndexSpec extends SparkSuite {
       assert(byIndex(v) == byScan(v), s"post-compaction lookup diverges for '$v'")
     }
     val postRows = spark.read
-      .parquet(SecondaryIndex.indexDir(root, "t", "val")).count()
+      .parquet(SecondaryIndex.postingsDir(spark, root, "t", "val")).count()
     assert(postRows == 4L, s"compacted postings must equal live rows, got $postRows")
     // Index-before-apply ordering (the crash-safety contract): with
     // the postings written but the store batch NOT yet applied, the
@@ -95,7 +95,8 @@ class SecondaryIndexSpec extends SparkSuite {
     // The postings read is bucket-partition-pruned at the source: the
     // value hashes to one vb partition, the raw value re-filters as an
     // ordinary pushed data predicate.
-    val posts = spark.read.parquet(SecondaryIndex.indexDir(root, "t", "val"))
+    val posts = spark.read
+      .parquet(SecondaryIndex.postingsDir(spark, root, "t", "val"))
       .filter(col("vb") === 7).filter(col("v") === "a")
     posts.collect()
     val plan = posts.queryExecution.executedPlan.toString
@@ -147,7 +148,7 @@ class SecondaryIndexSpec extends SparkSuite {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(
-        SecondaryIndex.indexDir(root, "t", "val")))
+        SecondaryIndex.postingsDir(spark, root, "t", "val")))
       .map(_.getPath.getName).filter(_.startsWith("vb="))
     assert(dirs.length <= 8,
       s"directory count must be bounded by valueBuckets, got ${dirs.length}")
@@ -194,7 +195,7 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(byIndex(12.0, 60.0).map(_._1) == Set("k1", "k2", "k3", "k6"))
     // the range predicate is PUSHED to the postings scan
     val posts = spark.read
-      .parquet(SecondaryIndex.indexDir(root, "t", "val"))
+      .parquet(SecondaryIndex.postingsDir(spark, root, "t", "val"))
       .filter(col("v_num") >= 0.0 && col("v_num") <= 30.0)
     val plan = posts.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
@@ -297,7 +298,7 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(e3.getMessage.contains("no index exists"))
   }
 
-  test("compaction swap is crash-safe and retains in-flight postings") {
+  test("compaction is reader-atomic and crash-safe, and retains in-flight postings") {
     val root = checkpointDir("secidx-crash")
     val store = new ParquetUpsertStore(root, numBuckets = 4)
     val b0 = env(Seq(("k1", "a", "INSERT", 1L), ("k2", "b", "INSERT", 1L)))
@@ -310,21 +311,35 @@ class SecondaryIndexSpec extends SparkSuite {
       SecondaryIndex.lookupByValue(spark, store, root, "t", "val", v))
     def byScan(v: String) = liveSet(store.snapshot(spark, "t")
       .filter(try_element_at(col("values"), lit("val")) === v))
+    def names() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet
 
-    // Simulate a compact that crashed between its two renames: the old
-    // log sits aside at <dir>.old, nothing at <dir>, a complete tmp is
-    // orphaned. The next read must recover the old log and answer.
-    fs.rename(new org.apache.hadoop.fs.Path(dir),
-      new org.apache.hadoop.fs.Path(dir + ".old"))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".compact-tmp"))
-    assert(byIndex("a") == byScan("a"), "crashed swap must recover")
+    // Simulate a compact that crashed AFTER writing its new generation
+    // but BEFORE the pointer commit: an orphan gen dir with garbage
+    // content. Visibility is unchanged (the pointer still names the old
+    // generation), so reads answer from the intact old log.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/gen-99"))
+    assert(byIndex("a") == byScan("a"), "orphan generation must be invisible")
     assert(byIndex("a").map(_._1) == Set("k1"))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")),
-      "recovery must restore the postings directory")
-    // and a compaction after the crash works (overwrites the orphan tmp)
+    // The next compaction numbers PAST the orphan (never reuses a
+    // possibly-garbage directory), commits, and cleans it up.
     SecondaryIndex.compact(spark, store, root, "t", "val", asBatch = 0L)
     assert(byIndex("a") == byScan("a"))
+    assert(!names().contains("gen-99"), "orphan generation must be cleaned")
+    assert(names().exists(_.matches("_gen-\\d+")), "pointer must exist")
+
+    // Reader-atomicity invariant: compaction RETAINS the previous
+    // generation (a reader that resolved the old pointer finishes
+    // against intact files) and deletes only older ones.
+    val currentBefore = new java.io.File(
+      SecondaryIndex.postingsDir(spark, root, "t", "val")).getName
+    SecondaryIndex.compact(spark, store, root, "t", "val", asBatch = 0L)
+    val gensAfterSecond = names().filter(_.startsWith("gen-"))
+    assert(gensAfterSecond.size == 2,
+      s"current + previous generation must survive: $gensAfterSecond")
+    assert(gensAfterSecond.contains(currentBefore),
+      s"previous generation $currentBefore must be retained as the grace " +
+        s"copy: $gensAfterSecond")
 
     // In-flight retention: a batch indexed but NOT yet applied (the
     // index-first ordering) survives a compaction at an older id —
@@ -338,6 +353,84 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(byIndex("a").map(_._1) == Set("k1", "k3"),
       "compaction must not fold away in-flight postings")
     assert(byIndex("a") == byScan("a"))
+  }
+
+  test("partial adoption degrades to a correct unpruned answer, and compaction restores pruning") {
+    // The index's no-false-negative premise is "every applied batch was
+    // indexed". When a batch is applied WITHOUT indexBatch (partial
+    // adoption, a swallowed failure), the coverage cross-check must
+    // catch it and answer from the snapshot — a pruned answer here
+    // would silently drop k9.
+    val root = checkpointDir("secidx-cover")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    val b0 = env(Seq(("k1", "a", "INSERT", 1L), ("k2", "b", "INSERT", 1L)))
+    SecondaryIndex.indexBatch(root, "t", "val", b0, 0L)
+    store.applyBatch(b0, 0L)
+    val b1 = env(Seq(("k9", "a", "INSERT", 2L)))
+    store.applyBatch(b1, 1L) // NOT indexed — the adoption gap
+    def byIndex(v: String) = liveSet(
+      SecondaryIndex.lookupByValue(spark, store, root, "t", "val", v))
+    def byScan(v: String) = liveSet(store.snapshot(spark, "t")
+      .filter(try_element_at(col("values"), lit("val")) === v))
+    assert(byIndex("a") == byScan("a"),
+      "coverage gap must degrade to the snapshot filter, not drop rows")
+    assert(byIndex("a").map(_._1) == Set("k1", "k9"))
+    // same through the composite path
+    assert(liveSet(SecondaryIndex.lookupByAll(spark, store, root, "t",
+      equalTo = Map("val" -> "a"))).map(_._1) == Set("k1", "k9"))
+    // compaction rebuilds from the live snapshot → coverage restored,
+    // k9 now in the postings, answers unchanged
+    SecondaryIndex.compact(spark, store, root, "t", "val", asBatch = 1L)
+    assert(byIndex("a") == byScan("a"))
+    assert(spark.read
+      .parquet(SecondaryIndex.postingsDir(spark, root, "t", "val"))
+      .filter(col("row_key") === "k9").count() == 1L,
+      "compaction must restore coverage for the unindexed batch")
+
+    // Vacuum-floor face of the same hole: apply + index another batch,
+    // then vacuum history away. Vacuumed manifests are unlistable, so
+    // the marker cross-check alone would pass VACUOUSLY — the floor
+    // guard must force the fallback until a compaction at or above the
+    // floor vouches for everything below it.
+    val b2 = env(Seq(("k10", "a", "INSERT", 3L)))
+    SecondaryIndex.indexBatch(root, "t", "val", b2, 2L)
+    store.applyBatch(b2, 2L)
+    store.vacuum(spark, "t", keepFromBatchId = 2L)
+    // covered_through=1 < floor=2 → unsound → unpruned fallback, correct
+    assert(byIndex("a") == byScan("a"), "post-vacuum lookup diverges")
+    assert(byIndex("a").map(_._1) == Set("k1", "k9", "k10"))
+    // a compaction at the floor restores provable coverage
+    SecondaryIndex.compact(spark, store, root, "t", "val", asBatch = 2L)
+    assert(byIndex("a") == byScan("a"))
+    assert(byIndex("a").map(_._1) == Set("k1", "k9", "k10"))
+  }
+
+  test("cheapest-first planning: a popular conjunct no longer fails a selective query") {
+    val root = checkpointDir("secidx-cheapest")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    def env2(rows: Seq[(String, String, String, String, Long)]) =
+      ChangeFeed.wrapDml(
+        rows.toDF("user_id", "cat", "score", "op0", "ver"),
+        "t", Seq("user_id"), col("op0"), col("ver"), lit(0L))
+    // cat is POPULAR (every row 'hot'), score is selective
+    val b0 = env2((1 to 40).map(i =>
+      (s"k$i", "hot", (i * 10).toString, "INSERT", i.toLong)))
+    SecondaryIndex.indexBatch(root, "t", "cat", b0, 0L)
+    SecondaryIndex.indexBatch(root, "t", "score", b0, 0L)
+    store.applyBatch(b0, 0L)
+    // maxKeys=5: the cat index alone matches 40 keys (over budget); the
+    // score range matches 2. r15 enumerated EVERY conjunct and threw on
+    // cat; cheapest-first answers from score and verifies cat live.
+    val got = liveSet(SecondaryIndex.lookupByAll(spark, store, root, "t",
+      equalTo = Map("cat" -> "hot"), inRange = Map("score" -> (100.0, 110.0)),
+      maxKeys = 5))
+    assert(got.map(_._1) == Set("k10", "k11"), s"got $got")
+    // and when EVERY conjunct is over budget, the guard still fires
+    val e = intercept[IllegalArgumentException](
+      SecondaryIndex.lookupByAll(spark, store, root, "t",
+        equalTo = Map("cat" -> "hot"), inRange = Map("score" -> (0.0, 1e6)),
+        maxKeys = 5))
+    assert(e.getMessage.contains("too popular"))
   }
 
   test("index and bloom artifacts survive store layout evolution (rebucket, compact, vacuum)") {
@@ -378,7 +471,8 @@ class SecondaryIndexSpec extends SparkSuite {
     store.vacuum(spark, "t", keepFromBatchId = 3L)
     check("after vacuum")
     // artifacts still physically present
-    assert(spark.read.parquet(SecondaryIndex.indexDir(root, "t", "val"))
+    assert(spark.read
+      .parquet(SecondaryIndex.postingsDir(spark, root, "t", "val"))
       .count() > 0, "vacuum deleted the index postings")
   }
 

@@ -70,7 +70,7 @@ class StoreMaintenanceSpec extends SparkSuite {
       s"vacuum left extra snapshots: ${tdir.toSeq}")
     val live = store.snapshot(spark, "t").count()
     val postings = spark.read
-      .parquet(SecondaryIndex.indexDir(root, "t", "val")).count()
+      .parquet(SecondaryIndex.postingsDir(spark, root, "t", "val")).count()
     assert(postings == live,
       s"compacted postings ($postings) != live rows ($live)")
 

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model._
-import graft.sinks.ParquetUpsertStore
+import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
@@ -147,6 +147,86 @@ class UpsertDataSourceSpec extends SparkSuite {
     assert(read(dir)
       .filter(col("row_key") === a && col("row_key") === b)
       .collect().isEmpty)
+  }
+
+  test("typed reads route pushed filters through the secondary index, degrading soundly") {
+    val dir = checkpointDir("dsrc-index")
+    val store = new ParquetUpsertStore(dir, numBuckets = 8)
+    val b0 = spark.createDataset(Seq(ddl(s1)) ++ (1L to 64L).map(i =>
+      dml(OpType.Insert, i, i,
+        "v" -> (if (i % 30 == 0) "rare" else "common")))).toDF()
+    SecondaryIndex.indexBatch(dir, "dbo.t", "v", b0, 0L)
+    SecondaryIndex.indexBatch(dir, "dbo.t", "id", b0, 0L)
+    store.applyBatch(b0, 0L)
+    // rows move in and out of the predicates so the index carries stale
+    // postings the live re-verification (Spark's re-applied filters)
+    // must prune: 30 leaves 'rare', 60 dies, 70 enters
+    val b1 = spark.createDataset(Seq(
+      dml(OpType.Update, 100, 30L, "v" -> "common"),
+      dml(OpType.Delete, 101, 60L, "v" -> "rare"),
+      dml(OpType.Insert, 102, 70L, "v" -> "rare"))).toDF()
+    SecondaryIndex.indexBatch(dir, "dbo.t", "v", b1, 1L)
+    SecondaryIndex.indexBatch(dir, "dbo.t", "id", b1, 1L)
+    store.applyBatch(b1, 1L)
+    def typed = spark.read.format("graft-upsert").option("path", dir)
+      .option("table", "dbo.t").option("typed", "true").load()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").as[Long].collect().toSet
+    // equality on an indexed string column — index-first candidates,
+    // stale postings pruned by the re-applied filter
+    assert(ids(typed.filter(col("v") === "rare")) == Set(70L))
+    // numeric range on an indexed column (v_num path)
+    assert(ids(typed.filter(col("id") >= 62 && col("id") <= 80)) ==
+      Set(62L, 63L, 64L, 70L))
+    // IN over strings
+    assert(ids(typed.filter(col("v").isin("rare", "nope"))) == Set(70L))
+    // a conjunction of indexed predicates stays exact (cheapest wins,
+    // the other is re-verified above the scan)
+    assert(typed.filter(col("v") === "rare" && col("id") < 70L)
+      .collect().isEmpty)
+    // coverage gap: a batch applied WITHOUT indexBatch — the relation
+    // must fall back to the full scan, never silently drop row 71
+    store.applyBatch(spark.createDataset(Seq(
+      dml(OpType.Insert, 200, 71L, "v" -> "rare"))).toDF(), 2L)
+    assert(ids(typed.filter(col("v") === "rare")) == Set(70L, 71L))
+  }
+
+  test("index-first typed reads prune to candidate buckets (behavioral proof)") {
+    // The snap-deletion trick of the row_key-pruning tests, now for the
+    // index path: batch 1 touches ONLY key 7's bucket (snap-1), the
+    // 'rare' keys live in OTHER buckets, and snap-1 is deleted from
+    // disk — an index-first read never lists it (works), a full scan
+    // does (fails). This is what proves the filtered typed read
+    // actually pruned instead of scanning-and-filtering.
+    val dir = checkpointDir("dsrc-index-prune")
+    val store = new ParquetUpsertStore(dir, numBuckets = 8)
+    val b7 = ParquetUpsertStore.bucketOf("7", 8)
+    val rare = (1L to 64L).filter(i =>
+      ParquetUpsertStore.bucketOf(i.toString, 8) != b7).take(2)
+    val b0 = spark.createDataset(Seq(ddl(s1)) ++ (1L to 64L).map(i =>
+      dml(OpType.Insert, i, i,
+        "v" -> (if (rare.contains(i)) "rare" else "common")))).toDF()
+    SecondaryIndex.indexBatch(dir, "dbo.t", "v", b0, 0L)
+    store.applyBatch(b0, 0L)
+    val b1 = spark.createDataset(Seq(
+      dml(OpType.Update, 100, 7L, "v" -> "common"))).toDF()
+    SecondaryIndex.indexBatch(dir, "dbo.t", "v", b1, 1L)
+    store.applyBatch(b1, 1L)
+    val snap1 = new java.io.File(new java.io.File(dir, "dbo.t"), "snap-1")
+    assert(snap1.isDirectory)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(snap1)
+    def typed = spark.read.format("graft-upsert").option("path", dir)
+      .option("table", "dbo.t").option("typed", "true").load()
+    assert(typed.filter(col("v") === "rare")
+      .select("id").as[Long].collect().toSet == rare.toSet)
+    // the unpruned paths reference the deleted directory and fail —
+    // proving both that the filtered read pruned and that an
+    // un-indexable predicate falls back to the full scan
+    intercept[Exception] { typed.collect() }
+    intercept[Exception] { typed.filter(col("v") =!= "x").collect() }
   }
 
   test("read options are validated with named errors; write refuses non-append modes") {
