@@ -1049,6 +1049,49 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // SQL-VISIBLE index: the same index-first answer as cdc36, but
+    // reached through a PLAIN filtered read of the `graft-upsert` data
+    // source — no API call in sight. The relation receives the pushed
+    // equality + range filters, routes them through the postings
+    // (cheapest conjunct enumerates a bounded candidate superset,
+    // coverage cross-checked), turns the scan into the store's bucket
+    // point lookup, and Spark re-applies the filters above it. This is
+    // the reference's whole analytics story — "flatten, then hand rows
+    // to Spark SQL" (SURVEY §3.4) — with the index working under SQL;
+    // UpsertDataSourceSpec pins the pruning behaviorally (a deleted
+    // unrelated bucket directory is never touched) and the fallbacks.
+    "cdc37_sql_index_scan" -> ((s, d) => {
+      import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
+      import org.apache.spark.sql.types._
+      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+        Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val root = freshDir("cdc37")
+      val store = new ParquetUpsertStore(root, numBuckets = 8)
+      // the DDL record gives typed=true its projection schema
+      val ddl = ChangeFeed.wrapDdl(s, "public.events", StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      Seq(0L, 1L).foreach { b =>
+        // persist: three consumers (two indexes + apply) of one batch
+        val part = (if (b == 0L) ddl.unionByName(env.filter(ver % 2 === b))
+          else env.filter(ver % 2 === b)).persist()
+        try {
+          SecondaryIndex.indexBatch(root, "public.events", "event_type", part, b)
+          SecondaryIndex.indexBatch(root, "public.events", "value", part, b)
+          store.applyBatch(part, b)
+        } finally part.unpersist()
+      }
+      s.read.format("graft-upsert").option("path", root)
+        .option("table", "public.events").option("typed", "true").load()
+        .filter(col("event_type") === "purchase" &&
+          col("value") >= 10.0 && col("value") <= 90.0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     "cdc29_schema_evolution" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("op", opFromEvent)
       val cut = ev.agg(
@@ -1413,6 +1456,16 @@ object CdcQueries {
          |  FROM events) t
          |WHERE rn = 1 AND op <> 'DELETE' AND event_type = 'click'
          |  AND CAST(value AS DOUBLE) BETWEEN 10.0 AND 60.0
+         |ORDER BY user_id""".stripMargin,
+    "cdc37_sql_index_scan" ->
+      s"""SELECT user_id, event_id, event_type, value FROM (
+         |  SELECT user_id, event_id, event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn,
+         |    $opFromEventSql AS op
+         |  FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE' AND event_type = 'purchase'
+         |  AND CAST(value AS DOUBLE) BETWEEN 10.0 AND 90.0
          |ORDER BY user_id""".stripMargin,
     "cdc31_replay_dupes" ->
       """WITH log AS (

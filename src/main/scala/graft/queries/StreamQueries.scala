@@ -70,6 +70,55 @@ object StreamQueries {
       }
     }),
 
+    // STREAMING schema-drift monitor — q64's key×type-tier profile run
+    // the way an ingest pipeline actually runs it: per MICRO-BATCH
+    // (epochs arrive in order), each batch profiled in one scan
+    // (variant_explode + tier-collapsed schema_of_variant) and folded
+    // into a keyed parquet artifact with a drift status stamped
+    // against everything the monitor saw before — first-seen keys
+    // (new_key) and type-drifted keys (new_type) are the live alerts,
+    // the in-band DDL monitor of the reference's dynamic-schema stance
+    // (common/Schemas.java:50-54) as a stream. The payload derivation
+    // is q64's exactly (epoch-gated fragments drifting over epochs);
+    // the oracle rebuilds the same JSON in DuckDB and computes the
+    // status as a window over the batch profile — first epoch of the
+    // key = new_key, first epoch of the (key, tier) pair = new_type.
+    // DriftMonitorStreamSpec drives the same operator through a real
+    // MemoryStream foreachBatch at every cadence; this entry pins the
+    // artifact composition end-to-end. The returned plan reads ONLY
+    // the artifact (PlanAuditSpec pins epochs-not-corpus).
+    "st22_drift_monitor" -> ((s, d) => {
+      import graft.streaming.DriftMonitor
+      val ev = Tables.events(s, d).filter(col("props").isNotNull)
+      val epoch = pmod(col("event_id"), lit(3)).cast("int")
+      val kF = concat(lit("\"k\": "),
+        variant_get(parse_json(col("props")), "$.k", "int").cast("string"))
+      val amtF = when(epoch >= 1,
+        concat(lit("\"amt\": "), (floor(col("value")) + 0.5).cast("string")))
+      val tagsF = when(epoch === 2 && col("event_type") === "click",
+        concat(lit("\"tags\": [\""), col("event_type"), lit("\", 7]")))
+      val metaF = when(epoch === 2 && pmod(col("user_id"), lit(5)) === 0,
+        lit("\"meta\": {\"src\": \"web\"}"))
+      val noteF = when(pmod(col("user_id"), lit(11)) === 0,
+        lit("\"note\": null"))
+      // persist: one corpus materialization feeds the three epoch
+      // micro-batches (the persist-the-batch rule); the JSON rides as
+      // STRING in the cache, parsed per batch
+      val docs = ev.select(epoch.as("epoch"),
+        concat(lit("{"), concat_ws(", ", kF, amtF, tagsF, metaF, noteF),
+          lit("}")).as("js")).persist()
+      val dir = freshDir("st22")
+      try Seq(0, 1, 2).foreach { e =>
+        DriftMonitor.ingest(s, dir, DriftMonitor.profileBatch(
+          docs.filter(col("epoch") === e)
+            .select(col("epoch"), parse_json(col("js")).as("v"))))
+      } finally docs.unpersist()
+      DriftMonitor.monitor(s, dir)
+        .select(col("epoch"), col("key"), col("vtype"), col("n"),
+          col("status"))
+        .orderBy(col("epoch"), col("key"), col("vtype"))
+    }),
+
     // Tumbling 1-hour event-time window: Spark's streaming `window()`
     // operator (struct start/end), counts + exact sums per window×type.
     "st01_tumbling_window" -> ((s, d) => {
@@ -447,6 +496,44 @@ object StreamQueries {
         |  COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, start_millis""".stripMargin,
+    "st22_drift_monitor" ->
+      """WITH base AS (
+        |  SELECT CAST(event_id % 3 AS INT) AS epoch,
+        |    ('{' || concat_ws(', ',
+        |      '"k": ' || CAST(CAST(json_extract_string(props, '$.k')
+        |        AS BIGINT) AS VARCHAR),
+        |      CASE WHEN event_id % 3 >= 1 THEN
+        |        '"amt": ' || CAST(FLOOR(value) + 0.5 AS VARCHAR) END,
+        |      CASE WHEN event_id % 3 = 2 AND event_type = 'click' THEN
+        |        '"tags": ["' || event_type || '", 7]' END,
+        |      CASE WHEN event_id % 3 = 2 AND user_id % 5 = 0 THEN
+        |        '"meta": {"src": "web"}' END,
+        |      CASE WHEN user_id % 11 = 0 THEN '"note": null' END
+        |    ) || '}')::JSON AS js
+        |  FROM events WHERE props IS NOT NULL),
+        |profile AS (
+        |  SELECT epoch, u.k AS key,
+        |    CASE COALESCE(json_type(base.js, '$.' || u.k), 'NULL')
+        |      WHEN 'UBIGINT' THEN 'integer'
+        |      WHEN 'BIGINT' THEN 'integer'
+        |      WHEN 'VARCHAR' THEN 'string'
+        |      WHEN 'BOOLEAN' THEN 'boolean'
+        |      WHEN 'NULL' THEN 'null'
+        |      WHEN 'ARRAY' THEN 'array'
+        |      WHEN 'OBJECT' THEN 'object'
+        |      ELSE 'number'
+        |    END AS vtype,
+        |    COUNT(*) AS n
+        |  FROM base, UNNEST(json_keys(base.js)) AS u(k)
+        |  GROUP BY 1, 2, 3)
+        |SELECT epoch, key, vtype, n,
+        |  CASE WHEN epoch = MIN(epoch) OVER (PARTITION BY key)
+        |         THEN 'new_key'
+        |       WHEN epoch = MIN(epoch) OVER (PARTITION BY key, vtype)
+        |         THEN 'new_type'
+        |       ELSE 'steady' END AS status
+        |FROM profile
+        |ORDER BY epoch, key, vtype""".stripMargin,
     "st01_tumbling_window" ->
       s"""SELECT date_trunc('hour', $tsSql) AS win_start, event_type,
          | COUNT(*) AS n,

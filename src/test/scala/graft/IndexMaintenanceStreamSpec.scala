@@ -171,4 +171,99 @@ class IndexMaintenanceStreamSpec extends SparkSuite {
     assert(keysFor("z") == Set("k3", "k9"))
     assert(keysFor("y").contains("k60"), "post-restart update missing")
   }
+
+  test("auto-maintenance keeps sidecar and store file counts bounded over a long stream") {
+    // The artifact-GROWTH pin: ~32 micro-batches with the auto policy in
+    // the apply loop and ZERO explicit maintenance calls. Without the
+    // policy, blooms/postings/manifests grow one file per batch and a
+    // lookup's opened-file count grows with stream age; with it, every
+    // count — and therefore the files any point lookup touches — must
+    // stay bounded by the policy constant, not by batch count. Bounds
+    // are asserted on FILE COUNTS, not wall time (wall time flakes).
+    val root = checkpointDir("idx-auto")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    val maxAppends = 5
+    def applyAll(b: DataFrame, id: Long): Unit = {
+      val env = ChangeFeed.wrapDml(b, "t", Seq("user_id"),
+        col("op0"), col("ver"), lit(0L))
+      SecondaryIndex.indexBatch(root, "t", "val0", env, id)
+      KeyBloom.addBatch(spark, root, "t", env, id)
+      store.applyBatch(env, id)
+      // the policy IS the maintenance — nothing else folds anything
+      graft.sinks.StoreMaintenance.auto(spark, store, root, "t",
+        Seq("val0"), id, maxSidecarAppends = maxAppends,
+        vacuumRetainBatches = 8L)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def count(dir: String, p: String): Int =
+      try fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .count(_.getPath.getName.matches(p))
+      catch { case _: java.io.FileNotFoundException => 0 }
+    val idxDir = SecondaryIndex.indexDir(root, "t", "val0")
+    var maxBloom, maxMarkers, maxGens, maxManifests, maxPostFiles = 0
+
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[MaintEv]
+    val q = in.toDF().writeStream
+      .option("checkpointLocation", checkpointDir("idx-auto-ckpt"))
+      .foreachBatch(applyAll _)
+      .start()
+    val rnd = new scala.util.Random(7)
+    (0 until 32).foreach { i =>
+      val evs = (0 until 3).map { j =>
+        val k = s"k${rnd.nextInt(12) + 1}"
+        val v = Seq("x", "y", "z")(rnd.nextInt(3))
+        val op = if (rnd.nextInt(10) == 0) "DELETE"
+          else if (i == 0) "INSERT" else "UPDATE"
+        MaintEv(k, v, op, i.toLong * 10 + j)
+      }
+      in.addData(evs: _*)
+      q.processAllAvailable()
+      maxBloom = math.max(maxBloom,
+        count(KeyBloom.bloomDir(root, "t"), ".*\\.bloom"))
+      maxMarkers = math.max(maxMarkers, count(idxDir, "_cover-\\d+"))
+      maxGens = math.max(maxGens, count(idxDir, "gen-\\d+"))
+      maxManifests = math.max(maxManifests, count(s"$root/t", "manifest-\\d+"))
+      // files a point lookup can touch: current generation's data files
+      val pd = SecondaryIndex.postingsDir(spark, root, "t", "val0")
+      val postFiles =
+        try {
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(pd), true)
+          var n = 0
+          while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+          n
+        } catch { case _: java.io.FileNotFoundException => 0 }
+      maxPostFiles = math.max(maxPostFiles, postFiles)
+    }
+    q.stop()
+
+    // answers stayed exact with zero explicit maintenance
+    def rows(df: DataFrame) =
+      df.select(col("row_key"), col("version")).as[(String, Long)]
+        .collect().toSet
+    Seq("x", "y", "z").foreach { v =>
+      assert(rows(SecondaryIndex.lookupByValue(
+          spark, store, root, "t", "val0", v)) ==
+        rows(store.snapshot(spark, "t")
+          .filter(try_element_at(col("values"), lit("val0")) === v)),
+        s"auto-maintained lookup diverges for '$v'")
+    }
+    assert(rows(KeyBloom.lookup(spark, store, root, "t",
+        (1 to 12).map(i => s"k$i") ++ Seq("ghost-1", "ghost-2"))) ==
+      rows(store.lookup(spark, "t",
+        (1 to 12).map(i => s"k$i") ++ Seq("ghost-1", "ghost-2"))),
+      "auto-maintained bloom lookup diverges")
+
+    // growth bounds: O(policy constant), NOT O(batch count = 32)
+    assert(maxBloom <= maxAppends + 2, s"bloom files grew to $maxBloom")
+    assert(maxMarkers <= maxAppends + 1, s"cover markers grew to $maxMarkers")
+    assert(maxGens <= 2, s"index generations grew to $maxGens")
+    assert(maxManifests <= 8 + maxAppends + 2,
+      s"manifests grew to $maxManifests")
+    // postings files: <= one folded file per vb bucket (3 distinct
+    // values -> <=3 non-empty buckets) + one per un-folded append
+    assert(maxPostFiles <= 3 + (maxAppends + 1) * 3,
+      s"postings files grew to $maxPostFiles")
+  }
 }

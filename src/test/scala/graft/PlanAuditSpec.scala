@@ -588,14 +588,23 @@ class PlanAuditSpec extends SparkSuite {
         s"comes off the persisted sketch rows:\n$p")
   }
 
-  test("cdc33-cdc36 answer off the store and its artifacts, never the raw feed") {
+  test("cdc33-cdc37 answer off the store and its artifacts, never the raw feed") {
     Seq("cdc33_indexed_lookup", "cdc34_bloom_lookup",
-        "cdc35_range_lookup", "cdc36_index_intersection").foreach { name =>
+        "cdc35_range_lookup", "cdc36_index_intersection",
+        "cdc37_sql_index_scan").foreach { name =>
       val p = executedPlan(name)
       assert(scansOf(p, "events.parquet") == 0,
         s"$name's returned plan must read buckets/postings only — the " +
           s"feed was consumed at apply time:\n$p")
     }
+  }
+
+  test("st22's drift monitor returns the artifact, not the corpus") {
+    // the three per-epoch profile scans happened at ingest time (off
+    // the persisted doc cache); the monitor read is artifact-only
+    val p = executedPlan("st22_drift_monitor")
+    assert(scansOf(p, "events.parquet") == 0,
+      s"st22's returned plan must read the monitor artifact only:\n$p")
   }
 
   test("q64's drift profile is one corpus scan with a row-local explode") {
