@@ -1074,12 +1074,14 @@ object CdcQueries {
         StructField("event_type", StringType),
         StructField("value", DoubleType))))
       Seq(0L, 1L).foreach { b =>
-        // persist: three consumers (two indexes + apply) of one batch
+        // persist: two consumers (index + apply) of one batch. ONE
+        // index: the equality conjunct enumerates the candidates, the
+        // un-indexed range conjunct is simply re-applied above the scan
+        // (cdc36 already gates the two-index intersection at the API).
         val part = (if (b == 0L) ddl.unionByName(env.filter(ver % 2 === b))
           else env.filter(ver % 2 === b)).persist()
         try {
           SecondaryIndex.indexBatch(root, "public.events", "event_type", part, b)
-          SecondaryIndex.indexBatch(root, "public.events", "value", part, b)
           store.applyBatch(part, b)
         } finally part.unpersist()
       }
