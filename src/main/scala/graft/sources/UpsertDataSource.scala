@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
+import graft.sinks.{KeyBloom, ParquetUpsertStore, SecondaryIndex}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.functions.col
@@ -175,7 +175,11 @@ final case class UpsertRelation(sqlContext: SQLContext,
           case None => store.snapshotTyped(spark, table, asOf)
         }
       } else pinnedKeys(filters) match {
-        case Some(keys) => store.lookup(spark, table, keys, asOf)
+        // bloom-fronted: keys absent from every key bloom are definite
+        // misses dropped BEFORE any bucket directory opens (KeyBloom
+        // disables itself soundly when blooms are absent/uncovered)
+        case Some(keys) => KeyBloom.lookup(spark, store, root, table,
+          keys, asOf)
         case None => asOf.fold(store.snapshot(spark, table))(
           store.snapshotAt(spark, table, _))
       }

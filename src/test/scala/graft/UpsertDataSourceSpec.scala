@@ -1,7 +1,7 @@
 package graft
 
 import graft.model._
-import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
+import graft.sinks.{KeyBloom, ParquetUpsertStore, SecondaryIndex}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
@@ -227,6 +227,37 @@ class UpsertDataSourceSpec extends SparkSuite {
     // un-indexable predicate falls back to the full scan
     intercept[Exception] { typed.collect() }
     intercept[Exception] { typed.filter(col("v") =!= "x").collect() }
+  }
+
+  test("pushed row_key lookups are bloom-fronted: ghost keys open no bucket at all") {
+    // The behavioral proof, taken to its limit: EVERY snapshot
+    // directory is deleted from disk, so ANY bucket read fails — a
+    // ghost-key lookup must still answer (empty) because the blooms
+    // drop the key before a single directory opens, and a real-key
+    // lookup must fail, proving the ghost path's success came from the
+    // bloom and not from vacuous pruning.
+    val dir = checkpointDir("dsrc-bloom")
+    val store = new ParquetUpsertStore(dir, numBuckets = 8)
+    Seq(0L, 1L).foreach { b =>
+      val batch = spark.createDataset((1L to 32L)
+        .filter(_ % 2 == b)
+        .map(i => dml(OpType.Insert, i, i, "v" -> s"val$i"))).toDF()
+      KeyBloom.addBatch(spark, dir, "dbo.t", batch, b)
+      store.applyBatch(batch, b)
+    }
+    val tdir = new java.io.File(dir, "dbo.t")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    tdir.listFiles().filter(_.getName.startsWith("snap-")).foreach(rm)
+
+    assert(read(dir).filter(col("row_key") === "ghost").collect().isEmpty,
+      "a bloom-dropped ghost key must answer empty without touching data")
+    assert(read(dir)
+      .filter(col("row_key").isin("ghost-1", "ghost-2")).collect().isEmpty)
+    intercept[Exception] {
+      read(dir).filter(col("row_key") === "7").collect()
+    }
   }
 
   test("read options are validated with named errors; write refuses non-append modes") {
