@@ -91,4 +91,84 @@ class ArtifactFuzzSpec extends SparkSuite {
       checkAll("after redelivery")
     }
   }
+
+  test("random coverage gaps, maintenance, and vacuums never break a read path") {
+    // The round-16 coverage machinery under fuzz: batches RANDOMLY skip
+    // their indexBatch or addBatch (partial adoption / swallowed
+    // failures), maintenance folds fire at random boundaries, and
+    // vacuum sometimes runs DIRECTLY (not through StoreMaintenance's
+    // safe ordering). Every read path must still equal its
+    // snapshot-filter twin after every batch — pruned when coverage is
+    // provable, loudly degraded to the unpruned scan when it is not,
+    // NEVER a silently dropped row.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+
+    val opsGen = Gen.listOfN(40, for {
+      k <- Gen.choose(1, 10).map(i => s"k$i")
+      v <- Gen.oneOf("5", "15", "25", "oddball", "")
+      op <- Gen.frequency(5 -> "INSERT", 3 -> "UPDATE", 2 -> "DELETE")
+    } yield (k, v, op))
+    val planGen = Gen.listOfN(5, for {
+      skipIndex <- Gen.frequency(3 -> false, 1 -> true)
+      skipBloom <- Gen.frequency(3 -> false, 1 -> true)
+      maintain <- Gen.oneOf(true, false)
+      vacuum <- Gen.frequency(3 -> false, 1 -> true)
+    } yield (skipIndex, skipBloom, maintain, vacuum))
+
+    (20L to 23L).foreach { seed =>
+      val root = checkpointDir(s"artifact-gapfuzz-$seed")
+      val store = new ParquetUpsertStore(root, numBuckets = 4)
+      val ops = sample(opsGen, seed).zipWithIndex
+        .map { case ((k, v, op), i) => (k, v, op, (i + 1).toLong) }
+      val plan = sample(planGen, seed * 13 + 5)
+
+      def liveSet(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("row_key"), col("version")).as[(String, Long)]
+          .collect().toSet
+      def checkAll(tag: String): Unit = {
+        def scan = store.snapshot(spark, "t")
+        Seq("5", "15", "oddball", "", "absent").foreach { v =>
+          assert(liveSet(SecondaryIndex.lookupByValue(
+              spark, store, root, "t", "val", v)) ==
+            liveSet(scan.filter(
+              try_element_at(col("values"), lit("val")) === v)),
+            s"seed=$seed [$tag] equality diverges for '$v'")
+        }
+        assert(liveSet(SecondaryIndex.lookupByRange(
+            spark, store, root, "t", "val", 0.0, 20.0)) ==
+          liveSet(scan.filter(try_element_at(col("values"), lit("val"))
+            .try_cast("double").between(0.0, 20.0))),
+          s"seed=$seed [$tag] range diverges")
+        val probes = (1 to 10).map(i => s"k$i") ++
+          (1 to 15).map(i => s"ghost-$i")
+        assert(liveSet(KeyBloom.lookup(spark, store, root, "t", probes)) ==
+          liveSet(store.lookup(spark, "t", probes)),
+          s"seed=$seed [$tag] bloom-fronted lookup diverges")
+      }
+
+      // batch 0 always fully adopted, so the index directory exists
+      // (a never-indexed column is a named ERROR by contract, not a
+      // fallback — that face is pinned in SecondaryIndexSpec)
+      ops.grouped(8).zipWithIndex.foreach { case (g, idx) =>
+        val id = idx.toLong
+        val (skipIndex, skipBloom, maintain, vacuum) = plan(idx)
+        val env = ChangeFeed.wrapDml(g.toDF("user_id", "val", "op0", "ver"),
+          "t", Seq("user_id"), col("op0"), col("ver"), lit(0L))
+        if (idx == 0 || !skipIndex)
+          SecondaryIndex.indexBatch(root, "t", "val", env, id)
+        if (idx == 0 || !skipBloom)
+          KeyBloom.addBatch(spark, root, "t", env, id)
+        store.applyBatch(env, id)
+        if (maintain)
+          StoreMaintenance.run(spark, store, root, "t", Seq("val"), id)
+        if (vacuum) // direct vacuum — NOT the safe composite ordering
+          store.vacuum(spark, "t", keepFromBatchId = id)
+        checkAll(s"batch $id skipIdx=$skipIndex skipBloom=$skipBloom " +
+          s"maint=$maintain vac=$vacuum")
+      }
+    }
+  }
 }
