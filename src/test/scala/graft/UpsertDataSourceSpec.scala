@@ -260,6 +260,47 @@ class UpsertDataSourceSpec extends SparkSuite {
     }
   }
 
+  test("the store is addressable from pure SQL: CREATE TABLE ... USING graft-upsert") {
+    // The reference's whole analytics story is "flatten, then hand
+    // rows to Spark SQL" — so the durable table must be reachable
+    // without a line of Scala: SQL DDL registers it, SQL queries it,
+    // and the pushed predicate still answers index-first underneath
+    // (same behavioral proof: the unrelated bucket's snapshot is gone
+    // from disk, so only a pruned read can succeed).
+    val dir = checkpointDir("dsrc-sql")
+    val store = new ParquetUpsertStore(dir, numBuckets = 8)
+    val b7 = ParquetUpsertStore.bucketOf("7", 8)
+    val rare = (1L to 64L).filter(i =>
+      ParquetUpsertStore.bucketOf(i.toString, 8) != b7).take(2)
+    val b0 = spark.createDataset(Seq(ddl(s1)) ++ (1L to 64L).map(i =>
+      dml(OpType.Insert, i, i,
+        "v" -> (if (rare.contains(i)) "rare" else "common")))).toDF()
+    SecondaryIndex.indexBatch(dir, "dbo.t", "v", b0, 0L)
+    store.applyBatch(b0, 0L)
+    val b1 = spark.createDataset(Seq(
+      dml(OpType.Update, 100, 7L, "v" -> "common"))).toDF()
+    SecondaryIndex.indexBatch(dir, "dbo.t", "v", b1, 1L)
+    store.applyBatch(b1, 1L)
+    val snap1 = new java.io.File(new java.io.File(dir, "dbo.t"), "snap-1")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(snap1)
+
+    spark.sql(s"""CREATE TABLE upsert_sql_t USING `graft-upsert`
+      OPTIONS (path '$dir', `table` 'dbo.t', typed 'true')""")
+    try {
+      val got = spark.sql(
+          "SELECT id FROM upsert_sql_t WHERE v = 'rare' ORDER BY id")
+        .as[Long].collect().toSeq
+      assert(got == rare.sorted, s"SQL index-first read got $got")
+      // the full scan proves the filtered one pruned
+      intercept[Exception] {
+        spark.sql("SELECT COUNT(*) FROM upsert_sql_t").collect()
+      }
+    } finally spark.sql("DROP TABLE upsert_sql_t")
+  }
+
   test("read options are validated with named errors; write refuses non-append modes") {
     val e1 = intercept[IllegalArgumentException] {
       spark.read.format("graft-upsert").option("table", "t").load()
