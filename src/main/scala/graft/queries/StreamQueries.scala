@@ -111,7 +111,8 @@ object StreamQueries {
       try Seq(0, 1, 2).foreach { e =>
         DriftMonitor.ingest(s, dir, DriftMonitor.profileBatch(
           docs.filter(col("epoch") === e)
-            .select(col("epoch"), parse_json(col("js")).as("v"))))
+            .select(col("epoch"), parse_json(col("js")).as("v"))),
+          batchId = e.toLong)
       } finally docs.unpersist()
       DriftMonitor.monitor(s, dir)
         .select(col("epoch"), col("key"), col("vtype"), col("n"),

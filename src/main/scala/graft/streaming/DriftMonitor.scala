@@ -66,20 +66,38 @@ object DriftMonitor {
       GROUP BY epoch, key, vtype""")
   }
 
-  private def read(spark: SparkSession, dir: String): Option[DataFrame] =
-    try Some(spark.read.parquet(dir))
+  private def batchDirs(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("batch-\\d+") =>
+        n.stripPrefix("batch-").toLong -> s"$dir/$n" }
+      .sortBy(_._1)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  private def readDirs(spark: SparkSession, paths: Seq[String]): Option[DataFrame] =
+    if (paths.isEmpty) None
+    else try Some(spark.read.parquet(paths: _*))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Fold one micro-batch's profile into the artifact at `dir`,
-    * stamping each row's drift status against the artifact's history.
-    * The seen set collects to the driver deliberately — it is bounded
-    * by key cardinality × 7 tiers (the monitor's own output domain),
-    * never by corpus size. Batches must arrive in epoch order (the
-    * stream's natural cadence); replaying a batch re-appends rows the
-    * reader's latest-epoch view tolerates but alerts would double-see —
-    * run it under foreachBatch's exactly-once batch-id discipline. */
-  def ingest(spark: SparkSession, dir: String, profile: DataFrame): Unit = {
-    val seen: Array[(String, String)] = read(spark, dir)
+    * stamping each row's drift status against the history of batches
+    * with SMALLER ids. The seen set collects to the driver
+    * deliberately — it is bounded by key cardinality × 7 tiers (the
+    * monitor's own output domain), never by corpus size. Each batch
+    * writes its OWN `batch-<id>` directory with overwrite semantics,
+    * so an at-least-once replay (foreachBatch redelivery, a crash
+    * mid-write) recomputes the same rows against the same
+    * smaller-id history and overwrites them in place — idempotent,
+    * never double-counted alerts. */
+  def ingest(spark: SparkSession, dir: String, profile: DataFrame,
+             batchId: Long): Unit = {
+    val prior = batchDirs(spark, dir).collect {
+      case (id, p) if id < batchId => p
+    }
+    val seen: Array[(String, String)] = readDirs(spark, prior)
       .map(_.select(col("key"), col("vtype")).distinct()
         .collect().map(r => (r.getString(0), r.getString(1))))
       .getOrElse(Array.empty)
@@ -96,12 +114,13 @@ object DriftMonitor {
       .select(col("epoch").cast("int"), col("key"), col("vtype"),
         col("n").cast("long"), col("status"))
       .coalesce(1)
-      .write.mode("append").parquet(dir)
+      .write.mode("overwrite").parquet(s"$dir/batch-$batchId")
   }
 
   /** The monitor's history table: every ingested batch's profile rows
     * with their stamped drift status. */
   def monitor(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir).getOrElse(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], monitorSchema))
+    readDirs(spark, batchDirs(spark, dir).map(_._2))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], monitorSchema))
 }

@@ -25,9 +25,9 @@ class DriftMonitorStreamSpec extends SparkSuite {
     val in = MemoryStream[DriftDoc]
     val q = in.toDF().writeStream
       .option("checkpointLocation", checkpointDir("drift-ckpt"))
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, id: Long) =>
         DriftMonitor.ingest(spark, dir, DriftMonitor.profileBatch(
-          b.select(col("epoch"), parse_json(col("js")).as("v"))))
+          b.select(col("epoch"), parse_json(col("js")).as("v"))), id)
       }.start()
 
     def state(): Set[(Int, String, String, Long, String)] =
@@ -59,6 +59,13 @@ class DriftMonitorStreamSpec extends SparkSuite {
       q.processAllAvailable()
       assert(state() == e0 ++ e1 ++ e2)
     } finally q.stop()
+
+    // at-least-once replay of the LAST batch: same id, same rows,
+    // overwritten in place - statuses and counts unchanged
+    DriftMonitor.ingest(spark, dir, DriftMonitor.profileBatch(
+      Seq((2, """{"a": 3, "c": [1, 2], "d": null}""")).toDF("epoch", "js")
+        .select(col("epoch"), parse_json(col("js")).as("v"))), 2L)
+    assert(state() == e0 ++ e1 ++ e2, "replayed batch must be idempotent")
 
     // the alert face: non-steady rows of the latest epoch only
     val alerts = DriftMonitor.monitor(spark, dir)
