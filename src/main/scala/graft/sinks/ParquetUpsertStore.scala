@@ -336,6 +336,24 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
         col("version_from"), col("version_to"))
   }
 
+  /** On-disk bytes of the snapshot directories the current (or as-of)
+    * manifest references — the optimizer statistic for this table.
+    * Driver-side metadata listing (one `getContentSummary` per distinct
+    * referenced directory, dozens at most); an over-estimate of live
+    * data (tombstones and superseded buckets in shared directories
+    * count), which is the SAFE direction for a broadcast decision. */
+  def dataSizeInBytes(spark: SparkSession, table: String,
+                      atOrBefore: Option[Long] = None): Long = {
+    val fs = fileSystem(spark, root)
+    val tdir = tableDir(table)
+    readManifest(fs, tdir, atOrBefore).fold(0L) { m =>
+      m.buckets.values.toSet.iterator.map { (d: String) =>
+        try fs.getContentSummary(new Path(s"$tdir/$d")).getLength
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+    }
+  }
+
   /** Recorded live schema of `table` (from the last applied DDL at or
     * before `atOrBefore`, latest when unbounded). */
   def schemaOf(spark: SparkSession, table: String,

@@ -91,6 +91,17 @@ final case class UpsertRelation(sqlContext: SQLContext,
 
   private def spark = sqlContext.sparkSession
 
+  /** Manifest-referenced data size, so Catalyst can AUTO-BROADCAST a
+    * small CDC table in enrichment joins — without it a BaseRelation
+    * reports `defaultSizeInBytes` (effectively infinite) and every
+    * join against the store sort-merges, however small the table. The
+    * estimate over-counts (tombstones, superseded buckets in shared
+    * directories), which errs away from broadcasting — the safe side. */
+  override lazy val sizeInBytes: Long = {
+    val n = store.dataSizeInBytes(spark, table, asOf)
+    if (n > 0L) n else super.sizeInBytes
+  }
+
   override val schema: StructType =
     if (typed) store.schemaOf(spark, table, asOf).getOrElse(
       throw new IllegalStateException(s"graft-upsert: table '$table' has no " +

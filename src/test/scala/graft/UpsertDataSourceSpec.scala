@@ -301,6 +301,30 @@ class UpsertDataSourceSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE upsert_sql_t")
   }
 
+  test("the relation reports its data size, so small CDC tables auto-broadcast") {
+    // Without sizeInBytes a BaseRelation reports defaultSizeInBytes
+    // (effectively infinite) and every join against the store
+    // sort-merges no matter how small the table — the dim-enrichment
+    // join a CDC-maintained lookup table exists for would always
+    // shuffle the fact side's join keys.
+    val dir = checkpointDir("dsrc-stats")
+    val store = new ParquetUpsertStore(dir, numBuckets = 4)
+    store.applyBatch(spark.createDataset(
+      (1L to 8L).map(i => dml(OpType.Insert, i, i, "v" -> s"val$i"))).toDF(), 0L)
+    val reported = read(dir).queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(reported > 0 && reported < 10L * 1024 * 1024,
+      s"relation must report its real on-disk footprint, got $reported")
+    val facts = spark.range(0, 5000)
+      .select(col("id").cast("string").as("row_key"), col("id").as("x"))
+    val joined = facts.join(read(dir), Seq("row_key"))
+    assert(joined.count() == 8L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small store side must auto-broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dim enrichment must not shuffle the fact side:\n$plan")
+  }
+
   test("read options are validated with named errors; write refuses non-append modes") {
     val e1 = intercept[IllegalArgumentException] {
       spark.read.format("graft-upsert").option("table", "t").load()
