@@ -1094,6 +1094,50 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // STREAMING-SINK e2e — the whole durable apply stack behind ONE
+    // writeStream line: `format("graft-upsert")` with indexColumns +
+    // blooms + autoMaintain appends the postings and the key bloom
+    // FIRST (the crash-ordering contract), applies each micro-batch,
+    // and runs the composite maintenance fold when the sidecars
+    // outgrow the policy bound — zero maintenance calls in the
+    // pipeline code. Ingest is the st21-style driver-fed MemoryStream
+    // test double over a bounded user slice; the gated answer is the
+    // index-first lookup against the stream-built store.
+    // UpsertStreamSinkSpec pins replay through a checkpoint restart.
+    "cdc38_stream_sink_e2e" -> ((s, d) => {
+      import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
+      import s.implicits._
+      val root = freshDir("cdc38")
+      val rows = Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id").cast("string"), col("event_type"),
+          col("value").cast("string"), opFromEvent, col("event_id"))
+        .as[(String, String, String, String, Long)].collect()
+      implicit val ctx = s.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String, String, String, Long)]
+      val q = ChangeFeed.wrapDml(
+          in.toDF().toDF("user_id", "event_type", "value", "op0", "ver"),
+          "public.events", Seq("user_id"), col("op0"), col("ver"), lit(0L))
+        .writeStream.format("graft-upsert")
+        .option("checkpointLocation", freshDir("cdc38-ckpt"))
+        .option("path", root).option("table", "public.events")
+        .option("indexColumns", "event_type").option("blooms", "true")
+        .option("autoMaintain", "1")
+        .start()
+      try Seq(0L, 1L).foreach { b =>
+        in.addData(rows.filter(_._5 % 2 == b).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val store = new ParquetUpsertStore(root)
+      SecondaryIndex.lookupByValue(s, store, root, "public.events",
+          "event_type", "click")
+        .select(col("row_key").cast("long").as("user_id"),
+          col("version").as("event_id"),
+          element_at(col("values"), "event_type").as("event_type"),
+          element_at(col("values"), "value").cast("double").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     "cdc29_schema_evolution" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("op", opFromEvent)
       val cut = ev.agg(
@@ -1468,6 +1512,15 @@ object CdcQueries {
          |  FROM events) t
          |WHERE rn = 1 AND op <> 'DELETE' AND event_type = 'purchase'
          |  AND CAST(value AS DOUBLE) BETWEEN 10.0 AND 90.0
+         |ORDER BY user_id""".stripMargin,
+    "cdc38_stream_sink_e2e" ->
+      s"""SELECT user_id, event_id, event_type, value FROM (
+         |  SELECT user_id, event_id, event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn,
+         |    $opFromEventSql AS op
+         |  FROM events WHERE user_id < 50) t
+         |WHERE rn = 1 AND op <> 'DELETE' AND event_type = 'click'
          |ORDER BY user_id""".stripMargin,
     "cdc31_replay_dupes" ->
       """WITH log AS (

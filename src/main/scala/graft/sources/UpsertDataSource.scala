@@ -36,9 +36,41 @@ import org.apache.spark.sql.types.StructType
   * optimization and can never change results.
   */
 final class UpsertDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-upsert"
+
+  /** `envelope.writeStream.format("graft-upsert")` — the whole durable
+    * apply stack behind one line: per micro-batch, secondary-index
+    * appends for `indexColumns` and a key bloom (when `blooms=true`)
+    * write FIRST (the artifacts' crash-ordering contract), then the
+    * store apply, then (when `autoMaintain=K` > 0) the composite
+    * maintenance fold if the sidecar append counts exceed K — so a
+    * stream of any age keeps every lookup's opened-file count bounded
+    * without the pipeline author calling a single maintenance API.
+    * Batch ids come from the streaming checkpoint: replays re-append
+    * postings the lookups collapse, rewrite the same bloom, and are
+    * dropped by the store's idempotent commit. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft-upsert: Complete output mode is not supported — the store " +
+        "applies change batches, not full result rewrites")
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-upsert: 'path' option (store root directory) is required"))
+    new UpsertStreamSink(storeFor(parameters), root, tableFor(parameters),
+      indexColumns = parameters.get("indexColumns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty),
+      blooms = parameters.get("blooms").exists(_.toBoolean),
+      autoMaintain = parameters.get("autoMaintain").map(_.toInt).getOrElse(0),
+      vacuumRetain = parameters.get("vacuumRetainBatches").map(_.toLong)
+        .getOrElse(-1L))
+  }
 
   private def storeFor(parameters: Map[String, String]) = {
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -67,6 +99,35 @@ final class UpsertDataSource extends RelationProvider
     storeFor(parameters).applyBatch(data,
       parameters.get("batchId").map(_.toLong).getOrElse(0L))
     createRelation(sqlContext, parameters)
+  }
+}
+
+/** The streaming sink face of the store: one [[Sink.addBatch]] per
+  * micro-batch in the artifact crash-ordering (index → bloom → apply →
+  * auto-maintenance). The incoming DataFrame is re-wrapped off the
+  * streaming incremental execution and persisted once — index appends,
+  * the bloom build, and the apply are three consumers of the same
+  * batch (the persist-the-batch rule). */
+private[sources] final class UpsertStreamSink(
+    store: ParquetUpsertStore, root: String, table: String,
+    indexColumns: Seq[String], blooms: Boolean, autoMaintain: Int,
+    vacuumRetain: Long)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = org.apache.spark.sql.graftbridge.DatasetBridge
+      .asBatch(data).persist()
+    try {
+      indexColumns.foreach(c =>
+        graft.sinks.SecondaryIndex.indexBatch(root, table, c, batch, batchId))
+      if (blooms) KeyBloom.addBatch(spark, root, table, batch, batchId)
+      store.applyBatch(batch, batchId)
+      if (autoMaintain > 0)
+        graft.sinks.StoreMaintenance.auto(spark, store, root, table,
+          indexColumns, batchId, maxSidecarAppends = autoMaintain,
+          vacuumRetainBatches = vacuumRetain)
+    } finally batch.unpersist()
   }
 }
 
