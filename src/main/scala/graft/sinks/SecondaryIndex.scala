@@ -277,6 +277,14 @@ object SecondaryIndex {
                                          vs: Seq[String]) extends Pred {
     def describe = s"values (${vs.mkString(", ")}) of '$column'"
   }
+  /** String prefix (`LIKE 'p%'`). Hash buckets can't prune a prefix, so
+    * the candidate enumeration scans the (narrow) postings table with
+    * the StartsWith filter PUSHED to its parquet scan — bounded by
+    * postings size, never the store. */
+  private[graft] final case class PrefixPred(column: String,
+                                             prefix: String) extends Pred {
+    def describe = s"prefix '$prefix' of '$column'"
+  }
 
   private def postingsFilter(p: Pred, nb: Int): DataFrame => DataFrame = p match {
     case EqPred(_, v) =>
@@ -287,6 +295,8 @@ object SecondaryIndex {
     case InPred(_, vs) =>
       val buckets = vs.map(ParquetUpsertStore.bucketOf(_, nb)).distinct
       _.filter(col("vb").isin(buckets: _*)).filter(col("v").isin(vs: _*))
+    case PrefixPred(_, p) =>
+      _.filter(col("v").startsWith(lit(p)))
   }
 
   /** Re-verify a predicate against the store's LIVE values — the read
@@ -299,6 +309,8 @@ object SecondaryIndex {
         .between(lo, hi))
     case InPred(c, vs) =>
       df.filter(try_element_at(col("values"), lit(c)).isin(vs: _*))
+    case PrefixPred(c, p) =>
+      df.filter(try_element_at(col("values"), lit(c)).startsWith(lit(p)))
   }
 
   // ---------------------------------------------------------------------
@@ -572,6 +584,19 @@ object SecondaryIndex {
                     atOrBefore: Option[Long] = None,
                     maxKeys: Int = 100000): DataFrame =
     lookupOne(spark, store, root, table, RangePred(column, lo, hi),
+      atOrBefore, maxKeys)
+
+  /** Live rows whose CURRENT `column` value starts with `prefix` — the
+    * `LIKE 'p%'` face. The hash-bucket layout can't prune a prefix, so
+    * the candidate scan reads the narrow postings table (StartsWith
+    * pushed to its parquet scan) instead of one partition — still
+    * bounded by postings size, never the store, and the same verified
+    * point-lookup path. */
+  def lookupByPrefix(spark: SparkSession, store: ParquetUpsertStore,
+                     root: String, table: String, column: String,
+                     prefix: String, atOrBefore: Option[Long] = None,
+                     maxKeys: Int = 100000): DataFrame =
+    lookupOne(spark, store, root, table, PrefixPred(column, prefix),
       atOrBefore, maxKeys)
 
   /** Live rows satisfying EVERY given predicate, index-first. Planning

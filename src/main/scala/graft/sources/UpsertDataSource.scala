@@ -227,6 +227,10 @@ final case class UpsertRelation(sqlContext: SQLContext,
     case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
       Seq(SecondaryIndex.InPred(c,
         vs.iterator.map(_.asInstanceOf[String]).toSeq))
+    case EqualNullSafe(c, v: String) => Seq(SecondaryIndex.EqPred(c, v))
+    case EqualNullSafe(c, v: java.lang.Number) =>
+      Seq(SecondaryIndex.RangePred(c, v.doubleValue, v.doubleValue))
+    case StringStartsWith(c, p) => Seq(SecondaryIndex.PrefixPred(c, p))
     case And(l, r) => indexPreds(l) ++ indexPreds(r)
     case _ => Seq.empty
   }

@@ -213,6 +213,37 @@ class SecondaryIndexSpec extends SparkSuite {
     }
   }
 
+  test("prefix lookup equals the snapshot LIKE filter, through change and delete") {
+    val root = checkpointDir("secidx-prefix")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    val b0 = env(Seq(
+      ("k1", "web/home", "INSERT", 1L), ("k2", "web/cart", "INSERT", 1L),
+      ("k3", "api/v1", "INSERT", 1L), ("k4", "web", "INSERT", 1L)))
+    val b1 = env(Seq(
+      ("k1", "api/v2", "UPDATE", 2L),  // leaves the web/ prefix
+      ("k2", "web/cart", "DELETE", 2L),
+      ("k5", "web/search", "INSERT", 2L)))
+    Seq((b0, 0L), (b1, 1L)).foreach { case (b, id) =>
+      SecondaryIndex.indexBatch(root, "t", "val", b, id)
+      store.applyBatch(b, id)
+    }
+    def byIndex(p: String) = liveSet(
+      SecondaryIndex.lookupByPrefix(spark, store, root, "t", "val", p))
+    def byScan(p: String) = liveSet(store.snapshot(spark, "t")
+      .filter(try_element_at(col("values"), lit("val")).startsWith(p)))
+    Seq("web/", "web", "api", "nope").foreach { p =>
+      assert(byIndex(p) == byScan(p), s"prefix lookup diverges for '$p'")
+    }
+    // stale postings pruned: k1 left the prefix, k2 died, k5 entered
+    assert(byIndex("web/").map(_._1) == Set("k5"))
+    assert(byIndex("web").map(_._1) == Set("k4", "k5"))
+    // compaction preserves prefix answers
+    SecondaryIndex.compact(spark, store, root, "t", "val", asBatch = 1L)
+    Seq("web/", "api").foreach { p =>
+      assert(byIndex(p) == byScan(p), s"post-compaction prefix diverges '$p'")
+    }
+  }
+
   test("an index whose appends all matched zero rows answers empty, not an error") {
     // indexBatch creates the directory and _layout up front; if every
     // append so far carried no rows with the column, there are no data

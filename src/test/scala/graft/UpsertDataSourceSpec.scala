@@ -180,6 +180,8 @@ class UpsertDataSourceSpec extends SparkSuite {
       Set(62L, 63L, 64L, 70L))
     // IN over strings
     assert(ids(typed.filter(col("v").isin("rare", "nope"))) == Set(70L))
+    // prefix (LIKE 'ra%') — pushed StringStartsWith through the postings
+    assert(ids(typed.filter(col("v").startsWith("ra"))) == Set(70L))
     // a conjunction of indexed predicates stays exact (cheapest wins,
     // the other is re-verified above the scan)
     assert(typed.filter(col("v") === "rare" && col("id") < 70L)
