@@ -191,6 +191,14 @@ class UpsertDataSourceSpec extends SparkSuite {
     store.applyBatch(spark.createDataset(Seq(
       dml(OpType.Insert, 200, 71L, "v" -> "rare"))).toDF(), 2L)
     assert(ids(typed.filter(col("v") === "rare")) == Set(70L, 71L))
+    // time travel + index: the as-of horizon bounds both the coverage
+    // check (only batches <= 0 need covering, so the LATER gap doesn't
+    // disable as-of pruning) and the postings read, verified against
+    // the historical snapshot
+    val typed0 = spark.read.format("graft-upsert").option("path", dir)
+      .option("table", "dbo.t").option("typed", "true")
+      .option("asOf", "0").load()
+    assert(ids(typed0.filter(col("v") === "rare")) == Set(30L, 60L))
   }
 
   test("index-first typed reads prune to candidate buckets (behavioral proof)") {
