@@ -277,6 +277,14 @@ object SecondaryIndex {
                                          vs: Seq[String]) extends Pred {
     def describe = s"values (${vs.mkString(", ")}) of '$column'"
   }
+  /** Numeric IN — a disjunction of numeric equalities on ONE column,
+    * answered through the `v_num` cast like [[RangePred]] (the same
+    * nearest-rounding monotonicity makes the candidates a sound
+    * superset of the exact-typed matches). */
+  private[graft] final case class NumInPred(column: String,
+                                            vs: Seq[Double]) extends Pred {
+    def describe = s"numeric values (${vs.mkString(", ")}) of '$column'"
+  }
   /** String prefix (`LIKE 'p%'`). Hash buckets can't prune a prefix, so
     * the candidate enumeration scans the (narrow) postings table with
     * the StartsWith filter PUSHED to its parquet scan — bounded by
@@ -295,6 +303,8 @@ object SecondaryIndex {
     case InPred(_, vs) =>
       val buckets = vs.map(ParquetUpsertStore.bucketOf(_, nb)).distinct
       _.filter(col("vb").isin(buckets: _*)).filter(col("v").isin(vs: _*))
+    case NumInPred(_, vs) =>
+      _.filter(col("v_num").isin(vs: _*))
     case PrefixPred(_, p) =>
       _.filter(col("v").startsWith(lit(p)))
   }
@@ -309,6 +319,9 @@ object SecondaryIndex {
         .between(lo, hi))
     case InPred(c, vs) =>
       df.filter(try_element_at(col("values"), lit(c)).isin(vs: _*))
+    case NumInPred(c, vs) =>
+      df.filter(try_element_at(col("values"), lit(c)).try_cast("double")
+        .isin(vs: _*))
     case PrefixPred(c, p) =>
       df.filter(try_element_at(col("values"), lit(c)).startsWith(lit(p)))
   }

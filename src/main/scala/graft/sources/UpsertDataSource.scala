@@ -227,6 +227,10 @@ final case class UpsertRelation(sqlContext: SQLContext,
     case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
       Seq(SecondaryIndex.InPred(c,
         vs.iterator.map(_.asInstanceOf[String]).toSeq))
+    case In(c, vs)
+        if vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Number]) =>
+      Seq(SecondaryIndex.NumInPred(c, vs.iterator
+        .map(_.asInstanceOf[java.lang.Number].doubleValue).toSeq))
     case EqualNullSafe(c, v: String) => Seq(SecondaryIndex.EqPred(c, v))
     case EqualNullSafe(c, v: java.lang.Number) =>
       Seq(SecondaryIndex.RangePred(c, v.doubleValue, v.doubleValue))

@@ -182,6 +182,9 @@ class UpsertDataSourceSpec extends SparkSuite {
     assert(ids(typed.filter(col("v").isin("rare", "nope"))) == Set(70L))
     // prefix (LIKE 'ra%') — pushed StringStartsWith through the postings
     assert(ids(typed.filter(col("v").startsWith("ra"))) == Set(70L))
+    // numeric IN through the v_num cast (62 live, 70 live, 999 absent)
+    assert(ids(typed.filter(col("id").isin(62L, 70L, 999L))) ==
+      Set(62L, 70L))
     // a conjunction of indexed predicates stays exact (cheapest wins,
     // the other is re-verified above the scan)
     assert(typed.filter(col("v") === "rare" && col("id") < 70L)
