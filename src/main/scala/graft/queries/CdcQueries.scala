@@ -949,6 +949,38 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // PREFIX lookup over the secondary index — the `LIKE 'p%'` face:
+    // hash buckets can't prune a prefix, so the candidate enumeration
+    // scans the NARROW postings table with StartsWith pushed to its
+    // parquet scan (bounded by postings size, never the store), and the
+    // candidates take the same verified point-lookup path. Completes
+    // the index's oracle-gated predicate vocabulary: equality (cdc33),
+    // range (cdc35), intersection (cdc36), SQL pushdown (cdc37),
+    // prefix (here).
+    "cdc39_prefix_lookup" -> ((s, d) => {
+      import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
+      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+        Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      val root = freshDir("cdc39")
+      val store = new ParquetUpsertStore(root, numBuckets = 8)
+      Seq(0L, 1L).foreach { b =>
+        // persist: two consumers (index + apply) of one batch
+        val part = env.filter(ver % 2 === b).persist()
+        try {
+          SecondaryIndex.indexBatch(root, "public.events", "event_type", part, b)
+          store.applyBatch(part, b)
+        } finally part.unpersist()
+      }
+      SecondaryIndex.lookupByPrefix(s, store, root, "public.events",
+          "event_type", "p")
+        .select(col("row_key").cast("long").as("user_id"),
+          col("version").as("event_id"),
+          element_at(col("values"), "event_type").as("event_type"),
+          element_at(col("values"), "value").cast("double").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // BLOOM-FRONTED point lookup — the miss fast path (HBase/Kudu bloom
     // blocks, where the reference's sinks get theirs): per-batch key
     // blooms are written BEFORE each apply (the index-ordering
@@ -1521,6 +1553,15 @@ object CdcQueries {
          |    $opFromEventSql AS op
          |  FROM events WHERE user_id < 50) t
          |WHERE rn = 1 AND op <> 'DELETE' AND event_type = 'click'
+         |ORDER BY user_id""".stripMargin,
+    "cdc39_prefix_lookup" ->
+      s"""SELECT user_id, event_id, event_type, value FROM (
+         |  SELECT user_id, event_id, event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn,
+         |    $opFromEventSql AS op
+         |  FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE' AND event_type LIKE 'p%'
          |ORDER BY user_id""".stripMargin,
     "cdc31_replay_dupes" ->
       """WITH log AS (

@@ -588,10 +588,11 @@ class PlanAuditSpec extends SparkSuite {
         s"comes off the persisted sketch rows:\n$p")
   }
 
-  test("cdc33-cdc38 answer off the store and its artifacts, never the raw feed") {
+  test("cdc33-cdc39 answer off the store and its artifacts, never the raw feed") {
     Seq("cdc33_indexed_lookup", "cdc34_bloom_lookup",
         "cdc35_range_lookup", "cdc36_index_intersection",
-        "cdc37_sql_index_scan", "cdc38_stream_sink_e2e").foreach { name =>
+        "cdc37_sql_index_scan", "cdc38_stream_sink_e2e",
+        "cdc39_prefix_lookup").foreach { name =>
       val p = executedPlan(name)
       assert(scansOf(p, "events.parquet") == 0,
         s"$name's returned plan must read buckets/postings only — the " +
