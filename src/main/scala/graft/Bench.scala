@@ -209,8 +209,15 @@ object Bench {
     // hardware changes (a source edit should not be required to re-pin),
     // and the floor used is recorded in the JSON so a reader can judge
     // the gate itself, not just its verdict.
-    val calibFloor = sys.env.get("SPARK_GRAFT_BENCH_CALIB_FLOOR")
-      .map(_.toDouble).getOrElse(0.14)
+    val calibFloor = sys.env.get("SPARK_GRAFT_BENCH_CALIB_FLOOR") match {
+      case None => 0.14
+      case Some(s) => s.trim.toDoubleOption.filter(_ > 0).getOrElse {
+        System.err.println(s"BENCH: ignoring malformed " +
+          s"SPARK_GRAFT_BENCH_CALIB_FLOOR='$s' (expected a positive " +
+          "double) — using the pinned 0.14 floor")
+        0.14
+      }
+    }
     val dirty = math.max(calibPre, calibPost) > calibFloor * 1.5
     if (dirty) System.err.println(
       f"BENCH DIRTY: calibration $calibPre%.3f/$calibPost%.3f exceeds " +

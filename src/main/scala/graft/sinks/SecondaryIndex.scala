@@ -277,6 +277,22 @@ object SecondaryIndex {
                                          vs: Seq[String]) extends Pred {
     def describe = s"values (${vs.mkString(", ")}) of '$column'"
   }
+  /** One-sided numeric bound (`> v` / `>= v`) — deliberately NOT a
+    * closed `[v, Double.MaxValue]` range: Spark's comparison semantics
+    * order NaN above every value and +Infinity above MaxValue, so a
+    * closed upper clamp would silently drop indexed values like '1e400'
+    * (casts to +Inf) or 'NaN' that the re-applied exact filter matches —
+    * the superset contract broken. An open bound keeps them in. */
+  private[graft] final case class GtPred(column: String, v: Double,
+                                         strict: Boolean) extends Pred {
+    def describe = s"values ${if (strict) ">" else ">="} $v of '$column'"
+  }
+  /** One-sided numeric bound (`< v` / `<= v`) — open below, so indexed
+    * -Infinity values ('-1e400') stay in the candidate set. */
+  private[graft] final case class LtPred(column: String, v: Double,
+                                         strict: Boolean) extends Pred {
+    def describe = s"values ${if (strict) "<" else "<="} $v of '$column'"
+  }
   /** Numeric IN — a disjunction of numeric equalities on ONE column,
     * answered through the `v_num` cast like [[RangePred]] (the same
     * nearest-rounding monotonicity makes the candidates a sound
@@ -300,6 +316,10 @@ object SecondaryIndex {
         .filter(col("v") === v)
     case RangePred(_, lo, hi) =>
       _.filter(col("v_num") >= lo && col("v_num") <= hi)
+    case GtPred(_, v, strict) =>
+      _.filter(if (strict) col("v_num") > v else col("v_num") >= v)
+    case LtPred(_, v, strict) =>
+      _.filter(if (strict) col("v_num") < v else col("v_num") <= v)
     case InPred(_, vs) =>
       val buckets = vs.map(ParquetUpsertStore.bucketOf(_, nb)).distinct
       _.filter(col("vb").isin(buckets: _*)).filter(col("v").isin(vs: _*))
@@ -317,6 +337,12 @@ object SecondaryIndex {
     case RangePred(c, lo, hi) =>
       df.filter(try_element_at(col("values"), lit(c)).try_cast("double")
         .between(lo, hi))
+    case GtPred(c, v, strict) =>
+      val n = try_element_at(col("values"), lit(c)).try_cast("double")
+      df.filter(if (strict) n > v else n >= v)
+    case LtPred(c, v, strict) =>
+      val n = try_element_at(col("values"), lit(c)).try_cast("double")
+      df.filter(if (strict) n < v else n <= v)
     case InPred(c, vs) =>
       df.filter(try_element_at(col("values"), lit(c)).isin(vs: _*))
     case NumInPred(c, vs) =>
@@ -362,6 +388,20 @@ object SecondaryIndex {
       } catch {
         case e @ (_: StaleGeneration | _: org.apache.spark.SparkException |
                   _: java.io.FileNotFoundException) =>
+          // Retry ONLY failures the stale-generation race explains: the
+          // pointer moved under us, or the failure is FileNotFound-rooted
+          // (the racing cleanup's signature). A deterministic failure
+          // (e.g. a corrupt postings file) rethrows immediately instead
+          // of re-running the full enumeration five times.
+          val raceShaped = e match {
+            case _: StaleGeneration | _: java.io.FileNotFoundException => true
+            case se: org.apache.spark.SparkException =>
+              Iterator.iterate(se: Throwable)(_.getCause)
+                .takeWhile(_ != null).take(16)
+                .exists(_.isInstanceOf[java.io.FileNotFoundException]) ||
+                readState(fs, dir).pointer.fold(0L)(_.n) != ptr.n
+          }
+          if (!raceShaped) throw e
           if (attempt >= 5) e match {
             case _: StaleGeneration => throw new java.io.IOException(
               s"SecondaryIndex: generation under $dir kept vanishing " +
@@ -505,25 +545,37 @@ object SecondaryIndex {
     val st = readState(fs, dir)
     val ptr = st.pointer.getOrElse(Pointer(0L, None))
     val newN = (st.genNumbers ++ st.pointerNumbers + ptr.n).max + 1
+    // The fold horizon is CLAMPED to the last committed manifest id: an
+    // `asBatch` above it would (a) vouch (`covered_through`) for future
+    // batch ids that may later commit WITHOUT an indexBatch — permanent
+    // silent pruning unsoundness on API misuse — and (b) fold away
+    // postings of index-ahead-of-apply in-flight batches whose rows the
+    // empty-so-far snapshot cannot rebuild. With nothing committed yet
+    // the rebuild is empty, EVERY posting is carried verbatim, and no
+    // new coverage is claimed.
+    val committedMax = ParquetUpsertStore.committedManifestIds(fs,
+      ParquetUpsertStore.tableDir(root, table)).maxOption
+    val asb: Long = committedMax.fold(Long.MinValue)(math.min(asBatch, _))
     val later = {
       val gp = new Path(genPath(dir, ptr.n))
       if (!fs.exists(gp)) null
-      else try spark.read.parquet(gp.toString).filter(col("batch") > asBatch)
+      else try spark.read.parquet(gp.toString).filter(col("batch") > asb)
         .select(col("row_key"), col("batch"), col("v"))
       catch { // no postings yet (or only empty appends): nothing to carry
         case _: org.apache.spark.sql.AnalysisException => null
       }
     }
-    val rebuilt = store.snapshotAt(spark, table, asBatch)
-      .select(col("row_key"), lit(asBatch).as("batch"),
+    val rebuilt = store.snapshotAt(spark, table, asb)
+      .select(col("row_key"), lit(asb).as("batch"),
         try_element_at(col("values"), lit(column)).as("v"))
       .filter(col("v").isNotNull)
     shapePostings(Option(later).fold(rebuilt)(rebuilt.unionByName(_)), nb)
       .write.mode("overwrite").partitionBy("vb").parquet(genPath(dir, newN))
     // covered_through never regresses: an older-id re-compaction carries
     // the later-stamped postings forward, so prior coverage still holds.
-    val covT = math.max(asBatch, ptr.coveredThrough.getOrElse(Long.MinValue))
-    commitPointer(fs, dir, newN, Some(covT))
+    val covT: Option[Long] =
+      (committedMax.map(math.min(asBatch, _)).toSeq ++ ptr.coveredThrough).maxOption
+    commitPointer(fs, dir, newN, covT)
     val committed = readState(fs, dir)
     require(committed.pointer.exists(_.n >= newN),
       s"SecondaryIndex.compact: pointer _gen-$newN did not commit in $dir")
@@ -533,8 +585,17 @@ object SecondaryIndex {
       .foreach(n => fs.delete(new Path(genPath(dir, n)), true))
     (committed.pointerNumbers - newN)
       .foreach(n => fs.delete(new Path(dir, s"_gen-$n"), false))
-    committed.covers.filter(_ <= covT)
-      .foreach(id => fs.delete(new Path(dir, s"_cover-$id"), false))
+    covT.foreach(ct => committed.covers.filter(_ <= ct)
+      .foreach(id => fs.delete(new Path(dir, s"_cover-$id"), false)))
+    // Legacy pre-generation layout (postings written as root-level
+    // `vb=*` directories, no pointer): those files are never read by
+    // the generation-resolved paths — an upgraded index runs DEGRADED
+    // (unpruned, loud) until this first compact rebuilds full coverage
+    // from the snapshot, at which point the orphans are removed here.
+    try fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("vb="))
+      .foreach(s => fs.delete(s.getPath, true))
+    catch { case _: java.io.FileNotFoundException => () }
   }
 
   // ---------------------------------------------------------------------

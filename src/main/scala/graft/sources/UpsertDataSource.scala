@@ -216,14 +216,19 @@ final case class UpsertRelation(sqlContext: SQLContext,
     case EqualTo(c, v: String) => Seq(SecondaryIndex.EqPred(c, v))
     case EqualTo(c, v: java.lang.Number) =>
       Seq(SecondaryIndex.RangePred(c, v.doubleValue, v.doubleValue))
+    // one-sided comparisons stay OPEN on the unbounded side: Spark
+    // orders NaN above everything and ±Infinity beyond ±MaxValue, so a
+    // closed ±Double.MaxValue clamp would silently exclude indexed
+    // values casting to NaN/±Inf that the re-applied exact filter
+    // matches — candidates must stay a superset
     case GreaterThan(c, v: java.lang.Number) =>
-      Seq(SecondaryIndex.RangePred(c, v.doubleValue, Double.MaxValue))
+      Seq(SecondaryIndex.GtPred(c, v.doubleValue, strict = true))
     case GreaterThanOrEqual(c, v: java.lang.Number) =>
-      Seq(SecondaryIndex.RangePred(c, v.doubleValue, Double.MaxValue))
+      Seq(SecondaryIndex.GtPred(c, v.doubleValue, strict = false))
     case LessThan(c, v: java.lang.Number) =>
-      Seq(SecondaryIndex.RangePred(c, -Double.MaxValue, v.doubleValue))
+      Seq(SecondaryIndex.LtPred(c, v.doubleValue, strict = true))
     case LessThanOrEqual(c, v: java.lang.Number) =>
-      Seq(SecondaryIndex.RangePred(c, -Double.MaxValue, v.doubleValue))
+      Seq(SecondaryIndex.LtPred(c, v.doubleValue, strict = false))
     case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
       Seq(SecondaryIndex.InPred(c,
         vs.iterator.map(_.asInstanceOf[String]).toSeq))

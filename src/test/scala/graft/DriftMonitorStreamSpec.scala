@@ -73,4 +73,75 @@ class DriftMonitorStreamSpec extends SparkSuite {
       .select(col("key"), col("status")).as[(String, String)].collect().toSet
     assert(alerts == Set("c" -> "new_type", "d" -> "new_key"))
   }
+
+  /** Expected full history for a feed where batch b contributes one doc
+    * whose keys are k0..k(b mod 5) — key "k<i>" first appears at batch
+    * i, always tier integer, so statuses are mechanical. */
+  private def syntheticDoc(b: Int): String =
+    (0 to (b % 5)).map(i => s""""k$i": ${b + i}""").mkString("{", ", ", "}")
+
+  test("artifact lifecycle stays bounded: O(foldEvery) directories at any stream age") {
+    // The unbounded-sidecar shape the other artifacts already solved
+    // (blooms r15, postings r16): ingest must NOT re-read every prior
+    // batch-<id> directory. 32 batches at foldEvery=4 → the unfolded
+    // tail and the fold generations both stay O(policy constant), and
+    // the monitor stays EXACT across every fold boundary.
+    val dir = checkpointDir("drift-fold")
+    val foldEvery = 4
+    def dirNames: Seq[String] = {
+      val f = new java.io.File(dir)
+      Option(f.list()).getOrElse(Array.empty).toSeq
+    }
+    val expect = scala.collection.mutable.Set[(Int, String, String, Long, String)]()
+    val seenKeys = scala.collection.mutable.Set[String]()
+    (0 until 32).foreach { b =>
+      DriftMonitor.ingest(spark, dir, DriftMonitor.profileBatch(
+        Seq((b, syntheticDoc(b))).toDF("epoch", "js")
+          .select(col("epoch"), parse_json(col("js")).as("v"))), b,
+        foldEvery = foldEvery)
+      (0 to (b % 5)).foreach { i =>
+        val status = if (seenKeys.add(s"k$i")) "new_key" else "steady"
+        expect += ((b, s"k$i", "integer", 1L, status))
+      }
+      val batchDirs = dirNames.count(_.startsWith("batch-"))
+      val foldDirs = dirNames.count(n => n.startsWith("fold-") && !n.startsWith("_"))
+      assert(batchDirs <= foldEvery,
+        s"unfolded tail grew past the policy at batch $b: $batchDirs dirs")
+      assert(foldDirs <= 2,
+        s"fold generations grew past current+grace at batch $b: $foldDirs")
+    }
+    assert(DriftMonitor.monitor(spark, dir)
+      .as[(Int, String, String, Long, String)].collect().toSet == expect,
+      "history must stay exact across fold boundaries")
+    // replay of an already-FOLDED batch id is a no-op, not a double count
+    DriftMonitor.ingest(spark, dir, DriftMonitor.profileBatch(
+      Seq((0, syntheticDoc(0))).toDF("epoch", "js")
+        .select(col("epoch"), parse_json(col("js")).as("v"))), 0L,
+      foldEvery = foldEvery)
+    assert(DriftMonitor.monitor(spark, dir)
+      .as[(Int, String, String, Long, String)].collect().toSet == expect,
+      "a replayed folded batch must be a no-op")
+  }
+
+  test("seen-set cardinality guard: past maxSeenPairs stamping degrades to joins, stays exact") {
+    val dir = checkpointDir("drift-guard")
+    // batch 0 mints 40 distinct keys — far past the tiny guard below
+    val manyKeys = (0 until 40).map(i => s""""w$i": $i""").mkString("{", ", ", "}")
+    DriftMonitor.ingest(spark, dir, DriftMonitor.profileBatch(
+      Seq((0, manyKeys)).toDF("epoch", "js")
+        .select(col("epoch"), parse_json(col("js")).as("v"))), 0L,
+      maxSeenPairs = 5)
+    // batch 1: one known key (steady), one known key drifting tier
+    // (new_type), one new key — stamped through the JOIN path
+    DriftMonitor.ingest(spark, dir, DriftMonitor.profileBatch(
+      Seq((1, """{"w0": 7, "w1": "now-a-string", "fresh": 1}"""))
+        .toDF("epoch", "js")
+        .select(col("epoch"), parse_json(col("js")).as("v"))), 1L,
+      maxSeenPairs = 5)
+    val got = DriftMonitor.monitor(spark, dir)
+      .filter(col("epoch") === 1)
+      .select(col("key"), col("status")).as[(String, String)].collect().toSet
+    assert(got == Set("w0" -> "steady", "w1" -> "new_type",
+      "fresh" -> "new_key"))
+  }
 }

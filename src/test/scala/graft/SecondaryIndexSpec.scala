@@ -436,6 +436,45 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(byIndex("a").map(_._1) == Set("k1", "k9", "k10"))
   }
 
+  test("compaction cannot vouch for the future: covered_through clamps to committed history") {
+    // compact(asBatch) with an id above the last committed manifest must
+    // NOT claim coverage of batch ids that haven't committed yet — a
+    // later batch applied without indexBatch would then prune silently
+    // wrong forever. The clamp also protects index-ahead-of-apply
+    // postings: a compact racing the apply loop (postings written,
+    // manifest not yet committed) must carry them, not fold them away.
+    val root = checkpointDir("secidx-clamp")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    val b0 = env(Seq(("k1", "a", "INSERT", 1L), ("k2", "b", "INSERT", 1L)))
+    SecondaryIndex.indexBatch(root, "t", "val", b0, 0L)
+    store.applyBatch(b0, 0L)
+    // API misuse: compact claiming a far-future horizon
+    SecondaryIndex.compact(spark, store, root, "t", "val", asBatch = 999L)
+    // batch 1 commits WITHOUT indexBatch — coverage must be unsound
+    val b1 = env(Seq(("k9", "a", "INSERT", 2L)))
+    store.applyBatch(b1, 1L)
+    def byIndex(v: String) = liveSet(
+      SecondaryIndex.lookupByValue(spark, store, root, "t", "val", v))
+    def byScan(v: String) = liveSet(store.snapshot(spark, "t")
+      .filter(try_element_at(col("values"), lit("val")) === v))
+    assert(byIndex("a") == byScan("a"),
+      "future-claiming compact must not vouch for an unindexed later batch")
+    assert(byIndex("a").map(_._1) == Set("k1", "k9"))
+
+    // in-flight postings survive an empty-store compact: index first
+    // (the ordering contract), compact BEFORE the apply commits, then
+    // apply — the lookup must still see the batch's rows index-first
+    val root2 = checkpointDir("secidx-clamp2")
+    val store2 = new ParquetUpsertStore(root2, numBuckets = 4)
+    val c0 = env(Seq(("k1", "a", "INSERT", 1L)))
+    SecondaryIndex.indexBatch(root2, "t", "val", c0, 0L)
+    SecondaryIndex.compact(spark, store2, root2, "t", "val", asBatch = 0L)
+    store2.applyBatch(c0, 0L)
+    assert(liveSet(SecondaryIndex.lookupByValue(spark, store2, root2, "t",
+      "val", "a")).map(_._1) == Set("k1"),
+      "an empty-store compact must carry in-flight postings verbatim")
+  }
+
   test("cheapest-first planning: a popular conjunct no longer fails a selective query") {
     val root = checkpointDir("secidx-cheapest")
     val store = new ParquetUpsertStore(root, numBuckets = 4)

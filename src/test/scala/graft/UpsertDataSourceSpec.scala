@@ -338,6 +338,41 @@ class UpsertDataSourceSpec extends SparkSuite {
       s"dim enrichment must not shuffle the fact side:\n$plan")
   }
 
+  test("one-sided numeric pushdown keeps NaN/±Inf candidates (open bounds)") {
+    // Spark's comparison semantics order NaN above every value and
+    // ±Infinity beyond ±MaxValue — an index pushdown that clamped
+    // one-sided comparisons to a closed ±Double.MaxValue range would
+    // silently drop indexed values casting to NaN/±Inf that the
+    // re-applied exact filter matches. The candidates must stay a
+    // superset: these reads answer index-first and must still see them.
+    val dir = checkpointDir("dsrc-naninf")
+    val store = new ParquetUpsertStore(dir, numBuckets = 4)
+    val s2 = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType)))
+    def dml2(version: Long, id: Long, x: String) =
+      ChangeRecord.ofDml(Dml(OpType.Insert, "dbo.t", Seq("id"), s2.json,
+        Map("id" -> id.toString, "x" -> x), version.toString, 0L))
+    val b0 = spark.createDataset(Seq(ChangeRecord.ofDdl(Ddl("dbo.t", s2.json)),
+      dml2(1, 1L, "1.0"),
+      dml2(2, 2L, "10.0"),
+      dml2(3, 3L, "1e400"),  // casts to +Infinity
+      dml2(4, 4L, "-1e400"), // casts to -Infinity
+      dml2(5, 5L, "NaN"))).toDF()
+    SecondaryIndex.indexBatch(dir, "dbo.t", "x", b0, 0L)
+    store.applyBatch(b0, 0L)
+    def typed = spark.read.format("graft-upsert").option("path", dir)
+      .option("table", "dbo.t").option("typed", "true").load()
+    def ids(df: DataFrame): Set[Long] =
+      df.select("id").as[Long].collect().toSet
+    assert(ids(typed.filter(col("x") > 5.0)) == Set(2L, 3L, 5L))
+    assert(ids(typed.filter(col("x") >= 10.0)) == Set(2L, 3L, 5L))
+    assert(ids(typed.filter(col("x") < 5.0)) == Set(1L, 4L))
+    assert(ids(typed.filter(col("x") <= 1.0)) == Set(1L, 4L))
+    // two-sided ranges still behave (finite values only, by semantics)
+    assert(ids(typed.filter(col("x") >= 1.0 && col("x") <= 10.0)) ==
+      Set(1L, 2L))
+  }
+
   test("read options are validated with named errors; write refuses non-append modes") {
     val e1 = intercept[IllegalArgumentException] {
       spark.read.format("graft-upsert").option("table", "t").load()
