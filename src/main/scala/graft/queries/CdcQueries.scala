@@ -1190,6 +1190,39 @@ object CdcQueries {
         .select(col("user_id"), col("event_id"), col("value"), col("props"))
         .orderBy(col("user_id"))
     }),
+
+    // SQL-WRITABLE store: the pure-SQL pipeline closes its loop —
+    // CREATE TABLE USING graft-upsert, INSERT INTO (change batches in
+    // the relation's own read shape, batch ids auto-incremented from
+    // the committed manifests), SELECT back. Two INSERTs commit two
+    // batches; the second merges over the first, so the readback is
+    // the converged state (latest per key, deletes folded) with zero
+    // non-SQL calls. UpsertDataSourceSpec pins the named errors
+    // (OVERWRITE, typed, asOf).
+    "cdc40_sql_insert_apply" -> ((s, d) => {
+      val root = freshDir("cdc40")
+      Tables.events(s, d).createOrReplaceTempView("cdc40_events")
+      s.sql("DROP TABLE IF EXISTS cdc40_store")
+      s.sql(s"CREATE TABLE cdc40_store USING `graft-upsert` " +
+        s"OPTIONS (path '$root', `table` 'public.events')")
+      Seq(0, 1).foreach { b =>
+        s.sql(s"""
+          INSERT INTO cdc40_store
+          SELECT CAST(user_id AS STRING) AS row_key,
+                 $opFromEventSql AS op,
+                 map('user_id', CAST(user_id AS STRING),
+                     'event_type', event_type,
+                     'value', CAST(value AS STRING)) AS `values`,
+                 event_id AS version
+          FROM cdc40_events WHERE event_id % 2 = $b""")
+      }
+      s.sql("""
+        SELECT CAST(row_key AS BIGINT) AS user_id,
+               version AS event_id,
+               `values`['event_type'] AS event_type,
+               CAST(`values`['value'] AS DOUBLE) AS value
+        FROM cdc40_store ORDER BY user_id""")
+    }),
   )
 
   private val opFromEventSql =
@@ -1562,6 +1595,15 @@ object CdcQueries {
          |    $opFromEventSql AS op
          |  FROM events) t
          |WHERE rn = 1 AND op <> 'DELETE' AND event_type LIKE 'p%'
+         |ORDER BY user_id""".stripMargin,
+    "cdc40_sql_insert_apply" ->
+      s"""SELECT user_id, event_id, event_type, value FROM (
+         |  SELECT user_id, event_id, event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn,
+         |    $opFromEventSql AS op
+         |  FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE'
          |ORDER BY user_id""".stripMargin,
     "cdc31_replay_dupes" ->
       """WITH log AS (

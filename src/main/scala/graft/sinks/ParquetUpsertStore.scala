@@ -121,6 +121,25 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     } finally batch.unpersist()
   }
 
+  /** Apply rows ALREADY in the store's projected change shape
+    * (`row_key, op, values, version` — exactly what a snapshot read
+    * returns) as one change batch of `table`: the SQL INSERT face
+    * ([[graft.sources.UpsertRelation.insert]]), and the programmatic
+    * shortcut for callers that don't speak the DDL/DML envelope. Same
+    * within-batch compaction, merge, and manifest commit as
+    * [[applyBatch]] (single table, no DDL phase). */
+  def applyProjected(rows: DataFrame, table: String, batchId: Long): Unit = {
+    val dml = rows.select(lit(table).as("table"), col("op"),
+      col("row_key"), col("values"), col("version").cast("long"))
+    applyTable(rows.sparkSession, dml, Map.empty, table, batchId)
+  }
+
+  /** The batch id a NEW apply should commit at: one past the newest
+    * committed manifest (0 for a fresh table) — the auto-increment the
+    * SQL INSERT face uses, where no streaming checkpoint hands out ids. */
+  def nextBatchId(spark: SparkSession, table: String): Long =
+    maxManifestId(fileSystem(spark, root), tableDir(table)).fold(0L)(_ + 1L)
+
   private def applyTable(spark: SparkSession, dml: DataFrame,
                      ddlSchemas: Map[String, StructType],
                      t: String, batchId: Long): Unit = {

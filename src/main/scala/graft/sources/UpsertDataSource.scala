@@ -148,7 +148,32 @@ final case class UpsertRelation(sqlContext: SQLContext,
                                 store: ParquetUpsertStore, root: String,
                                 table: String, asOf: Option[Long],
                                 typed: Boolean, indexMaxKeys: Int = 100000)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** `INSERT INTO` a `CREATE TABLE ... USING graft-upsert` table: the
+    * inserted rows are a CHANGE BATCH in the relation's own read shape
+    * (`row_key, op, values, version`), applied at the next committed
+    * batch id — so a pure-SQL pipeline can both query the store and
+    * apply changes to it (the reference hands its analytics story
+    * entirely to SQL; a read-only SQL face would strand the write
+    * half). Batches applied this way bypass the sidecar artifacts
+    * (indexes, blooms) by construction; their coverage cross-checks
+    * notice the uncovered manifest and degrade loudly to unpruned
+    * scans until the next compaction — correct, never silently stale. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(!overwrite,
+      "graft-upsert: INSERT OVERWRITE is not supported — the store is an " +
+        "upsert log, not a rewritable file dump; INSERT INTO appends a " +
+        "change batch")
+    require(!typed,
+      "graft-upsert: INSERT INTO requires the envelope-shaped relation " +
+        "(typed=false) — insert (row_key, op, values, version) change " +
+        "rows; a typed relation cannot derive row keys from typed columns")
+    require(asOf.isEmpty,
+      "graft-upsert: cannot INSERT INTO a time-travel (asOf) relation — " +
+        "history is immutable; insert through the current-state table")
+    store.applyProjected(data, table, store.nextBatchId(spark, table))
+  }
 
   private def spark = sqlContext.sparkSession
 

@@ -373,6 +373,53 @@ class UpsertDataSourceSpec extends SparkSuite {
       Set(1L, 2L))
   }
 
+  test("INSERT INTO applies a change batch through pure SQL, with named refusals") {
+    val dir = checkpointDir("dsrc-insert")
+    spark.sql("DROP TABLE IF EXISTS ins_t")
+    spark.sql(s"CREATE TABLE ins_t USING `graft-upsert` " +
+      s"OPTIONS (path '$dir', `table` 'dbo.t')")
+    // batch 0: two inserts (auto-assigned batch id 0)
+    spark.sql("""INSERT INTO ins_t VALUES
+      ('1', 'INSERT', map('id', '1', 'v', 'a'), 1),
+      ('2', 'INSERT', map('id', '2', 'v', 'b'), 2)""")
+    // batch 1: update row 1, delete row 2 (auto-assigned batch id 1)
+    spark.sql("""INSERT INTO ins_t VALUES
+      ('1', 'UPDATE', map('id', '1', 'v', 'a2'), 3),
+      ('2', 'DELETE', map('id', '2', 'v', '-'), 4)""")
+    val got = spark.sql("SELECT row_key, `values`['v'] FROM ins_t")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("1" -> "a2"), s"converged SQL state mismatch: $got")
+    // the two INSERTs committed two distinct batches: time travel sees
+    // the intermediate state
+    val at0 = spark.read.format("graft-upsert").option("path", dir)
+      .option("table", "dbo.t").option("asOf", "0").load()
+      .select("row_key").as[String].collect().sorted.toSeq
+    assert(at0 == Seq("1", "2"))
+    // named refusals: INSERT OVERWRITE, typed relations, asOf relations
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE TABLE ins_t VALUES " +
+        "('9', 'INSERT', map('id', '9'), 9)")
+    }
+    assert(e1.getMessage.contains("INSERT OVERWRITE") ||
+      Option(e1.getCause).exists(_.getMessage.contains("INSERT OVERWRITE")))
+    // a typed relation needs a recorded schema to even construct
+    val store = new ParquetUpsertStore(dir)
+    store.applyBatch(spark.createDataset(Seq(ddl(s1))).toDF(),
+      store.nextBatchId(spark, "dbo.t"))
+    val typedRel = graft.sources.UpsertRelation(spark.sqlContext,
+      new ParquetUpsertStore(dir), dir, "dbo.t", asOf = None, typed = true)
+    val e2 = intercept[IllegalArgumentException] {
+      typedRel.insert(spark.range(1).toDF(), overwrite = false)
+    }
+    assert(e2.getMessage.contains("typed"))
+    val asOfRel = graft.sources.UpsertRelation(spark.sqlContext,
+      new ParquetUpsertStore(dir), dir, "dbo.t", asOf = Some(0L), typed = false)
+    val e3 = intercept[IllegalArgumentException] {
+      asOfRel.insert(spark.range(1).toDF(), overwrite = false)
+    }
+    assert(e3.getMessage.contains("asOf"))
+  }
+
   test("read options are validated with named errors; write refuses non-append modes") {
     val e1 = intercept[IllegalArgumentException] {
       spark.read.format("graft-upsert").option("table", "t").load()
