@@ -1223,6 +1223,46 @@ object CdcQueries {
                CAST(`values`['value'] AS DOUBLE) AS value
         FROM cdc40_store ORDER BY user_id""")
     }),
+
+    // COMPOSITE (two-column) secondary index: when every single
+    // conjunct is popular (event_type matches ~20% of keys, the value
+    // band ~10%) only the PAIR postings bound the conjunction — at the
+    // bench scale both single enumerations overflow maxKeys and the
+    // lookup answers from the pair index alone (cheapest-first picks
+    // it at every scale: fewest postings). SecondaryIndexSpec pins the
+    // overflow proof deterministically (singles over maxKeys → without
+    // the pair index the guard fires, with it the answer is exact).
+    "cdc41_composite_index" -> ((s, d) => {
+      import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
+      val root = freshDir("cdc41")
+      val store = new ParquetUpsertStore(root, numBuckets = 8)
+      val env = ChangeFeed.wrapDml(
+        Tables.events(s, d).withColumn("vband",
+          floor(col("value") / 10).cast("long").cast("string")),
+        "public.events_log", Seq("event_id"), lit("INSERT"),
+        col("event_id"), lit(0L))
+      val ver = col("dml.changeTrackingVersion").cast("long")
+      Seq(0L, 1L).foreach { b =>
+        val part = env.filter(ver % 2 === b).persist()
+        try {
+          SecondaryIndex.indexBatch(root, "public.events_log",
+            "event_type", part, b)
+          SecondaryIndex.indexBatch(root, "public.events_log",
+            "vband", part, b)
+          SecondaryIndex.indexBatchComposite(root, "public.events_log",
+            Seq("event_type", "vband"), part, b)
+          store.applyBatch(part, b)
+        } finally part.unpersist()
+      }
+      SecondaryIndex.lookupByAll(s, store, root, "public.events_log",
+          equalTo = Map("event_type" -> "click", "vband" -> "3"),
+          maxKeys = 3000)
+        .select(col("row_key").cast("long").as("event_id"),
+          element_at(col("values"), "user_id").cast("long").as("user_id"),
+          element_at(col("values"), "event_type").as("event_type"),
+          element_at(col("values"), "value").cast("double").as("value"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   private val opFromEventSql =
@@ -1605,6 +1645,11 @@ object CdcQueries {
          |  FROM events) t
          |WHERE rn = 1 AND op <> 'DELETE'
          |ORDER BY user_id""".stripMargin,
+    "cdc41_composite_index" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE event_type = 'click' AND FLOOR(value / 10) = 3
+        |ORDER BY event_id""".stripMargin,
     "cdc31_replay_dupes" ->
       """WITH log AS (
         |  SELECT event_id, user_id, event_type FROM events

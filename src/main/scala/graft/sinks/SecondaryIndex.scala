@@ -89,9 +89,44 @@ object SecondaryIndex {
 
   private def safe(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** A COMPOSITE index target is addressed as its member columns
+    * NUL-joined in canonical (sorted) order — NUL cannot appear in a
+    * real column name, so the synthetic name never collides, and every
+    * internal path (dir resolution, postings filters, probes,
+    * enumeration, coverage) treats the pair exactly like a column. */
+  private[graft] def compositeName(columns: Seq[String]): String = {
+    require(columns.size == 2 && columns.distinct.size == 2,
+      s"composite index must name exactly 2 distinct columns, got $columns")
+    require(columns.forall(_.indexOf('\u0000') < 0),
+      "column names cannot contain NUL")
+    columns.sorted.mkString("\u0000")
+  }
+
   private[graft] def indexDir(root: String, table: String,
                               column: String): String =
-    s"$root/__index/${safe(table)}/${safe(column)}"
+    if (column.indexOf('\u0000') >= 0)
+      s"$root/__index/${safe(table)}/__pair__" +
+        column.split('\u0000').map(safe).mkString("__")
+    else s"$root/__index/${safe(table)}/${safe(column)}"
+
+  /** The indexed value of `column` in a live envelope row: the raw map
+    * entry for a single column; for a composite target, the members'
+    * values NUL-joined — null (unindexed) when ANY member is null, so
+    * composite postings exist exactly for rows every member equality
+    * could match. A member value CONTAINING NUL can alias another
+    * pair's encoding; that only ever ADDS candidates (the lookup's
+    * per-member live re-verification prunes them), never drops one:
+    * a query's (v1, v2) always encodes to the same string the write
+    * side produced for rows holding exactly (v1, v2). */
+  private def valueExpr(column: String): org.apache.spark.sql.Column =
+    if (column.indexOf('\u0000') < 0)
+      try_element_at(col("values"), lit(column))
+    else {
+      val parts = column.split('\u0000').toSeq
+        .map(c => try_element_at(col("values"), lit(c)))
+      when(parts.map(_.isNotNull).reduce(_ && _),
+        concat_ws("\u0000", parts: _*))
+    }
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -310,6 +345,19 @@ object SecondaryIndex {
     def describe = s"prefix '$prefix' of '$column'"
   }
 
+  /** Composite-pair predicates synthesizable from a set of EQUALITY
+    * conjuncts: every 2-subset whose canonical pair index EXISTS on
+    * disk becomes an [[EqPred]] on the synthetic NUL-joined column —
+    * candidate-duty only (each member conjunct is still re-verified
+    * against live values), so discovering one can only tighten the
+    * candidate set, never change an answer. */
+  private def compositePreds(fs: FileSystem, root: String, table: String,
+                             eqs: Seq[(String, String)]): Seq[Pred] =
+    eqs.distinct.sortBy(_._1).combinations(2).collect {
+      case Seq((c1, v1), (c2, v2)) if c1 != c2 =>
+        EqPred(c1 + "\u0000" + c2, v1 + "\u0000" + v2)
+    }.filter(p => fs.exists(new Path(indexDir(root, table, p.column)))).toSeq
+
   private def postingsFilter(p: Pred, nb: Int): DataFrame => DataFrame = p match {
     case EqPred(_, v) =>
       _.filter(col("vb") === ParquetUpsertStore.bucketOf(v, nb))
@@ -501,13 +549,35 @@ object SecondaryIndex {
         .filter(col("table") === table)
         .filter(col("op") =!= graft.model.OpType.Delete)
         .select(col("row_key"), lit(batchId).as("batch"),
-          try_element_at(col("values"), lit(column)).as("v"))
+          valueExpr(column).as("v"))
         .filter(col("v").isNotNull), nb)
       .write.mode("append").partitionBy("vb")
       .parquet(genPath(dir, ptr.n))
     // coverage marker: claim AFTER the evidence is durable
     fs.create(new Path(dir, s"_cover-$batchId"), true).close()
   }
+
+  /** COMPOSITE index maintenance: postings on the NUL-joined value PAIR
+    * of two columns — for conjunctions where each member is too popular
+    * to bound a point lookup but the pair is selective (city='X' AND
+    * type='Y' at scale: both enumerations overflow `maxKeys`, the pair
+    * doesn't). Same layout, generations, coverage, and replay semantics
+    * as a single-column index; [[lookupByAll]] and the SQL pushdown
+    * discover it automatically for matching equality conjunctions.
+    * Column order is canonicalized (sorted), so (a, b) and (b, a) are
+    * the same index. */
+  def indexBatchComposite(root: String, table: String, columns: Seq[String],
+                          batch: DataFrame, batchId: Long,
+                          valueBuckets: Int = DefaultValueBuckets): Unit =
+    indexBatch(root, table, compositeName(columns), batch, batchId,
+      valueBuckets)
+
+  /** [[compact]] for a composite index — same fold, rebuilt from the
+    * live snapshot's value PAIRS. */
+  def compactComposite(spark: SparkSession, store: ParquetUpsertStore,
+                       root: String, table: String, columns: Seq[String],
+                       asBatch: Long): Unit =
+    compact(spark, store, root, table, compositeName(columns), asBatch)
 
   /** Compact the postings log: rebuild everything at or below `asBatch`
     * from the LIVE snapshot as of that id — one linear store scan
@@ -567,7 +637,7 @@ object SecondaryIndex {
     }
     val rebuilt = store.snapshotAt(spark, table, asb)
       .select(col("row_key"), lit(asb).as("batch"),
-        try_element_at(col("values"), lit(column)).as("v"))
+        valueExpr(column).as("v"))
       .filter(col("v").isNotNull)
     shapePostings(Option(later).fold(rebuilt)(rebuilt.unionByName(_)), nb)
       .write.mode("overwrite").partitionBy("vb").parquet(genPath(dir, newN))
@@ -701,7 +771,10 @@ object SecondaryIndex {
     // every named column must have an index (the V1 named-error posture)
     preds.foreach(p =>
       requireIndexed(fs, indexDir(root, table, p.column), table, p.column))
-    val sound = preds.filter { p =>
+    // composite pair indexes join the candidate pool: when every single
+    // conjunct is too popular, a selective PAIR still bounds the lookup
+    val withPairs = preds ++ compositePreds(fs, root, table, equalTo.toSeq)
+    val sound = withPairs.filter { p =>
       val dir = indexDir(root, table, p.column)
       coverageSound(fs, readState(fs, dir), root, table, atOrBefore)
     }
@@ -747,7 +820,11 @@ object SecondaryIndex {
                                        atOrBefore: Option[Long],
                                        maxKeys: Int): Option[Seq[String]] = {
     val fs = fsOf(spark, root)
-    val indexed = preds.filter(p =>
+    // pair indexes are discovered from the pushed string equalities —
+    // candidate-duty only; the relation re-applies every filter above
+    val pairs = compositePreds(fs, root, table,
+      preds.collect { case EqPred(c, v) => c -> v })
+    val indexed = pairs ++ preds.filter(p =>
       fs.exists(new Path(indexDir(root, table, p.column))))
     val sound = indexed.filter { p =>
       val dir = indexDir(root, table, p.column)

@@ -503,6 +503,65 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("too popular"))
   }
 
+  test("composite pair index answers a popular-AND-popular conjunction both singles overflow") {
+    // 64 rows: 'city' has 2 values (32 keys each), 'kind' has 2 values
+    // (32 keys each), but the PAIR (city=e, kind=x) holds only 2 keys
+    // (k31, k32) — the at-scale shape where each single enumeration
+    // overflows maxKeys and only the composite postings bound the
+    // lookup.
+    val root = checkpointDir("secidx-pair")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    def rows(b: Long) = (1L to 64L).filter(_ % 2 == b).map { i =>
+      val city = if (i <= 32) "e" else "w"
+      val kind = if (i >= 31 && i <= 62) "x" else "y"
+      (s"k$i", city, kind, "INSERT", i)
+    }
+    def env2(rs: Seq[(String, String, String, String, Long)]) =
+      ChangeFeed.wrapDml(rs.toDF("user_id", "city", "kind", "op0", "ver"),
+        "t", Seq("user_id"), col("op0"), col("ver"), lit(0L))
+    Seq(0L, 1L).foreach { b =>
+      val part = env2(rows(b))
+      SecondaryIndex.indexBatch(root, "t", "city", part, b)
+      SecondaryIndex.indexBatch(root, "t", "kind", part, b)
+      store.applyBatch(part, b)
+    }
+    def conj = SecondaryIndex.lookupByAll(spark, store, root, "t",
+      equalTo = Map("city" -> "e", "kind" -> "x"), maxKeys = 8)
+    // without a pair index: every single conjunct overflows maxKeys=8
+    val e = intercept[IllegalArgumentException] { conj.collect() }
+    assert(e.getMessage.contains("more than 8"))
+    // the pair index bounds it — backfill coverage for both batches,
+    // in either column order (canonicalized)
+    Seq(0L, 1L).foreach { b =>
+      SecondaryIndex.indexBatchComposite(root, "t", Seq("kind", "city"),
+        env2(rows(b)), b)
+    }
+    assert(liveSet(conj).map(_._1) == Set("k31", "k32"),
+      "pair index must answer the conjunction both singles cannot bound")
+    // stale pair postings prune: k31 leaves the pair, k2 enters it
+    val b2 = env2(Seq(("k31", "e", "y", "UPDATE", 100L),
+      ("k2", "e", "x", "UPDATE", 101L)))
+    SecondaryIndex.indexBatch(root, "t", "city", b2, 2L)
+    SecondaryIndex.indexBatch(root, "t", "kind", b2, 2L)
+    SecondaryIndex.indexBatchComposite(root, "t", Seq("city", "kind"), b2, 2L)
+    store.applyBatch(b2, 2L)
+    assert(liveSet(conj).map(_._1) == Set("k2", "k32"))
+    // composite compaction folds the pair postings and keeps answers
+    SecondaryIndex.compactComposite(spark, store, root, "t",
+      Seq("city", "kind"), asBatch = 2L)
+    assert(liveSet(conj).map(_._1) == Set("k2", "k32"))
+    // a pair-coverage gap only demotes the pair from candidate duty —
+    // the lookup falls back to the singles (here: overflow error again,
+    // loudly) rather than pruning from a stale pair
+    val b3 = env2(Seq(("k3", "e", "x", "UPDATE", 200L)))
+    SecondaryIndex.indexBatch(root, "t", "city", b3, 3L)
+    SecondaryIndex.indexBatch(root, "t", "kind", b3, 3L)
+    store.applyBatch(b3, 3L) // pair NOT indexed for batch 3
+    val e2 = intercept[IllegalArgumentException] { conj.collect() }
+    assert(e2.getMessage.contains("more than 8"),
+      "an uncovered pair index must lose candidate duty, not answer stale")
+  }
+
   test("index and bloom artifacts survive store layout evolution (rebucket, compact, vacuum)") {
     import graft.sinks.KeyBloom
     val root = checkpointDir("secidx-layout")
