@@ -1263,6 +1263,51 @@ object CdcQueries {
           element_at(col("values"), "value").cast("double").as("value"))
         .orderBy(col("event_id"))
     }),
+
+    // The reference's CANONICAL pipeline as ONE streaming expression:
+    // CT source (DSv2 micro-batch, DDL-first envelope) →
+    // writeStream.format("graft-upsert") — the cdc23 composition
+    // re-stated with the one-line sink (reference CTSQLServer.java:
+    // 122-148 feeding CDCKudu.java:347-376), sidecars included:
+    // indexColumns + blooms + autoMaintain run the whole artifact
+    // stack per micro-batch with zero maintenance calls. The gated
+    // answer reads INDEX-FIRST through the stream-built postings.
+    "cdc42_ct_source_to_sink" -> ((s, d) => {
+      import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
+      import graft.sources.{ChangeFeedProvider, ChangeTrackingStore}
+      import graft.streaming.CtPipeline
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val feed = "cdc42-feed"
+      ChangeTrackingStore.drop(feed)
+      val ct = ChangeTrackingStore.get(feed)
+      ct.setSchema("public.events", StructType(Seq(
+        StructField("key", LongType),
+        StructField("payload", StringType))).json)
+      val rows = Tables.events(s, d)
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          opFromEvent, col("event_type"))
+        .orderBy(col("event_id")).collect()
+      rows.foreach(r => ct.append("public.events", r.getString(2),
+        r.getLong(1), r.getString(3)))
+      val root = freshDir("cdc42")
+      val q = CtPipeline.toEnvelope(
+          s.readStream.format(classOf[ChangeFeedProvider].getName)
+            .option("store", feed).option("numPartitions", "4")
+            .option("maxBatchSize", (rows.length / 3 + 1).toString)
+            .option("emitDdl", "true").load())
+        .writeStream.format("graft-upsert")
+        .option("checkpointLocation", freshDir("cdc42-ckpt"))
+        .option("path", root).option("table", "public.events")
+        .option("indexColumns", "payload").option("blooms", "true")
+        .option("autoMaintain", "2")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      SecondaryIndex.lookupByValue(s, new ParquetUpsertStore(root), root,
+          "public.events", "payload", "click")
+        .select(col("row_key").cast("long").as("user_id"),
+          element_at(col("values"), "payload").as("event_type"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   private val opFromEventSql =
@@ -1650,6 +1695,15 @@ object CdcQueries {
         |FROM events
         |WHERE event_type = 'click' AND FLOOR(value / 10) = 3
         |ORDER BY event_id""".stripMargin,
+    "cdc42_ct_source_to_sink" ->
+      s"""SELECT user_id, event_type FROM (
+         |  SELECT user_id, event_type,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY event_id DESC) AS rn,
+         |    $opFromEventSql AS op
+         |  FROM events) t
+         |WHERE rn = 1 AND op <> 'DELETE' AND event_type = 'click'
+         |ORDER BY user_id""".stripMargin,
     "cdc31_replay_dupes" ->
       """WITH log AS (
         |  SELECT event_id, user_id, event_type FROM events
