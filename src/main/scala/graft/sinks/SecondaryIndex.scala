@@ -146,7 +146,15 @@ object SecondaryIndex {
   private val GenName = "_gen-(\\d+)".r
   private val CoverName = "_cover-(\\d+)".r
 
-  private final case class Pointer(n: Long, coveredThrough: Option[Long])
+  /** Postings statistics recorded in the pointer at compaction time:
+    * total row count and rows per value bucket. Ordering metadata ONLY
+    * (conjunct planning): appends since the compaction drift the
+    * numbers, and correctness never depends on them — enumeration
+    * still decides which conjunct actually fits. */
+  private final case class GenStats(rows: Long, bucketRows: Map[Int, Long])
+
+  private final case class Pointer(n: Long, coveredThrough: Option[Long],
+                                   stats: Option[GenStats] = None)
 
   private def genPath(dir: String, n: Long): String = s"$dir/gen-$n"
 
@@ -167,11 +175,24 @@ object SecondaryIndex {
         val header = in.readLine()
         require(header != null && header.startsWith("graft-secondary-index-gen"),
           s"bad secondary-index generation header in $dir/_gen-$n")
-        val cov = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .toSeq
+        val cov = lines
           .collectFirst { case l if l.startsWith("covered_through ") =>
             l.stripPrefix("covered_through ").trim }
           .filter(_ != "-").map(_.toLong)
-        Some(Pointer(n, cov))
+        val rows = lines.collectFirst {
+          case l if l.startsWith("rows ") => l.stripPrefix("rows ").trim.toLong
+        }
+        val byVb = lines.collectFirst {
+          case l if l.startsWith("bucket_rows ") =>
+            l.stripPrefix("bucket_rows ").trim.split(",").iterator
+              .filter(_.nonEmpty).map { kv =>
+                val Array(b, c) = kv.split(":", 2)
+                b.toInt -> c.toLong
+              }.toMap
+        }
+        Some(Pointer(n, cov, rows.map(r => GenStats(r, byVb.getOrElse(Map.empty)))))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
@@ -194,11 +215,17 @@ object SecondaryIndex {
     * never a delete a concurrent reader could observe. A failed rename
     * means the number is already committed (a replay): fine. */
   private def commitPointer(fs: FileSystem, dir: String, n: Long,
-                            coveredThrough: Option[Long]): Unit = {
+                            coveredThrough: Option[Long],
+                            stats: Option[GenStats] = None): Unit = {
     val tmp = new Path(dir, s"._gen-$n.tmp")
     val out = fs.create(tmp, true)
+    val statLines = stats.fold("") { st =>
+      s"rows ${st.rows}\n" + "bucket_rows " + st.bucketRows.toSeq.sorted
+        .map { case (b, c) => s"$b:$c" }.mkString(",") + "\n"
+    }
     try out.write(("graft-secondary-index-gen 1\n" +
-      s"covered_through ${coveredThrough.fold("-")(_.toString)}\n").getBytes(UTF_8))
+      s"covered_through ${coveredThrough.fold("-")(_.toString)}\n" +
+      statLines).getBytes(UTF_8))
     finally out.close()
     if (!fs.rename(tmp, new Path(dir, s"_gen-$n"))) fs.delete(tmp, false)
   }
@@ -478,16 +505,43 @@ object SecondaryIndex {
 
   /** Cheap selectivity probe: the predicate's posting-ROW count, capped
     * at `cap` — an upper bound on its distinct-key count, used only to
-    * ORDER conjuncts cheapest-first (enumeration decides fitness). */
+    * ORDER conjuncts cheapest-first (enumeration decides fitness).
+    * Test hook: counts every probe that had to run a JOB, so specs can
+    * pin that post-compaction ordering is a metadata read. */
+  private[graft] val probeJobs = new java.util.concurrent.atomic.AtomicLong()
+
   private def probe(spark: SparkSession, fs: FileSystem, dir: String,
                     nb: Int, p: Pred, atOrBefore: Option[Long],
-                    cap: Int): Long =
+                    cap: Int): Long = {
+    probeJobs.incrementAndGet()
     withPostings(spark, fs, dir) {
       case None => 0L
       case Some(posts) =>
         val horizon = atOrBefore.fold(postingsFilter(p, nb)(posts))(h =>
           postingsFilter(p, nb)(posts).filter(col("batch") <= h))
         horizon.limit(cap).count()
+    }
+  }
+
+  /** Conjunct-ordering cost, as METADATA where possible: the last
+    * compaction recorded total and per-bucket posting row counts in the
+    * pointer, so an equality's cost is its value's bucket count and any
+    * other predicate's is the generation total — zero jobs. Appends
+    * since the compaction drift the numbers (a heuristic, not a bound);
+    * an index never compacted falls back to the probe job. */
+  private def orderCost(spark: SparkSession, fs: FileSystem, dir: String,
+                        nb: Int, p: Pred, atOrBefore: Option[Long],
+                        cap: Int): Long =
+    readState(fs, dir).pointer.flatMap(_.stats) match {
+      case Some(st) => p match {
+        case EqPred(_, v) =>
+          st.bucketRows.getOrElse(ParquetUpsertStore.bucketOf(v, nb), 0L)
+        case InPred(_, vs) =>
+          vs.map(v => ParquetUpsertStore.bucketOf(v, nb)).distinct
+            .map(b => st.bucketRows.getOrElse(b, 0L)).sum
+        case _ => st.rows
+      }
+      case None => probe(spark, fs, dir, nb, p, atOrBefore, cap)
     }
 
   // ---------------------------------------------------------------------
@@ -645,7 +699,19 @@ object SecondaryIndex {
     // the later-stamped postings forward, so prior coverage still holds.
     val covT: Option[Long] =
       (committedMax.map(math.min(asBatch, _)).toSeq ++ ptr.coveredThrough).maxOption
-    commitPointer(fs, dir, newN, covT)
+    // postings stats ride the pointer so conjunct ordering becomes a
+    // metadata read (one small aggregation over the narrow postings
+    // just written, instead of two jobs per conjunct per future lookup)
+    val stats = try {
+      val byVb = spark.read.parquet(genPath(dir, newN))
+        .groupBy(col("vb")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Some(GenStats(byVb.values.sum, byVb))
+    } catch { // an empty generation has no files to aggregate
+      case _: org.apache.spark.sql.AnalysisException =>
+        Some(GenStats(0L, Map.empty))
+    }
+    commitPointer(fs, dir, newN, covT, stats)
     val committed = readState(fs, dir)
     require(committed.pointer.exists(_.n >= newN),
       s"SecondaryIndex.compact: pointer _gen-$newN did not commit in $dir")
@@ -788,7 +854,7 @@ object SecondaryIndex {
       else sound.map { p =>
         val dir = indexDir(root, table, p.column)
         val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
-        p -> probe(spark, fs, dir, nb, p, atOrBefore, maxKeys + 1)
+        p -> orderCost(spark, fs, dir, nb, p, atOrBefore, maxKeys + 1)
       }.sortBy(_._2).map(_._1)
     val candidates = ordered.iterator.flatMap { p =>
       val dir = indexDir(root, table, p.column)
@@ -836,7 +902,7 @@ object SecondaryIndex {
       else sound.map { p =>
         val dir = indexDir(root, table, p.column)
         val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
-        p -> probe(spark, fs, dir, nb, p, atOrBefore, maxKeys + 1)
+        p -> orderCost(spark, fs, dir, nb, p, atOrBefore, maxKeys + 1)
       }.sortBy(_._2).map(_._1)
     ordered.iterator.flatMap { p =>
       val dir = indexDir(root, table, p.column)

@@ -503,6 +503,35 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("too popular"))
   }
 
+  test("post-compaction conjunct ordering is a metadata read (zero probe jobs)") {
+    val root = checkpointDir("secidx-stats")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    def env2(rs: Seq[(String, String, String, String, Long)]) =
+      ChangeFeed.wrapDml(rs.toDF("user_id", "val", "num", "op0", "ver"),
+        "t", Seq("user_id"), col("op0"), col("ver"), lit(0L))
+    val b0 = env2((1L to 40L).map(i =>
+      (s"k$i", if (i <= 4) "rare" else "common", i.toString, "INSERT", i)))
+    SecondaryIndex.indexBatch(root, "t", "val", b0, 0L)
+    SecondaryIndex.indexBatch(root, "t", "num", b0, 0L)
+    store.applyBatch(b0, 0L)
+    def conj = SecondaryIndex.lookupByAll(spark, store, root, "t",
+      equalTo = Map("val" -> "rare"), inRange = Map("num" -> (0.0, 100.0)))
+    val expect = (1L to 4L).map(i => s"k$i").toSet
+    // un-compacted indexes: ordering must PROBE each conjunct (a job)
+    SecondaryIndex.probeJobs.set(0L)
+    assert(liveSet(conj).map(_._1) == expect)
+    assert(SecondaryIndex.probeJobs.get() == 2,
+      "pre-compaction ordering probes each conjunct's postings")
+    // compaction records total + per-bucket posting counts in the
+    // pointer — ordering becomes a metadata read, answers unchanged
+    SecondaryIndex.compact(spark, store, root, "t", "val", asBatch = 0L)
+    SecondaryIndex.compact(spark, store, root, "t", "num", asBatch = 0L)
+    SecondaryIndex.probeJobs.set(0L)
+    assert(liveSet(conj).map(_._1) == expect)
+    assert(SecondaryIndex.probeJobs.get() == 0,
+      "post-compaction ordering must not run probe jobs")
+  }
+
   test("composite pair index answers a popular-AND-popular conjunction both singles overflow") {
     // 64 rows: 'city' has 2 values (32 keys each), 'kind' has 2 values
     // (32 keys each), but the PAIR (city=e, kind=x) holds only 2 keys
