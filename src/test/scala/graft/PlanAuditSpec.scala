@@ -588,11 +588,12 @@ class PlanAuditSpec extends SparkSuite {
         s"comes off the persisted sketch rows:\n$p")
   }
 
-  test("cdc33-cdc39 answer off the store and its artifacts, never the raw feed") {
+  test("cdc33-cdc42 answer off the store and its artifacts, never the raw feed") {
     Seq("cdc33_indexed_lookup", "cdc34_bloom_lookup",
         "cdc35_range_lookup", "cdc36_index_intersection",
         "cdc37_sql_index_scan", "cdc38_stream_sink_e2e",
-        "cdc39_prefix_lookup").foreach { name =>
+        "cdc39_prefix_lookup", "cdc40_sql_insert_apply",
+        "cdc41_composite_index", "cdc42_ct_source_to_sink").foreach { name =>
       val p = executedPlan(name)
       assert(scansOf(p, "events.parquet") == 0,
         s"$name's returned plan must read buckets/postings only — the " +
