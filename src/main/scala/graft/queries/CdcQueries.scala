@@ -1242,13 +1242,14 @@ object CdcQueries {
         "public.events_log", Seq("event_id"), lit("INSERT"),
         col("event_id"), lit(0L))
       val ver = col("dml.changeTrackingVersion").cast("long")
+      // pair-ONLY maintenance: the lookup's conjuncts are satisfied by
+      // the composite index alone (it covers both columns for candidate
+      // duty; live re-verification handles the rest) — the deployment
+      // shape a 100 TB table with a known hot conjunction would run,
+      // and a third of the per-batch index work of singles + pair
       Seq(0L, 1L).foreach { b =>
         val part = env.filter(ver % 2 === b).persist()
         try {
-          SecondaryIndex.indexBatch(root, "public.events_log",
-            "event_type", part, b)
-          SecondaryIndex.indexBatch(root, "public.events_log",
-            "vband", part, b)
           SecondaryIndex.indexBatchComposite(root, "public.events_log",
             Seq("event_type", "vband"), part, b)
           store.applyBatch(part, b)

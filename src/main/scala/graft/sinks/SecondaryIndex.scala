@@ -834,12 +834,19 @@ object SecondaryIndex {
       equalTo.toSeq.map { case (c, v) => EqPred(c, v) } ++
         inRange.toSeq.map { case (c, (lo, hi)) => RangePred(c, lo, hi) }
     val fs = fsOf(spark, root)
-    // every named column must have an index (the V1 named-error posture)
-    preds.foreach(p =>
-      requireIndexed(fs, indexDir(root, table, p.column), table, p.column))
     // composite pair indexes join the candidate pool: when every single
     // conjunct is too popular, a selective PAIR still bounds the lookup
-    val withPairs = preds ++ compositePreds(fs, root, table, equalTo.toSeq)
+    val pairs = compositePreds(fs, root, table, equalTo.toSeq)
+    // every named column must have an index — its own, or a composite
+    // pair covering it (the V1 named-error posture); a pair-only
+    // deployment is legitimate: the pair supplies candidates and every
+    // conjunct still re-verifies against live values
+    preds.foreach { p =>
+      if (!fs.exists(new Path(indexDir(root, table, p.column))) &&
+          !pairs.exists(_.column.split('\u0000').contains(p.column)))
+        requireIndexed(fs, indexDir(root, table, p.column), table, p.column)
+    }
+    val withPairs = preds ++ pairs
     val sound = withPairs.filter { p =>
       val dir = indexDir(root, table, p.column)
       coverageSound(fs, readState(fs, dir), root, table, atOrBefore)

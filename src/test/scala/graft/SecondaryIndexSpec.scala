@@ -589,6 +589,23 @@ class SecondaryIndexSpec extends SparkSuite {
     val e2 = intercept[IllegalArgumentException] { conj.collect() }
     assert(e2.getMessage.contains("more than 8"),
       "an uncovered pair index must lose candidate duty, not answer stale")
+
+    // pair-ONLY deployment: no single index at all — the pair covers
+    // both columns for candidate duty, re-verification does the rest;
+    // a column covered by NEITHER still raises the named error
+    val root2 = checkpointDir("secidx-pair-only")
+    val store2 = new ParquetUpsertStore(root2, numBuckets = 4)
+    val p0 = env2(rows(0L) ++ rows(1L))
+    SecondaryIndex.indexBatchComposite(root2, "t", Seq("city", "kind"), p0, 0L)
+    store2.applyBatch(p0, 0L)
+    assert(liveSet(SecondaryIndex.lookupByAll(spark, store2, root2, "t",
+      equalTo = Map("city" -> "e", "kind" -> "x"), maxKeys = 8))
+      .map(_._1) == Set("k31", "k32"))
+    val e3 = intercept[IllegalArgumentException] {
+      SecondaryIndex.lookupByAll(spark, store2, root2, "t",
+        equalTo = Map("city" -> "e", "other" -> "z"))
+    }
+    assert(e3.getMessage.contains("no index exists"))
   }
 
   test("index and bloom artifacts survive store layout evolution (rebucket, compact, vacuum)") {
