@@ -63,8 +63,17 @@ final class UpsertDataSource extends RelationProvider
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-upsert: 'path' option (store root directory) is required"))
     new UpsertStreamSink(storeFor(parameters), root, tableFor(parameters),
+      // an entry "a+b" maintains a COMPOSITE pair index on (a, b) —
+      // resolved to the index's canonical synthetic name here, after
+      // which every maintenance path treats it exactly like a column
       indexColumns = parameters.get("indexColumns")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          .map { c =>
+            if (c.contains("+"))
+              SecondaryIndex.compositeName(
+                c.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq)
+            else c
+          })
         .getOrElse(Seq.empty),
       blooms = parameters.get("blooms").exists(_.toBoolean),
       autoMaintain = parameters.get("autoMaintain").map(_.toInt).getOrElse(0),

@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
 /** One keyed change event for the sink stream. */
 case class SinkEv(user_id: String, val0: String, op0: String, ver: Long)
 
+/** Two-valued change event for the composite-index sink stream. */
+case class SinkEv2(user_id: String, a: String, b: String, op0: String,
+                   ver: Long)
+
 /** `writeStream.format("graft-upsert")` — the whole durable apply
   * stack behind one line: per micro-batch the sink appends the
   * secondary indexes and the key bloom FIRST (the crash-ordering
@@ -90,5 +94,51 @@ class UpsertStreamSinkSpec extends SparkSuite {
     assert(rows(SecondaryIndex.lookupByValue(
       spark, store, root, "t", "val0", "z")).map(_._1)
       .intersect(Set("k1", "k99")) == Set("k1", "k99"))
+  }
+
+  test("indexColumns 'a+b' maintains a composite pair index from the stream") {
+    val root = checkpointDir("sink-pair")
+    val store = new ParquetUpsertStore(root, numBuckets = 4)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SinkEv2]
+    val q = ChangeFeed.wrapDml(in.toDF(), "t", Seq("user_id"),
+        col("op0"), col("ver"), lit(0L))
+      .writeStream.format("graft-upsert")
+      .option("checkpointLocation", checkpointDir("sink-pair-ckpt"))
+      .option("path", root).option("table", "t")
+      .option("indexColumns", "a+b").option("blooms", "true")
+      .option("autoMaintain", "2")
+      .start()
+    val rnd = new scala.util.Random(7)
+    try (0 until 8).foreach { i =>
+      in.addData((0 until 4).map(j => SinkEv2(s"k${rnd.nextInt(16) + 1}",
+        Seq("p", "q")(rnd.nextInt(2)), Seq("u", "v")(rnd.nextInt(2)),
+        if (i == 0) "INSERT" else "UPDATE", i.toLong * 10 + j)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: DataFrame) =
+      df.select(col("row_key"), col("version")).as[(String, Long)]
+        .collect().toSet
+    // pair-only lookup equals the conjunctive snapshot filter for every
+    // value combination
+    for (a <- Seq("p", "q"); b <- Seq("u", "v")) {
+      assert(rows(SecondaryIndex.lookupByAll(spark, store, root, "t",
+          equalTo = Map("a" -> a, "b" -> b))) ==
+        rows(store.snapshot(spark, "t")
+          .filter(try_element_at(col("values"), lit("a")) === a &&
+            try_element_at(col("values"), lit("b")) === b)),
+        s"pair lookup diverges for ($a, $b)")
+    }
+    // the auto policy folded the PAIR index's cover markers too
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pairDir = SecondaryIndex.indexDir(root, "t",
+      SecondaryIndex.compositeName(Seq("a", "b")))
+    val covers =
+      try fs.listStatus(new org.apache.hadoop.fs.Path(pairDir))
+        .count(_.getPath.getName.matches("_cover-\\d+"))
+      catch { case _: java.io.FileNotFoundException => -1 }
+    assert(covers >= 0 && covers <= 3,
+      s"pair-index cover markers must fold under the auto policy: $covers")
   }
 }
