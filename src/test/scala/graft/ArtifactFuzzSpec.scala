@@ -25,15 +25,17 @@ class ArtifactFuzzSpec extends SparkSuite {
     val opsGen = Gen.listOfN(48, for {
       k <- Gen.choose(1, 10).map(i => s"k$i")
       v <- Gen.oneOf("5", "15", "25", "35", "oddball", "")
+      w <- Gen.oneOf("a", "b")
       op <- Gen.frequency(5 -> "INSERT", 3 -> "UPDATE", 2 -> "DELETE")
-    } yield (k, v, op))
+    } yield (k, v, w, op))
     val compactAfterGen = Gen.listOfN(4, Gen.oneOf(true, false))
+    val pairName = SecondaryIndex.compositeName(Seq("val", "v2"))
 
     (10L to 13L).foreach { seed =>
       val root = checkpointDir(s"artifact-fuzz-$seed")
       val store = new ParquetUpsertStore(root, numBuckets = 4)
       val ops = sample(opsGen, seed).zipWithIndex
-        .map { case ((k, v, op), i) => (k, v, op, (i + 1).toLong) }
+        .map { case ((k, v, w, op), i) => (k, v, w, op, (i + 1).toLong) }
       val compactAfter = sample(compactAfterGen, seed * 7 + 1)
 
       def liveSet(df: org.apache.spark.sql.DataFrame) =
@@ -63,6 +65,17 @@ class ArtifactFuzzSpec extends SparkSuite {
             .filter(try_element_at(col("values"), lit("val"))
               .try_cast("double").between(0.0, 20.0))),
           s"seed=$seed [$tag] intersection diverges")
+        // composite PAIR index under the same fuzz: the pair covers v2
+        // (no single v2 index exists), candidates from pair postings,
+        // members re-verified — must equal the conjunctive filter
+        for (v <- Seq("15", "oddball", "absent"); w <- Seq("a", "b")) {
+          assert(liveSet(SecondaryIndex.lookupByAll(spark, store, root, "t",
+              equalTo = Map("val" -> v, "v2" -> w))) ==
+            liveSet(scan
+              .filter(try_element_at(col("values"), lit("val")) === v)
+              .filter(try_element_at(col("values"), lit("v2")) === w)),
+            s"seed=$seed [$tag] pair lookup diverges for ($v, $w)")
+        }
         val probes = (1 to 10).map(i => s"k$i") ++
           (1 to 20).map(i => s"ghost-$i")
         assert(liveSet(KeyBloom.lookup(spark, store, root, "t", probes)) ==
@@ -74,18 +87,23 @@ class ArtifactFuzzSpec extends SparkSuite {
       var lastId = -1L
       ops.grouped(12).zipWithIndex.foreach { case (g, idx) =>
         val id = idx.toLong
-        val env = ChangeFeed.wrapDml(g.toDF("user_id", "val", "op0", "ver"),
+        val env = ChangeFeed.wrapDml(
+          g.toDF("user_id", "val", "v2", "op0", "ver"),
           "t", Seq("user_id"), col("op0"), col("ver"), lit(0L))
         SecondaryIndex.indexBatch(root, "t", "val", env, id)
+        SecondaryIndex.indexBatchComposite(root, "t", Seq("val", "v2"), env, id)
         KeyBloom.addBatch(spark, root, "t", env, id)
         store.applyBatch(env, id)
         lastEnv = env; lastId = id
         if (compactAfter(idx))
-          StoreMaintenance.run(spark, store, root, "t", Seq("val"), id)
+          StoreMaintenance.run(spark, store, root, "t",
+            Seq("val", pairName), id)
         checkAll(s"after batch $id${if (compactAfter(idx)) "+compact" else ""}")
       }
       // at-least-once redelivery of the final batch changes nothing
       SecondaryIndex.indexBatch(root, "t", "val", lastEnv, lastId)
+      SecondaryIndex.indexBatchComposite(root, "t", Seq("val", "v2"),
+        lastEnv, lastId)
       KeyBloom.addBatch(spark, root, "t", lastEnv, lastId)
       store.applyBatch(lastEnv, lastId)
       checkAll("after redelivery")
