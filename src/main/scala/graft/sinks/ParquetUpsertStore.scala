@@ -129,9 +129,16 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     * within-batch compaction, merge, and manifest commit as
     * [[applyBatch]] (single table, no DDL phase). */
   def applyProjected(rows: DataFrame, table: String, batchId: Long): Unit = {
+    // persist-the-batch: applyTable executes its input in two separate
+    // jobs (touched-bucket collect, then the merged write) — a
+    // non-deterministic source (INSERT INTO ... SELECT ... LIMIT) must
+    // not produce different rows per job, or rows land in buckets the
+    // manifest never references (applyBatch guards the same way)
     val dml = rows.select(lit(table).as("table"), col("op"),
       col("row_key"), col("values"), col("version").cast("long"))
-    applyTable(rows.sparkSession, dml, Map.empty, table, batchId)
+      .persist()
+    try applyTable(rows.sparkSession, dml, Map.empty, table, batchId)
+    finally dml.unpersist()
   }
 
   /** The batch id a NEW apply should commit at: one past the newest

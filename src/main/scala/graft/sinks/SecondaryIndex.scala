@@ -102,12 +102,27 @@ object SecondaryIndex {
     columns.sorted.mkString("\u0000")
   }
 
+  /** The directory NAME an index target maps to (pair targets get a
+    * collision-proof `__pair__` prefix). */
+  private def indexDirName(column: String): String =
+    if (column.indexOf('\u0000') >= 0)
+      "__pair__" + column.split('\u0000').map(safe).mkString("__")
+    else safe(column)
+
   private[graft] def indexDir(root: String, table: String,
                               column: String): String =
-    if (column.indexOf('\u0000') >= 0)
-      s"$root/__index/${safe(table)}/__pair__" +
-        column.split('\u0000').map(safe).mkString("__")
-    else s"$root/__index/${safe(table)}/${safe(column)}"
+    s"$root/__index/${safe(table)}/${indexDirName(column)}"
+
+  /** Every index directory name of the table, from ONE listing - the
+    * planning paths' existence oracle. On an object store each exists
+    * probe is a metadata round-trip; with k equality conjuncts the
+    * per-lookup cost would be k singles + C(k,2) pair probes, so the
+    * single listStatus answers them all. */
+  private def indexDirNames(fs: FileSystem, root: String,
+                            table: String): Set[String] =
+    try fs.listStatus(new Path(s"$root/__index/${safe(table)}"))
+      .iterator.map(_.getPath.getName).toSet
+    catch { case _: java.io.FileNotFoundException => Set.empty }
 
   /** The indexed value of `column` in a live envelope row: the raw map
     * entry for a single column; for a composite target, the members'
@@ -378,12 +393,12 @@ object SecondaryIndex {
     * candidate-duty only (each member conjunct is still re-verified
     * against live values), so discovering one can only tighten the
     * candidate set, never change an answer. */
-  private def compositePreds(fs: FileSystem, root: String, table: String,
+  private def compositePreds(dirNames: Set[String],
                              eqs: Seq[(String, String)]): Seq[Pred] =
     eqs.distinct.sortBy(_._1).combinations(2).collect {
       case Seq((c1, v1), (c2, v2)) if c1 != c2 =>
         EqPred(c1 + "\u0000" + c2, v1 + "\u0000" + v2)
-    }.filter(p => fs.exists(new Path(indexDir(root, table, p.column)))).toSeq
+    }.filter(p => dirNames.contains(indexDirName(p.column))).toSeq
 
   private def postingsFilter(p: Pred, nb: Int): DataFrame => DataFrame = p match {
     case EqPred(_, v) =>
@@ -834,17 +849,19 @@ object SecondaryIndex {
       equalTo.toSeq.map { case (c, v) => EqPred(c, v) } ++
         inRange.toSeq.map { case (c, (lo, hi)) => RangePred(c, lo, hi) }
     val fs = fsOf(spark, root)
+    val names = indexDirNames(fs, root, table)
     // composite pair indexes join the candidate pool: when every single
     // conjunct is too popular, a selective PAIR still bounds the lookup
-    val pairs = compositePreds(fs, root, table, equalTo.toSeq)
+    val pairs = compositePreds(names, equalTo.toSeq)
     // every named column must have an index — its own, or a composite
     // pair covering it (the V1 named-error posture); a pair-only
     // deployment is legitimate: the pair supplies candidates and every
     // conjunct still re-verifies against live values
     preds.foreach { p =>
-      if (!fs.exists(new Path(indexDir(root, table, p.column))) &&
-          !pairs.exists(_.column.split('\u0000').contains(p.column)))
-        requireIndexed(fs, indexDir(root, table, p.column), table, p.column)
+      require(names.contains(indexDirName(p.column)) ||
+          pairs.exists(_.column.split('\u0000').contains(p.column)),
+        s"SecondaryIndex: no index exists for '$table.${p.column}' - run " +
+          "indexBatch per applied batch (or compact once) before looking up")
     }
     val withPairs = preds ++ pairs
     val sound = withPairs.filter { p =>
@@ -893,12 +910,13 @@ object SecondaryIndex {
                                        atOrBefore: Option[Long],
                                        maxKeys: Int): Option[Seq[String]] = {
     val fs = fsOf(spark, root)
+    val names = indexDirNames(fs, root, table)
     // pair indexes are discovered from the pushed string equalities —
     // candidate-duty only; the relation re-applies every filter above
-    val pairs = compositePreds(fs, root, table,
+    val pairs = compositePreds(names,
       preds.collect { case EqPred(c, v) => c -> v })
     val indexed = pairs ++ preds.filter(p =>
-      fs.exists(new Path(indexDir(root, table, p.column))))
+      names.contains(indexDirName(p.column)))
     val sound = indexed.filter { p =>
       val dir = indexDir(root, table, p.column)
       coverageSound(fs, readState(fs, dir), root, table, atOrBefore)

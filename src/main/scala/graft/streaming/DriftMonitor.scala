@@ -172,6 +172,22 @@ object DriftMonitor {
         if (fs.exists(new Path(path))) None else throw new StaleFold
     }
 
+  /** The monitor's unfolded-tail read, with the same vanished-vs-empty
+    * distinction: a LISTED batch directory that disappeared means a
+    * racing fold absorbed it into a newer generation's log — the
+    * caller must re-resolve, never silently answer without those
+    * batches. (Fold retains the just-folded tail one cycle as a grace
+    * copy, so this is only reachable across TWO folds.) */
+  private def readTailStrict(spark: SparkSession, fs: FileSystem,
+                             paths: Seq[String]): Option[DataFrame] =
+    if (paths.isEmpty) None
+    else try Some(spark.read.parquet(paths: _*))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        if (paths.forall(p => fs.exists(new Path(p)))) None
+        else throw new StaleFold
+    }
+
   /** Fold one micro-batch's profile into the artifact at `dir`,
     * stamping each row's drift status against the history of batches
     * with SMALLER ids. Each batch writes its OWN `batch-<id>` directory
@@ -199,9 +215,13 @@ object DriftMonitor {
       readFoldPart(ss, fs, s"$dir/fold-$n/seen") }
     val tail = readDirs(ss, st.batches.collect {
       case (id, p) if id > st.foldedThrough && id < batchId => p })
+    // persist: the seen set feeds up to three consumers (the guard
+    // collect, the key join, the pair join) — the persist-the-batch
+    // rule, one distinct shuffle instead of three on the degraded path
     val seenSrc = (foldSeen.toSeq ++
       tail.map(_.select(col("key"), col("vtype"))).toSeq)
-      .reduceOption(_.unionByName(_)).map(_.distinct())
+      .reduceOption(_.unionByName(_)).map(_.distinct().persist())
+    try {
     // Cardinality guard: ONE bounded job decides the stamping path —
     // collect up to maxSeenPairs + 1 pairs; overflow degrades to joins.
     val seenSmall: Option[Array[(String, String)]] = seenSrc match {
@@ -244,7 +264,12 @@ object DriftMonitor {
         col("n").cast("long"), col("status"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/batch-$batchId")
-    if (st.batches.count { case (id, _) => id > st.foldedThrough } + 1 > foldEvery)
+    } finally seenSrc.foreach(_.unpersist())
+    // fold trigger: unfolded dirs EXCLUDING this batch's own (a replay
+    // overwrote an already-listed dir — counting it twice would fire a
+    // cycle early), plus the one just written
+    if (st.batches.count { case (id, _) =>
+          id > st.foldedThrough && id != batchId } + 1 > foldEvery)
       fold(spark, dir, upTo = batchId)
   }
 
@@ -277,12 +302,16 @@ object DriftMonitor {
     } finally logDf.unpersist()
     commitPointer(fs, dir, newN, upTo)
     // cleanup, all post-commit: superseded pointers, generations
-    // two-or-more behind, and the folded batch directories
+    // two-or-more behind, and batch directories folded by the PREVIOUS
+    // fold — the just-folded tail (ft, upTo] is RETAINED one cycle as
+    // the concurrent reader's grace copy (a monitor that resolved the
+    // old pointer still has its listed tail dirs on disk; fresh readers
+    // ignore dirs ≤ folded_through), exactly the generation-grace rule
     (st.pointers ++ prevN - newN)
       .foreach(n => fs.delete(new Path(dir, s"_fold-$n"), false))
     (st.foldDirs -- prevN - newN)
       .foreach(n => fs.delete(new Path(dir, s"fold-$n"), true))
-    st.batches.collect { case (id, _) if id <= upTo => id }
+    st.batches.collect { case (id, _) if id <= ft => id }
       .foreach(id => fs.delete(new Path(dir, s"batch-$id"), true))
   }
 
@@ -302,7 +331,7 @@ object DriftMonitor {
       try {
         val log = st.fold.flatMap { case (n, _) =>
           readFoldPart(spark, fs, s"$dir/fold-$n/log") }
-        val tail = readDirs(spark, st.batches.collect {
+        val tail = readTailStrict(spark, fs, st.batches.collect {
           case (id, p) if id > st.foldedThrough => p })
         return (log.toSeq ++ tail.toSeq).reduceOption(_.unionByName(_))
           .getOrElse(spark.createDataFrame(
