@@ -51,7 +51,13 @@ final class UpsertDataSource extends RelationProvider
     * without the pipeline author calling a single maintenance API.
     * Batch ids come from the streaming checkpoint: replays re-append
     * postings the lookups collapse, rewrite the same bloom, and are
-    * dropped by the store's idempotent commit. */
+    * dropped by the store's idempotent commit.
+    *
+    * `indexColumns` syntax: ',' separates entries, and '+' INSIDE an
+    * entry ("a+b") requests a composite pair index on (a, b) — both
+    * characters are therefore reserved and cannot name a literal map
+    * key containing them (a malformed entry like "a+" fails loudly at
+    * stream construction, never silently as a single-column index). */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],

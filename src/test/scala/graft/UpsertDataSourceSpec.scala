@@ -373,6 +373,49 @@ class UpsertDataSourceSpec extends SparkSuite {
       Set(1L, 2L))
   }
 
+  test("typed SQL conjunctions answer through a composite pair index (behavioral proof)") {
+    // pair-ONLY index (no single-column indexes): two pushed string
+    // equalities must route through the pair postings into the store's
+    // bucket point lookup. Proof is behavioral, the snap-deletion
+    // trick: batch 1 touches ONLY key 7's bucket (snap-1), the pair
+    // members live in other buckets, snap-1 is deleted — the pruned
+    // read never lists it, the full scan fails.
+    val dir = checkpointDir("dsrc-pair-sql")
+    val store = new ParquetUpsertStore(dir, numBuckets = 8)
+    val s3 = StructType(Seq(StructField("id", LongType),
+      StructField("city", StringType), StructField("kind", StringType)))
+    def dml3(op: String, version: Long, id: Long, city: String,
+             kind: String) =
+      ChangeRecord.ofDml(Dml(op, "dbo.t", Seq("id"), s3.json,
+        Map("id" -> id.toString, "city" -> city, "kind" -> kind),
+        version.toString, 0L))
+    val b7 = ParquetUpsertStore.bucketOf("7", 8)
+    val members = (1L to 64L).filter(i =>
+      ParquetUpsertStore.bucketOf(i.toString, 8) != b7).take(2)
+    val b0 = spark.createDataset(Seq(ChangeRecord.ofDdl(Ddl("dbo.t", s3.json))) ++
+      (1L to 64L).map(i => dml3(OpType.Insert, i, i,
+        city = if (i <= 32) "e" else "w",
+        kind = if (members.contains(i)) "x" else "y"))).toDF()
+    SecondaryIndex.indexBatchComposite(dir, "dbo.t", Seq("city", "kind"), b0, 0L)
+    store.applyBatch(b0, 0L)
+    val b1 = spark.createDataset(Seq(
+      dml3(OpType.Update, 100, 7L, "w", "y"))).toDF()
+    SecondaryIndex.indexBatchComposite(dir, "dbo.t", Seq("city", "kind"), b1, 1L)
+    store.applyBatch(b1, 1L)
+    val snap1 = new java.io.File(new java.io.File(dir, "dbo.t"), "snap-1")
+    assert(snap1.isDirectory)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(snap1)
+    def typed = spark.read.format("graft-upsert").option("path", dir)
+      .option("table", "dbo.t").option("typed", "true").load()
+    assert(typed.filter(col("city") === "e" && col("kind") === "x")
+      .select("id").as[Long].collect().toSet ==
+      members.filter(_ <= 32).toSet)
+    intercept[Exception] { typed.collect() } // full scan needs snap-1
+  }
+
   test("INSERT INTO applies a change batch through pure SQL, with named refusals") {
     val dir = checkpointDir("dsrc-insert")
     spark.sql("DROP TABLE IF EXISTS ins_t")
