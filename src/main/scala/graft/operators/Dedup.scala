@@ -32,15 +32,22 @@ object Dedup {
     * banded form IS the persistable index an incremental pipeline
     * stores ([[incrementalNearDups]]).
     *
-    * The repartitions are deliberate materialization barriers. Catalyst
-    * collapses adjacent projections, and interpreted higher-order
+    * The lazy local checkpoints are deliberate materialization barriers.
+    * Catalyst collapses adjacent projections, and interpreted higher-order
     * expressions get no common-subexpression elimination — so without a
     * barrier the shingle-hash expression is inlined and recomputed
     * inside all k permutation lambdas, and the signature inside all
     * `bands` band hashes: O(k × |shingles| × |shingle|) per doc instead
-    * of O(k × |shingles| + |shingles| × |shingle|). Two narrow shuffles
-    * of (id, hashes[, sig]) are far cheaper at any scale (and at 100 TB
-    * the first doubles as the candidate-join pre-partitioning).
+    * of O(k × |shingles| + |shingles| × |shingle|). A checkpoint is
+    * strictly stronger than the former repartition barrier: the heavy
+    * projection is computed ONCE for every consumer (the repartition
+    * form re-ran it per consumer whenever pushed filters differed
+    * between their exchanges), and the materialized partitioning is
+    * immune to byte-based AQE coalescing, which serialized these
+    * CPU-dense-but-byte-light stages onto one core. The heavy compute
+    * itself sits ABOVE an explicit cluster-sized exchange
+    * ([[Compute.parallelism]]): a single-split corpus file otherwise
+    * hashes every document in one scan task.
     * Hash sets are sorted ONCE here (behind the barrier): the
     * verification joins evaluate jaccard per candidate pair, and the
     * sorted form makes that a merge with no per-pair sort. The
@@ -48,12 +55,14 @@ object Dedup {
   private def lshIndex(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
     val r = k / bands
-    val hashed = df.select(col(idCol).as("id"),
-        sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
-      .repartition(col("id"))
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(Compute.parallelism(df), col("id"))
+      .select(col("id"),
+        sort_array(shingleHashes(col("__text"), shingleN)).as("hashes"))
+      .localCheckpoint(false)
     val sh = hashed
       .withColumn("sig", minhashSignature(col("hashes"), k))
-      .repartition(col("id"))
+      .localCheckpoint(false)
     val banded = sh.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"), bandHash(col("sig"), b, r).as("bucket")))).as("bb"))
@@ -198,9 +207,12 @@ object Dedup {
                            blockSpan: Int, measure: (Column, Column) => Column,
                            outCol: String, threshold: Double): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      (col(lenCol) / bucketWidth).cast("long").as("bucket"),
-      sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
-      .repartition(col("id"))
+        (col(lenCol) / bucketWidth).cast("long").as("bucket"),
+        col(textCol).as("__text"))
+      .repartition(Compute.parallelism(df), col("id"))
+      .select(col("id"), col("bucket"),
+        sort_array(shingleHashes(col("__text"), shingleN)).as("hashes"))
+      .localCheckpoint(false)
     val left = sh.select(col("id").as("id_a"), col("hashes").as("h_a"),
       explode(array((-blockSpan to blockSpan).map(col("bucket") + _): _*)).as("jb"))
     val right = sh.select(col("id").as("id_b"), col("hashes").as("h_b"),
@@ -250,11 +262,15 @@ object Dedup {
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3): DataFrame = {
     // Barrier: position-ordered hashes computed once (minhashNearDups
-    // pattern), feeding both the frequency agg and the starts collect.
-    val hp = df.select(col(idCol).as("id"),
-        transform(shingles(tokens(col(textCol)), shingleN),
+    // pattern), feeding both the frequency agg and the starts collect;
+    // hashed above a cluster-sized exchange (single-split corpus would
+    // otherwise hash on one core).
+    val hp = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(Compute.parallelism(df), col("id"))
+      .select(col("id"),
+        transform(shingles(tokens(col("__text")), shingleN),
           portableHash _).as("hs"))
-      .repartition(col("id"))
+      .localCheckpoint(false)
     val pos = hp.select(col("id"),
       posexplode(col("hs")).as(Seq("i0", "h")))
     val freq = pos.groupBy(col("h")).agg(count(lit(1)).as("c"))
@@ -333,12 +349,15 @@ object Dedup {
                                   threshold: Double,
                                   measure: (Column, Column) => Column,
                                   outCol: String): DataFrame = {
-    // Materialization barrier: hash once (minhashNearDups pattern).
-    val sh = df.select(col(idCol).as("id"),
-        sort_array(shingleHashes(col(textCol), shingleN)).as("hashes"))
+    // Materialization barrier: hash once (minhashNearDups pattern),
+    // parallel (heavy projection above a cluster-sized exchange).
+    val sh = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(Compute.parallelism(df), col("id"))
+      .select(col("id"),
+        sort_array(shingleHashes(col("__text"), shingleN)).as("hashes"))
       .filter(size(col("hashes")) >= 1)
       .select(col("id"), col("hashes"), size(col("hashes")).as("sz"))
-      .repartition(col("id"))
+      .localCheckpoint(false)
     val ex = sh.select(col("id"), col("sz"), explode(col("hashes")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // Per-doc prefix in (df asc, h) order: the rarest ⌊(1−τ)·sz⌋+1
@@ -590,13 +609,15 @@ object Dedup {
                    shingleN: Int = 3): DataFrame = {
     // Barrier before the fan-out: (id, h) feeds both the doc-frequency
     // agg and the join back, and without it each consumer re-runs the
-    // full shingle-hash computation from the scan. Behind the
-    // repartition the hash work happens once; the two consumers re-read
-    // the (reused) exchange instead.
-    val ex = df.select(col(idCol).as("id"),
-        shingleHashes(col(textCol), shingleN).as("hs"))
-      .repartition(col("id"))
-      .select(col("id"), explode(col("hs")).as("h"))
+    // full shingle-hash computation from the scan. The checkpointed
+    // array form is hashed once IN PARALLEL (heavy projection above a
+    // cluster-sized exchange — a single-split corpus otherwise hashes
+    // on one core) and each consumer only re-explodes it.
+    val hs = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(Compute.parallelism(df), col("id"))
+      .select(col("id"), shingleHashes(col("__text"), shingleN).as("hs"))
+      .localCheckpoint(false)
+    val ex = hs.select(col("id"), explode(col("hs")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     ex.join(dfreq, Seq("h"))
       .groupBy(col("id"))
@@ -629,12 +650,16 @@ object Dedup {
     // projection collapse inlines the position-ordered hash sequence
     // into every window-min lambda — no CSE for interpreted HOFs, so the
     // whole hash array is recomputed per window position (O(len²) per
-    // doc) and again per downstream join consumer. One narrow shuffle of
-    // (id, hs) makes winnowing O(len·w) exactly once per document.
-    val hashed = df.select(col(idCol).as("id"),
-        transform(shingles(tokens(col(textCol)), shingleN),
+    // doc) and again per downstream join consumer. The checkpoint makes
+    // winnowing O(len·w) exactly once per document, and the hashing runs
+    // above a cluster-sized exchange (a single-split corpus otherwise
+    // hashes on one core).
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(Compute.parallelism(df), col("id"))
+      .select(col("id"),
+        transform(shingles(tokens(col("__text")), shingleN),
           portableHash _).as("hs"))
-      .repartition(col("id"))
+      .localCheckpoint(false)
     // The fingerprint set feeds three consumers (df agg + both sides of
     // the pair join); materialize it once, durably (GraphOps posture).
     val fp = Checkpoints.reliable(
@@ -680,11 +705,19 @@ object Dedup {
   def tfCosineTopK(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, dfCap: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df.select(col(idCol).as("id"),
-        explode(transform(shingles(tokens(col(textCol)), shingleN),
+    // tokenize+shingle+hash above a cluster-sized exchange (a
+    // single-split corpus otherwise runs it in one scan task), then the
+    // (id, h, tf) table is checkpointed once for its three consumers
+    // (df agg, norms, postings) instead of re-running the explode per
+    // consumer from the scan.
+    val tf = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(Compute.parallelism(df), col("id"))
+      .select(col("id"),
+        explode(transform(shingles(tokens(col("__t")), shingleN),
           portableHash _)).as("h"))
       .groupBy(col("id"), col("h"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val keptTf = tf.join(dfreq.filter(col("df") <= dfCap), Seq("h"))
     val norms = keptTf.groupBy(col("id"))
