@@ -40,6 +40,23 @@ object VectorFunctions {
   def cosineHof(a: Column, b: Column): Column =
     dotProductHof(a, b) / (sqrt(dotProductHof(a, a)) * sqrt(dotProductHof(b, b)))
 
+  /** [[dotProductHof]] as a single codegen'd primitive loop
+    * ([[DotProductAnyExpr]]) for float/double arrays — bit-identical fold
+    * (per-element widen to double, multiply, in-order left-fold add) on
+    * the equal-length, null-free vectors every caller produces, without
+    * the interpreted per-element lambdas (HOFs are CodegenFallback). The
+    * hot-path form; [[dotProductHof]] stays as the pure-builtins
+    * cross-check. */
+  def dotProductAny(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(DotProductAnyExpr(expression(a), expression(b)))
+  }
+
+  /** [[cosineHof]] over the codegen'd fold — same IEEE operation
+    * sequence, one primitive loop per row. */
+  def cosineAny(a: Column, b: Column): Column =
+    dotProductAny(a, b) / (sqrt(dotProductAny(a, a)) * sqrt(dotProductAny(b, b)))
+
   /** Sign-bucket LSH key: bit i set iff element i+1 > 0, over the first
     * `bits` dimensions. Turns ANN search into an equi-join on bucket —
     * the scale path that avoids the all-pairs cross join. */

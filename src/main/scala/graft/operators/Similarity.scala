@@ -315,7 +315,7 @@ object Similarity {
         .select(col("c_id"), col("cvec"))
       val far = corpus.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(cent))
-        .withColumn("cos", cosineHof(col("embedding"), col("cvec")))
+        .withColumn("cos", cosineAny(col("embedding"), col("cvec")))
         .groupBy(col("vec_id"), col("embedding"))
         .agg(max(col("cos")).as("near_cos"))
         .orderBy(col("near_cos").asc, col("vec_id").asc)
@@ -346,7 +346,7 @@ object Similarity {
   private def assignScored(vectors: DataFrame, cent: DataFrame): DataFrame =
     vectors.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cent))
-      .withColumn("score", cosineHof(col("embedding"), col("cvec")))
+      .withColumn("score", cosineAny(col("embedding"), col("cvec")))
       .groupBy(col("vec_id"), col("embedding"))
       .agg(max(struct(col("score"), (-col("label")).as("nl"))).as("best"))
       .select(col("vec_id"), col("embedding"),
@@ -397,7 +397,7 @@ object Similarity {
     val wAssign = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("label").asc)
     q.crossJoin(broadcast(cent))
-      .withColumn("score", cosineHof(col("qv"), col("cvec")))
+      .withColumn("score", cosineAny(col("qv"), col("cvec")))
       .withColumn("arnk", row_number().over(wAssign))
       .filter(col("arnk") <= nprobe)
       .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"),
@@ -519,7 +519,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val approx = dq.select(col("vec_id").as("neighbor_id"), col("dqv"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("ascore", dotProductHof(col("qv"), col("dqv")))
+      .withColumn("ascore", dotProductAny(col("qv"), col("dqv")))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("ascore").desc, col("neighbor_id").asc)
     val cand = approx.withColumn("arnk", row_number().over(w1))
@@ -578,7 +578,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val approx = recon.select(col("vec_id").as("neighbor_id"), col("rv"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("ascore", dotProductHof(col("qv"), col("rv")))
+      .withColumn("ascore", dotProductAny(col("qv"), col("rv")))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("ascore").desc, col("neighbor_id").asc)
     val cand = approx.withColumn("arnk", row_number().over(w1))
@@ -655,7 +655,7 @@ object Similarity {
     val approx = indexed.join(recon, Seq("neighbor_id"))
       .join(broadcast(probes), Seq("probe_label"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("ascore", dotProductHof(col("qv"), col("rv")))
+      .withColumn("ascore", dotProductAny(col("qv"), col("rv")))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("ascore").desc, col("neighbor_id").asc)
     val cand = approx.withColumn("arnk", row_number().over(w1))

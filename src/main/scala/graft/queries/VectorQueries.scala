@@ -714,7 +714,7 @@ object VectorQueries {
       val pc = Spectral.principalComponent(cov, dim = 64, iters = 24)
       val pcLit = array(pc.map(lit).toIndexedSeq: _*)
       emb.select(col("vec_id"), col("label"),
-          dotProductHof(col("embedding"), pcLit).as("pc1"))
+          dotProductAny(col("embedding"), pcLit).as("pc1"))
         .orderBy(col("vec_id"))
     }),
 
@@ -734,8 +734,8 @@ object VectorQueries {
       val p1 = array(pcs(0).map(lit).toIndexedSeq: _*)
       val p2 = array(pcs(1).map(lit).toIndexedSeq: _*)
       emb.select(col("vec_id"), col("label"),
-          dotProductHof(col("embedding"), p1).as("pc1"),
-          dotProductHof(col("embedding"), p2).as("pc2"))
+          dotProductAny(col("embedding"), p1).as("pc1"),
+          dotProductAny(col("embedding"), p2).as("pc2"))
         .orderBy(col("vec_id"))
     }),
 
@@ -757,8 +757,8 @@ object VectorQueries {
       val a1 = array(p1.map(lit).toIndexedSeq: _*)
       val a2 = array(p2.map(lit).toIndexedSeq: _*)
       emb.select(col("vec_id"), col("label"),
-          (dotProductHof(col("embedding"), a1) / lit(math.sqrt(l1))).as("w1"),
-          (dotProductHof(col("embedding"), a2) / lit(math.sqrt(l2))).as("w2"))
+          (dotProductAny(col("embedding"), a1) / lit(math.sqrt(l1))).as("w1"),
+          (dotProductAny(col("embedding"), a2) / lit(math.sqrt(l2))).as("w2"))
         .orderBy(col("vec_id"))
     }),
 
@@ -779,8 +779,8 @@ object VectorQueries {
       val p1 = array(pcs(0).map(lit).toIndexedSeq: _*)
       val p2 = array(pcs(1).map(lit).toIndexedSeq: _*)
       val proj = emb.select(col("vec_id"), col("label"),
-        floor(dotProductHof(col("embedding"), p1) * lit(Spectral.Scale)).as("q1"),
-        floor(dotProductHof(col("embedding"), p2) * lit(Spectral.Scale)).as("q2"),
+        floor(dotProductAny(col("embedding"), p1) * lit(Spectral.Scale)).as("q1"),
+        floor(dotProductAny(col("embedding"), p2) * lit(Spectral.Scale)).as("q2"),
         col("label").cast("long").as("y"))
       val (b0, b1, b2) = Spectral.probeCoefficients(proj)
       val pred = (lit(b0) + lit(b1) * col("q1").cast("double")) +
@@ -803,8 +803,8 @@ object VectorQueries {
       val p1 = array(pcs(0).map(lit).toIndexedSeq: _*)
       val p2 = array(pcs(1).map(lit).toIndexedSeq: _*)
       val proj = emb.select(col("vec_id"), col("label"),
-        floor(dotProductHof(col("embedding"), p1) * lit(Spectral.Scale)).as("q1"),
-        floor(dotProductHof(col("embedding"), p2) * lit(Spectral.Scale)).as("q2"),
+        floor(dotProductAny(col("embedding"), p1) * lit(Spectral.Scale)).as("q1"),
+        floor(dotProductAny(col("embedding"), p2) * lit(Spectral.Scale)).as("q2"),
         col("label").cast("long").as("y"))
       val (b0, b1, b2) =
         Spectral.probeCoefficients(proj.filter(col("vec_id") % 5 =!= 0))
@@ -896,10 +896,10 @@ object VectorQueries {
         (x, m) => x.cast("double") - m)
       val tt = emb.select(col("vec_id"), col("label"), cent.as("c"))
         .select(col("vec_id"), col("label"), col("c"),
-          dotProductHof(col("c"), p1).as("t1"),
-          dotProductHof(col("c"), p2).as("t2"))
+          dotProductAny(col("c"), p1).as("t1"),
+          dotProductAny(col("c"), p2).as("t2"))
       tt.select(col("vec_id"), col("label"),
-          dotProductHof(col("c"), col("c")).as("cc"),
+          dotProductAny(col("c"), col("c")).as("cc"),
           aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) => {
             val r = (element_at(col("c"), i) - col("t1") * element_at(p1, i)) -
               col("t2") * element_at(p2, i)

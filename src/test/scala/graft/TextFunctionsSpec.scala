@@ -38,6 +38,30 @@ class TextFunctionsSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("generalized dot product == HOF fold for float×double and double×double") {
+    import graft.functions.VectorFunctions
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+    assert(emb.select(size($"embedding")).distinct().count() == 1)
+    // float corpus × derived double vector (the centroid/rescoring shape)
+    // and double × double — bit-exact equality against the interpreted
+    // HOF fold, the contract every hot-path swap relies on.
+    val withD = emb.select($"vec_id", $"embedding",
+      transform($"embedding", x => x.cast("double") * 1.0000001).as("dv"))
+    val pairs = withD.select($"vec_id".as("ia"), $"embedding".as("fa"), $"dv".as("da"))
+      .crossJoin(withD.select($"vec_id".as("ib"), $"embedding".as("fb"), $"dv".as("db")))
+      .filter($"ia" < $"ib" && $"ib" < 15)
+    val diff = pairs.select(
+      VectorFunctions.dotProductAny($"fa", $"db").as("n_fd"),
+      VectorFunctions.dotProductHof($"fa", $"db").as("h_fd"),
+      VectorFunctions.dotProductAny($"da", $"db").as("n_dd"),
+      VectorFunctions.dotProductHof($"da", $"db").as("h_dd"),
+      VectorFunctions.cosineAny($"fa", $"db").as("c_n"),
+      VectorFunctions.cosineHof($"fa", $"db").as("c_h"))
+      .filter($"n_fd" =!= $"h_fd" || $"n_dd" =!= $"h_dd" || $"c_n" =!= $"c_h")
+      .count()
+    assert(diff == 0)
+  }
+
   test("native minhash signature == HOF signature on fixture shingle sets") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val hs = docs.select($"doc_id",
