@@ -89,17 +89,25 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     val spark = batch.sparkSession
     batch.persist()
     try {
-      // --- DDL phase (driver-side; at most one row per table per batch) ---
-      val ddl = batch.filter(col("ddl").isNotNull)
-        .select(col("ddl.table"), col("ddl.schemaJson")).collect()
-      val ddlSchemas: Map[String, StructType] = ddl.map { r =>
-        r.getString(0) -> DataType.fromJson(r.getString(1)).asInstanceOf[StructType]
-      }.toMap
+      // --- DDL phase (driver-side; at most one row per table per batch)
+      // and table discovery, as ONE job: the former separate
+      // ddl-collect + dml-distinct-collect cost two full passes over the
+      // persisted batch per apply (a streaming sink pays them per
+      // micro-batch). collect_list/collect_set skip the nulls the
+      // `when` guards produce, so one aggregation yields both. ---
+      val head = batch.agg(
+        collect_list(when(col("ddl").isNotNull,
+          struct(col("ddl.table"), col("ddl.schemaJson")))).as("ddls"),
+        collect_set(when(col("dml").isNotNull, col("dml.table"))).as("tables"))
+        .collect()(0)
+      val ddlSchemas: Map[String, StructType] =
+        head.getSeq[org.apache.spark.sql.Row](0).map { r =>
+          r.getString(0) -> DataType.fromJson(r.getString(1)).asInstanceOf[StructType]
+        }.toMap
 
-      // --- DML phase: compact per (table, row_key), merge per table ---
+      // --- DML phase: one latest-per-key merge per table ---
       val dml = UpsertSink.dmlProjection(batch)
-      val tables = (dml.select(col("table")).distinct().collect().map(_.getString(0))
-        ++ ddlSchemas.keys).distinct
+      val tables = (head.getSeq[String](1) ++ ddlSchemas.keys).distinct
 
       // Tables are independent (own manifest, own snapshot dirs, own
       // slice of the persisted batch), so their merge jobs run
@@ -189,16 +197,25 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     // a store handle opened with a different `numBuckets` must keep
     // writing buckets consistent with the table's recorded mapping,
     // or reads would prune to buckets that don't hold the rows.
-    val changes = CdcApply.latestByKey(
-      dml.filter(col("table") === t).drop("table"),
-      Seq("row_key"), col("version"))
+    val changes = dml.filter(col("table") === t).drop("table")
       .withColumn("bucket", pmod(hash(col("row_key")), lit(nb)))
+    // Touched buckets from the RAW batch: latest-per-key compaction
+    // cannot change a batch's key set, so the former pre-compacted form
+    // ran a full window shuffle+sort just to learn the buckets — this is
+    // one map-side-partial distinct over the persisted batch instead.
     val touched = changes.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
 
     val mapping = cur.map(_.buckets).getOrElse(Map.empty[Int, String])
     if (touched.nonEmpty) {
       val existing = readBuckets(spark, tdir, mapping, touched)
+      // ONE latest-per-key window over existing ∪ batch. The former
+      // two-phase form (compact the batch per key, then merge the result
+      // with the existing buckets) ran two full window shuffles per
+      // apply; latest-of-union ≡ latest-of(existing ∪ latest-of(batch))
+      // — same winner by version, and version ties within a batch were
+      // arbitrary in both forms. Map-side WindowGroupLimit still prunes
+      // per-key multiplicity before the single exchange.
       val merged = CdcApply.latestByKey(
         existing.unionByName(changes), Seq("row_key"), col("version"))
       // One file per bucket: without the repartition every shuffle
