@@ -26,7 +26,7 @@ object JobProfile {
 
     final case class Job(id: Int, start: Long, var end: Long = -1L,
                          var stages: Int = 0, var tasks: Int = 0,
-                         var site: String = "")
+                         var site: String = "", var names: String = "")
     val jobs = new scala.collection.mutable.LinkedHashMap[Int, Job]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs.synchronized {
@@ -35,6 +35,7 @@ object JobProfile {
         j.tasks = js.stageInfos.map(_.numTasks).sum
         j.site = Option(js.properties)
           .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        j.names = js.stageInfos.map(si => si.name.take(60)).mkString(" | ")
         jobs(js.jobId) = j
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = jobs.synchronized {
@@ -56,7 +57,7 @@ object JobProfile {
       val accounted = snap.filter(_.end > 0).map(j => (j.end - j.start) / 1e9).sum
       snap.foreach { j =>
         val dur = if (j.end > 0) (j.end - j.start) / 1e9 else Double.NaN
-        println(f"  job ${j.id}%4d ${dur}%7.3fs stages=${j.stages}%2d tasks=${j.tasks}%4d  ${j.site}")
+        println(f"  job ${j.id}%4d ${dur}%7.3fs stages=${j.stages}%2d tasks=${j.tasks}%4d  ${j.site} [${j.names}]")
       }
       println(f"  jobs=${snap.size} accounted=$accounted%.2fs (gaps = driver-side work)")
     }

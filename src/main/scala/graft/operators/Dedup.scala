@@ -350,14 +350,21 @@ object Dedup {
                                   measure: (Column, Column) => Column,
                                   outCol: String): DataFrame = {
     // Materialization barrier: hash once (minhashNearDups pattern),
-    // parallel (heavy projection above a cluster-sized exchange).
-    val sh = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    // parallel (heavy projection above a cluster-sized exchange). The
+    // checkpoint sits BELOW the non-empty filter: Catalyst pushes
+    // filters through RepartitionByExpression, so a filter above the
+    // heavy projection would otherwise be substituted-and-pushed to the
+    // scan side of the exchange — re-running the whole shingle hash on
+    // the (single-split) scan task. Above the checkpoint it evaluates
+    // `size` on the materialized arrays instead.
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(Compute.parallelism(df), col("id"))
       .select(col("id"),
         sort_array(shingleHashes(col("__text"), shingleN)).as("hashes"))
+      .localCheckpoint(false)
+    val sh = hashed
       .filter(size(col("hashes")) >= 1)
       .select(col("id"), col("hashes"), size(col("hashes")).as("sz"))
-      .localCheckpoint(false)
     val ex = sh.select(col("id"), col("sz"), explode(col("hashes")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // Per-doc prefix in (df asc, h) order: the rarest ⌊(1−τ)·sz⌋+1
