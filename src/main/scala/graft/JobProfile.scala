@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Perf-iteration tool (guide §1): run named queries once each and print a
@@ -28,6 +28,8 @@ object JobProfile {
                          var stages: Int = 0, var tasks: Int = 0,
                          var site: String = "", var names: String = "")
     val jobs = new scala.collection.mutable.LinkedHashMap[Int, Job]
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+    val runMs = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs.synchronized {
         val j = Job(js.jobId, System.nanoTime())
@@ -41,6 +43,11 @@ object JobProfile {
       override def onJobEnd(je: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(je.jobId).foreach(_.end = System.nanoTime())
       }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach { m =>
+          cpuNs.addAndGet(m.executorCpuTime)
+          runMs.addAndGet(m.executorRunTime)
+        }
     })
 
     // one warmup so classloading/codegen JIT doesn't pollute the first query
@@ -48,6 +55,7 @@ object JobProfile {
 
     args.drop(1).foreach { q =>
       jobs.synchronized(jobs.clear())
+      cpuNs.set(0L); runMs.set(0L)
       System.gc()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, sfDir).count()
@@ -59,7 +67,7 @@ object JobProfile {
         val dur = if (j.end > 0) (j.end - j.start) / 1e9 else Double.NaN
         println(f"  job ${j.id}%4d ${dur}%7.3fs stages=${j.stages}%2d tasks=${j.tasks}%4d  ${j.site} [${j.names}]")
       }
-      println(f"  jobs=${snap.size} accounted=$accounted%.2fs (gaps = driver-side work)")
+      println(f"  jobs=${snap.size} accounted=$accounted%.2fs cpu=${cpuNs.get / 1e9}%.2fs taskRun=${runMs.get / 1e3}%.2fs")
     }
     spark.stop()
   }
