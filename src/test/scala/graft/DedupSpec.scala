@@ -110,8 +110,15 @@ class DedupSpec extends SparkSuite {
   }
 
   test("componentLabels leaves no persisted RDDs behind and returns a usable plan") {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
+    // Materialize the INPUT first: lshIndex's lazy localCheckpoint
+    // barriers cache on first use and legitimately stay cached while
+    // this `pairs` handle is live (they ARE its data; the ContextCleaner
+    // reclaims them when the handle is dropped and GC'd). The pin below
+    // is about componentLabels' OWN loop state — persisted labels/edges
+    // per round — which must all be unpersisted by return.
+    pairs.count()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val labels = Dedup.componentLabels(pairs, docs, "doc_id")
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"componentLabels stranded cached RDDs: $leaked")
