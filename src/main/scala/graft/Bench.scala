@@ -229,17 +229,20 @@ object Bench {
         s""""calib_floor":${f(calibFloor)},""" +
         s""""queries":${qmap(_._1, rs)},"queries_min":${qmap(_._2, rs)},""" +
         s""""sf":"$sfDir","fixture":$fixtureJson$onlyMarker$note}"""
-    // Line 1: every query's median + min. Line 2: a SHORT summary (total +
-    // the 10 slowest) that stays intact even when a log capture keeps only
-    // the output tail and truncates line 1's head — the driver's recorded
-    // bench for round 5 had parsed:null for exactly that reason.
+    // Line 1: a SHORT summary (total + the 10 slowest) for human tails.
+    // FINAL line: every query's median + min — the driver stores only an
+    // output tail, so the parseable full-set line must be the LAST stdout
+    // line (rounds 1-17 all recorded parsed:null because the full line was
+    // printed first and its head was truncated away). The same line is also
+    // persisted to target/bench_full.json so the contract survives any tail
+    // length. Output order only — no timing-path change.
     val line = summary(results, "")
     val top10: Iterable[(String, Option[(Double, Double)])] =
       ok.toSeq.sortBy(-_._2._1).take(10).map { case (k, v) => k -> Some(v) }
     val short = summary(top10,
-      s""","note":"top10 of ${results.size}; full set on the previous line"""")
-    println(line)
+      s""","note":"top10 of ${results.size}; full set on the next line"""")
     println(short)
+    println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
