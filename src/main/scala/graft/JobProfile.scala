@@ -36,7 +36,8 @@ object JobProfile {
         j.stages = js.stageInfos.size
         j.tasks = js.stageInfos.map(_.numTasks).sum
         j.site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short")))).getOrElse("")
         j.names = js.stageInfos.map(si => si.name.take(60)).mkString(" | ")
         jobs(js.jobId) = j
       }

@@ -85,8 +85,11 @@ object KeyBloom {
     val proj = UpsertSink.dmlProjection(batch)
       .filter(col("table") === table)
       .select(col("row_key"))
-    val n = if (expectedItems > 0) expectedItems else math.max(proj.count(), 1L)
-    val bf = proj.stat.bloomFilter("row_key", n, fpp)
+    val n = if (expectedItems > 0) expectedItems
+      else math.max(graft.Label.job(spark, s"bloom.size $table b=$batchId")(
+        proj.count()), 1L)
+    val bf = graft.Label.job(spark, s"bloom.build $table b=$batchId")(
+      proj.stat.bloomFilter("row_key", n, fpp))
     writeBloom(fs(spark, root), new Path(bloomDir(root, table)),
       s"batch-$batchId.bloom", bf)
   }
