@@ -95,11 +95,12 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
       // persisted batch per apply (a streaming sink pays them per
       // micro-batch). collect_list/collect_set skip the nulls the
       // `when` guards produce, so one aggregation yields both. ---
-      val head = batch.agg(
-        collect_list(when(col("ddl").isNotNull,
-          struct(col("ddl.table"), col("ddl.schemaJson")))).as("ddls"),
-        collect_set(when(col("dml").isNotNull, col("dml.table"))).as("tables"))
-        .collect()(0)
+      val head = graft.Label.job(spark, s"store.head-agg b=$batchId")(
+        batch.agg(
+          collect_list(when(col("ddl").isNotNull,
+            struct(col("ddl.table"), col("ddl.schemaJson")))).as("ddls"),
+          collect_set(when(col("dml").isNotNull, col("dml.table"))).as("tables"))
+          .collect()(0))
       val ddlSchemas: Map[String, StructType] =
         head.getSeq[org.apache.spark.sql.Row](0).map { r =>
           r.getString(0) -> DataType.fromJson(r.getString(1)).asInstanceOf[StructType]
@@ -203,12 +204,13 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     // cannot change a batch's key set, so the former pre-compacted form
     // ran a full window shuffle+sort just to learn the buckets — this is
     // one map-side-partial distinct over the persisted batch instead.
-    val touched = changes.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val touched = graft.Label.job(spark, s"store.touched $t b=$batchId")(
+      changes.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet)
 
     val mapping = cur.map(_.buckets).getOrElse(Map.empty[Int, String])
     if (touched.nonEmpty) {
-      val existing = readBuckets(spark, tdir, mapping, touched)
+      val existing = readBuckets(spark, tdir, mapping, touched, nb)
       // ONE latest-per-key window over existing ∪ batch. The former
       // two-phase form (compact the batch per key, then merge the result
       // with the existing buckets) ran two full window shuffles per
@@ -223,13 +225,14 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
       // for — O(shufflePartitions × buckets) small files per batch,
       // which murders the file listing at scale. Buckets are sized
       // to a few GB, so one writer per bucket is the right shape.
-      instrumentMerged(t, batchId,
-          merged.select(col("row_key"), col("op"), col("values"),
-            col("version"), col("bucket")))
-        .repartition(math.max(touched.size, 1), col("bucket"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket")
-        .parquet(s"$tdir/snap-$batchId")
+      graft.Label.job(spark, s"store.merge-write $t b=$batchId")(
+        instrumentMerged(t, batchId,
+            merged.select(col("row_key"), col("op"), col("values"),
+              col("version"), col("bucket")))
+          .repartition(math.max(touched.size, 1), col("bucket"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("bucket")
+          .parquet(s"$tdir/snap-$batchId"))
     }
     val newMapping = mapping ++ touched.map(_ -> s"snap-$batchId")
     beforeCommit(t, batchId)
@@ -286,7 +289,7 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     val tdir = tableDir(table)
     val m = readManifest(fs, tdir, atOrBefore)
       .getOrElse(Manifest(numBuckets, None, Map.empty))
-    readBuckets(spark, tdir, m.buckets, m.buckets.keySet)
+    readBuckets(spark, tdir, m.buckets, m.buckets.keySet, m.numBuckets)
       .filter(col("op") =!= graft.model.OpType.Delete)
       .drop("bucket")
   }
@@ -322,7 +325,7 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     val m = readManifest(fs, tdir, atOrBefore)
       .getOrElse(Manifest(numBuckets, None, Map.empty))
     val buckets = keys.map(k => bucketOf(k, m.numBuckets)).toSet
-    readBuckets(spark, tdir, m.buckets, buckets)
+    readBuckets(spark, tdir, m.buckets, buckets, m.numBuckets)
       .filter(col("row_key").isin(keys: _*))
       .filter(col("op") =!= graft.model.OpType.Delete)
       .drop("bucket")
@@ -359,7 +362,7 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     val changed = (mFrom.buckets.keySet ++ mTo.buckets.keySet)
       .filter(b => mFrom.buckets.get(b) != mTo.buckets.get(b))
     def live(m: Manifest, tag: String) =
-      readBuckets(spark, tdir, m.buckets, changed)
+      readBuckets(spark, tdir, m.buckets, changed, m.numBuckets)
         .filter(col("op") =!= graft.model.OpType.Delete)
         .select(col("row_key"), col("values").as(s"values_$tag"),
           col("version").as(s"version_$tag"))
@@ -472,7 +475,7 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
         // replace-committed at the SAME id (the documented convention)
         // must never lazily read the directory they are overwriting
         val rdir = s"snap-$asBatchId-r$newNumBuckets"
-        readBuckets(spark, tdir, m.buckets, m.buckets.keySet)
+        readBuckets(spark, tdir, m.buckets, m.buckets.keySet, m.numBuckets)
           .drop("bucket")
           .withColumn("bucket", pmod(hash(col("row_key")), lit(newNumBuckets)))
           .repartition(newNumBuckets, col("bucket"))
@@ -504,11 +507,13 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
     readManifest(fs, tdir)
       .filterNot(m => m.buckets.nonEmpty && m.buckets.values.forall(_ == cdir))
       .foreach { m =>
-      val live = readBuckets(spark, tdir, m.buckets, m.buckets.keySet)
+      val live = readBuckets(spark, tdir, m.buckets, m.buckets.keySet,
+          m.numBuckets)
         .filter(col("op") =!= graft.model.OpType.Delete)
-      live.repartition(math.max(m.buckets.size, 1), col("bucket"))
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-        .parquet(s"$tdir/$cdir")
+      graft.Label.job(spark, s"store.compact $table b=$asBatchId")(
+        live.repartition(math.max(m.buckets.size, 1), col("bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(s"$tdir/$cdir"))
       // A fully-tombstoned table folds to ZERO rows: the write then
       // leaves no bucket directories and a later schema-less parquet
       // read of the dir would fail — commit an empty mapping instead
@@ -592,21 +597,40 @@ class ParquetUpsertStore(root: String, numBuckets: Int = 16,
       .foreach(n => fs.delete(new Path(tdir, n), true))
   }
 
+  /** One multi-path scan over exactly the `bucket=` leaf directories the
+    * manifest maps for `buckets` — instead of the former union of one
+    * whole-directory read per snapshot dir (each paying its own driver
+    * listing, parquet footer schema inference, and a per-relation plan
+    * subtree; guide §5 driver round-trips, §6 listing). The schema is
+    * explicit (no footer reads at plan time), leaf-dir paths make the
+    * bucket pruning exact at the listing level (no `isin` filter), and
+    * `bucket` is recomputed from `row_key` — by construction every row a
+    * manifest references satisfies `bucket = pmod(hash(row_key),
+    * manifest.numBuckets)` (applyTable writes with the manifest's count,
+    * compact preserves it, rebucket recomputes and commits the new
+    * count), so the recomputation is the stored value, codegen'd.
+    * Existence filtering handles mappings that reference buckets a
+    * compaction/rebucket never materialized (zero live rows) — but a
+    * referenced snapshot DIRECTORY that is gone is data loss and stays
+    * a loud error, exactly as the former whole-directory read made it. */
   private def readBuckets(spark: SparkSession, tdir: String,
                           mapping: Map[Int, String],
-                          buckets: Set[Int]): DataFrame = {
+                          buckets: Set[Int], nb: Int): DataFrame = {
+    val fs = new Path(tdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val byDir = mapping.filter { case (b, _) => buckets.contains(b) }
-      .groupBy(_._2).view.mapValues(_.keySet.toSeq).toMap
-    val parts = byDir.toSeq.sortBy(_._1).map { case (dir, bs) =>
-      spark.read.parquet(s"$tdir/$dir")
-        .withColumn("bucket", col("bucket").cast("int"))
-        .filter(col("bucket").isin(bs: _*))
-        .select(col("row_key"), col("op"), col("values"),
-          col("version"), col("bucket"))
+      .groupBy(_._2).view.mapValues(_.keySet).toMap
+    val paths = byDir.toSeq.sortBy(_._1).flatMap { case (dir, bs) =>
+      val present = fs.listStatus(new Path(s"$tdir/$dir")).iterator
+        .map(_.getPath.getName).filter(_.startsWith("bucket=")).toSet
+      bs.toSeq.sorted.map(b => s"bucket=$b").filter(present)
+        .map(n => s"$tdir/$dir/$n")
     }
-    parts.reduceOption(_.unionByName(_)).getOrElse(
+    if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        snapshotSchema))
+        snapshotSchema)
+    else
+      spark.read.schema(bucketFileSchema).parquet(paths: _*)
+        .withColumn("bucket", pmod(hash(col("row_key")), lit(nb)))
   }
 }
 
@@ -618,6 +642,12 @@ object ParquetUpsertStore {
     StructField("values", MapType(StringType, StringType)),
     StructField("version", LongType),
     StructField("bucket", IntegerType)))
+
+  /** What a bucket data FILE holds — [[snapshotSchema]] minus `bucket`
+    * (the write's partition column). Explicit on every bucket read, so
+    * no scan pays parquet footer schema inference at plan time. */
+  private val bucketFileSchema: StructType =
+    StructType(snapshotSchema.fields.filterNot(_.name == "bucket"))
 
   private[sinks] final case class Manifest(
       numBuckets: Int, schemaJson: Option[String], buckets: Map[Int, String])
@@ -671,6 +701,19 @@ object ParquetUpsertStore {
     ((h % nb) + nb) % nb
   }
 
+  /** Parsed-manifest cache keyed on (path, mtime, length) — committed
+    * manifests are immutable EXCEPT replace-commits (compact/rebucket
+    * re-commit the same id via tmp+rename, which always changes the
+    * file's mtime and, in practice, its length), so the key goes stale
+    * exactly when the content does. The win is per-phase: every store
+    * lifecycle step (apply, snapshot, lookup, diff, coverage checks)
+    * re-resolves the live manifest, and on an object store each re-read
+    * is a metadata round-trip (guide §5); in-process replace-commits
+    * additionally invalidate by path. Bounded: cleared wholesale past a
+    * size no realistic table count reaches (entries are tiny). */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Manifest]()
+
   /** Highest-id committed manifest (optionally capped at `atOrBefore` for
     * time travel), or None for a table that doesn't exist. */
   private[sinks] def readManifest(fs: FileSystem, tdir: String,
@@ -695,21 +738,30 @@ object ParquetUpsertStore {
       .filter(id => atOrBefore.forall(id <= _))
       .foldLeft(Option.empty[Long])((acc, v) => Some(acc.fold(v)(math.max(_, v))))
     latest.map { id =>
-      val in = new BufferedReader(new InputStreamReader(
-        fs.open(new Path(dir, s"manifest-$id")), UTF_8))
-      try {
-        val header = in.readLine().split(" ")
-        require(header(0) == "graft-upsert-manifest", s"bad manifest header in $tdir")
-        val nb = header(1).toInt
-        val schemaJson = Option(in.readLine()).filter(_ != "-")
-        val buckets = Iterator.continually(in.readLine()).takeWhile(_ != null)
-          .filter(_.nonEmpty)
-          .map { line =>
-            val Array(b, d) = line.split("\t", 2)
-            b.toInt -> d
-          }.toMap
-        Manifest(nb, schemaJson, buckets)
-      } finally in.close()
+      val p = new Path(dir, s"manifest-$id")
+      val st = fs.getFileStatus(p)
+      val key = (p.toString, st.getModificationTime, st.getLen)
+      val cached = manifestCache.get(key)
+      if (cached != null) cached
+      else {
+        val in = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
+        val m = try {
+          val header = in.readLine().split(" ")
+          require(header(0) == "graft-upsert-manifest", s"bad manifest header in $tdir")
+          val nb = header(1).toInt
+          val schemaJson = Option(in.readLine()).filter(_ != "-")
+          val buckets = Iterator.continually(in.readLine()).takeWhile(_ != null)
+            .filter(_.nonEmpty)
+            .map { line =>
+              val Array(b, d) = line.split("\t", 2)
+              b.toInt -> d
+            }.toMap
+          Manifest(nb, schemaJson, buckets)
+        } finally in.close()
+        if (manifestCache.size > 8192) manifestCache.clear()
+        manifestCache.put(key, m)
+        m
+      }
     }
   }
 
@@ -737,6 +789,9 @@ object ParquetUpsertStore {
     val out = fs.create(tmp, true)
     try out.write(text.toString.getBytes(UTF_8)) finally out.close()
     val target = new Path(tdir, s"manifest-$id")
+    // in-process invalidation for replace-commits (cross-process
+    // staleness is covered by the cache key's mtime+length)
+    manifestCache.keySet.removeIf(_._1 == target.toString)
     if (replace) {
       val sidecar = new Path(tdir, s"manifest-$id.old")
       fs.delete(sidecar, false) // stale sidecar from an earlier crashed swap

@@ -296,6 +296,19 @@ object SecondaryIndex {
     genPath(dir, st.pointer.fold(0L)(_.n))
   }
 
+  /** Full postings of the CURRENT generation (compacted base ∪ the
+    * `_appends/` flush log), explicit schema — the test/observability
+    * read hook; empty frame when the generation doesn't exist yet. */
+  private[graft] def readPostings(spark: SparkSession, root: String,
+                                  table: String, column: String): DataFrame = {
+    val dir = indexDir(root, table, column)
+    val fs = fsOf(spark, root)
+    val st = readState(fs, dir)
+    readGenPostings(spark, fs, dir, st.pointer.fold(0L)(_.n))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingsSchema))
+  }
+
   // ---------------------------------------------------------------------
   // coverage: is index-first pruning provably sound right now?
   // ---------------------------------------------------------------------
@@ -448,33 +461,56 @@ object SecondaryIndex {
 
   private final class StaleGeneration extends RuntimeException
 
-  /** Run `body` against the CURRENT generation's postings (None = the
-    * generation holds no data files yet — every append so far matched
-    * zero rows, so "no candidates" is the correct answer under sound
-    * coverage). The pointer is re-resolved and the body retried when a
-    * concurrent compaction's cleanup deletes the generation out from
-    * under the read — the race is only reachable when a reader stalls
-    * across TWO compactions (the previous generation is retained as a
-    * grace copy), and the sound response is to re-resolve, never to
-    * error or answer empty. */
+  /** The generation's full postings — compacted BASE (vb-partitioned
+    * directories; hidden `_appends/` is skipped by the listing's
+    * hidden-path filter) unioned with the `_appends/` flush log (vb as
+    * a data column). Both reads carry [[postingsSchema]] explicitly, so
+    * no postings read pays footer schema inference, and both sides come
+    * back column-identical. None when the generation directory itself
+    * doesn't exist yet. */
+  private def readGenPostings(spark: SparkSession, fs: FileSystem,
+                              dir: String, n: Long): Option[DataFrame] = {
+    val gp = new Path(genPath(dir, n))
+    if (!fs.exists(gp)) return None
+    val base = spark.read.schema(postingsSchema).parquet(gp.toString)
+    // The `_appends/` directory name is hidden from Spark's source
+    // resolution (underscore prefix — which is what keeps the base read
+    // of the generation from double-counting it), so the flush log is
+    // read as explicit FILE paths from one listing; the files themselves
+    // are ordinary part files.
+    val apFiles =
+      try fs.listStatus(new Path(appendsPath(dir, n))).iterator
+        .filter(s => s.isFile && {
+          val nm = s.getPath.getName
+          !nm.startsWith("_") && !nm.startsWith(".")
+        })
+        .map(_.getPath.toString).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val posts =
+      if (apFiles.nonEmpty)
+        base.unionByName(
+          spark.read.schema(postingsSchema).parquet(apFiles: _*))
+      else base
+    Some(posts)
+  }
+
+  /** Run `body` against the CURRENT generation's postings (None = no
+    * generation directory yet — every append so far matched zero rows,
+    * so "no candidates" is the correct answer under sound coverage).
+    * The pointer is re-resolved and the body retried when a concurrent
+    * compaction's cleanup deletes the generation out from under the
+    * read — the race is only reachable when a reader stalls across TWO
+    * compactions (the previous generation is retained as a grace
+    * copy), and the sound response is to re-resolve, never to error or
+    * answer empty. */
   private def withPostings[T](spark: SparkSession, fs: FileSystem,
                               dir: String)(body: Option[DataFrame] => T): T = {
     var attempt = 0
     while (true) {
       attempt += 1
       val ptr = readState(fs, dir).pointer.getOrElse(Pointer(0L, None))
-      val gp = new Path(genPath(dir, ptr.n))
       try {
-        val posts =
-          if (!fs.exists(gp)) None
-          else try Some(spark.read.parquet(gp.toString))
-          catch {
-            case _: org.apache.spark.sql.AnalysisException =>
-              // empty generation — unless it vanished between the
-              // existence check and the listing (a racing cleanup)
-              if (fs.exists(gp)) None else throw new StaleGeneration
-          }
-        return body(posts)
+        return body(readGenPostings(spark, fs, dir, ptr.n))
       } catch {
         case e @ (_: StaleGeneration | _: org.apache.spark.SparkException |
                   _: java.io.FileNotFoundException) =>
@@ -513,8 +549,9 @@ object SecondaryIndex {
       case Some(posts) =>
         val horizon = atOrBefore.fold(postingsFilter(p, nb)(posts))(h =>
           postingsFilter(p, nb)(posts).filter(col("batch") <= h))
-        val keys = horizon.select(col("row_key")).distinct()
-          .limit(maxKeys + 1).collect().map(_.getString(0)).toSeq.sorted
+        val keys = graft.Label.job(spark, s"index.enumerate ${p.column}")(
+          horizon.select(col("row_key")).distinct()
+            .limit(maxKeys + 1).collect()).map(_.getString(0)).toSeq.sorted
         if (keys.length > maxKeys) None else Some(keys)
     }
 
@@ -534,7 +571,8 @@ object SecondaryIndex {
       case Some(posts) =>
         val horizon = atOrBefore.fold(postingsFilter(p, nb)(posts))(h =>
           postingsFilter(p, nb)(posts).filter(col("batch") <= h))
-        horizon.limit(cap).count()
+        graft.Label.job(spark, s"index.probe ${p.column}")(
+          horizon.limit(cap).count())
     }
   }
 
@@ -572,21 +610,64 @@ object SecondaryIndex {
     * sorted within partitions by (vb, v_num, v) so each written file's
     * row groups carry tight min/max stats: the pushed range/equality
     * filters then prune at the parquet footer. The shuffle is one pass
-    * over the micro-batch's postings — rows the write was about to
-    * move anyway. */
-  private def shapePostings(rows: DataFrame, nb: Int): DataFrame =
+    * over the postings — rows the write was about to move anyway.
+    * Compaction-only since the LSM split (see [[indexBatch]]): the
+    * rebuilt BASE is the long-lived, lookup-heavy artifact where the
+    * vb directory layout pays for its file count. */
+  private def shapeBase(rows: DataFrame, nb: Int): DataFrame =
     rows
       .withColumn("v_num", col("v").try_cast("double")) // non-numeric → NULL
       .withColumn("vb", pmod(hash(col("v")), lit(nb)))
       .repartition(col("vb"))
       .sortWithinPartitions(col("vb"), col("v_num"), col("v"))
 
+  /** Per-batch APPEND shape — the LSM memtable-flush posture: the same
+    * postings columns with `vb` as an ordinary DATA column, sorted by
+    * (vb, v_num, v) within each input partition, written UNPARTITIONED
+    * into the generation's `_appends/` sidecar. No shuffle (guide §2.4)
+    * and O(input partitions) files per append instead of one file per
+    * touched vb directory — a streaming sink appending every few
+    * seconds would otherwise grow the index by `valueBuckets` small
+    * files per micro-batch (guide §6). Readers still prune: the sort
+    * gives every appended file tight (vb, v_num) row-group stats, so
+    * the same `vb =`/`v_num` predicates push down to the parquet scan;
+    * only the compacted base keeps directory-level pruning, which is
+    * where the volume lives. */
+  private def shapeAppend(rows: DataFrame, nb: Int): DataFrame =
+    rows
+      .withColumn("v_num", col("v").try_cast("double")) // non-numeric → NULL
+      .withColumn("vb", pmod(hash(col("v")), lit(nb)))
+      .sortWithinPartitions(col("vb"), col("v_num"), col("v"))
+
+  /** One postings schema for every read: explicit, so no postings read
+    * ever pays parquet footer schema inference (a per-read driver
+    * round-trip), and the base read (where `vb` is a partition
+    * directory) and the appends read (where `vb` is a data column)
+    * come back column-identical for the union. */
+  private[graft] val postingsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("row_key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v_num",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("vb",
+        org.apache.spark.sql.types.IntegerType)))
+
+  private def appendsPath(dir: String, n: Long): String =
+    s"${genPath(dir, n)}/_appends"
+
   /** Index the envelope batch applied (or about to be applied) as
     * `batchId`: one posting `(row_key, batch, v, v_num)` per non-DELETE
     * DML row of `table` whose values carry a non-null `column`. Rows
     * missing the column contribute nothing — a null value is not an
-    * indexable predicate target. One pass over the batch, partitioned
-    * write into the current generation, then a `_cover-<batchId>`
+    * indexable predicate target. One SHUFFLE-FREE pass over the batch
+    * written unpartitioned into the generation's `_appends/` sidecar
+    * (the LSM flush shape — [[shapeAppend]]; compaction folds appends
+    * into the vb-partitioned base), then a `_cover-<batchId>`
     * marker: the marker commits LAST, so a crash mid-append leaves an
     * unclaimed (possibly partial) append that the coverage check
     * refuses to trust — degraded pruning, never a false negative.
@@ -613,15 +694,16 @@ object SecondaryIndex {
     val fs = fsOf(batch.sparkSession, root)
     val nb = ensureLayout(fs, dir, valueBuckets)
     val ptr = readState(fs, dir).pointer.getOrElse(Pointer(0L, None))
-    shapePostings(
-      UpsertSink.dmlProjection(batch)
-        .filter(col("table") === table)
-        .filter(col("op") =!= graft.model.OpType.Delete)
-        .select(col("row_key"), lit(batchId).as("batch"),
-          valueExpr(column).as("v"))
-        .filter(col("v").isNotNull), nb)
-      .write.mode("append").partitionBy("vb")
-      .parquet(genPath(dir, ptr.n))
+    graft.Label.job(batch.sparkSession, s"index.append $table b=$batchId")(
+      shapeAppend(
+        UpsertSink.dmlProjection(batch)
+          .filter(col("table") === table)
+          .filter(col("op") =!= graft.model.OpType.Delete)
+          .select(col("row_key"), lit(batchId).as("batch"),
+            valueExpr(column).as("v"))
+          .filter(col("v").isNotNull), nb)
+        .write.mode("append")
+        .parquet(appendsPath(dir, ptr.n)))
     // coverage marker: claim AFTER the evidence is durable
     fs.create(new Path(dir, s"_cover-$batchId"), true).close()
   }
@@ -695,21 +777,16 @@ object SecondaryIndex {
     val committedMax = ParquetUpsertStore.committedManifestIds(fs,
       ParquetUpsertStore.tableDir(root, table)).maxOption
     val asb: Long = committedMax.fold(Long.MinValue)(math.min(asBatch, _))
-    val later = {
-      val gp = new Path(genPath(dir, ptr.n))
-      if (!fs.exists(gp)) null
-      else try spark.read.parquet(gp.toString).filter(col("batch") > asb)
-        .select(col("row_key"), col("batch"), col("v"))
-      catch { // no postings yet (or only empty appends): nothing to carry
-        case _: org.apache.spark.sql.AnalysisException => null
-      }
-    }
+    val later = readGenPostings(spark, fs, dir, ptr.n)
+      .map(_.filter(col("batch") > asb)
+        .select(col("row_key"), col("batch"), col("v")))
     val rebuilt = store.snapshotAt(spark, table, asb)
       .select(col("row_key"), lit(asb).as("batch"),
         valueExpr(column).as("v"))
       .filter(col("v").isNotNull)
-    shapePostings(Option(later).fold(rebuilt)(rebuilt.unionByName(_)), nb)
-      .write.mode("overwrite").partitionBy("vb").parquet(genPath(dir, newN))
+    graft.Label.job(spark, s"index.compact-rebuild $table asBatch=$asb")(
+      shapeBase(later.fold(rebuilt)(rebuilt.unionByName(_)), nb)
+        .write.mode("overwrite").partitionBy("vb").parquet(genPath(dir, newN)))
     // covered_through never regresses: an older-id re-compaction carries
     // the later-stamped postings forward, so prior coverage still holds.
     val covT: Option[Long] =
@@ -717,14 +794,15 @@ object SecondaryIndex {
     // postings stats ride the pointer so conjunct ordering becomes a
     // metadata read (one small aggregation over the narrow postings
     // just written, instead of two jobs per conjunct per future lookup)
-    val stats = try {
-      val byVb = spark.read.parquet(genPath(dir, newN))
-        .groupBy(col("vb")).count().collect()
+    val stats = {
+      // explicit schema: an all-tombstoned rebuild leaves ZERO files in
+      // the new generation, which with inference used to throw — with
+      // the schema it is simply an empty aggregation
+      val byVb = graft.Label.job(spark, s"index.stats $table")(
+        spark.read.schema(postingsSchema).parquet(genPath(dir, newN))
+          .groupBy(col("vb")).count().collect())
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       Some(GenStats(byVb.values.sum, byVb))
-    } catch { // an empty generation has no files to aggregate
-      case _: org.apache.spark.sql.AnalysisException =>
-        Some(GenStats(0L, Map.empty))
     }
     commitPointer(fs, dir, newN, covT, stats)
     val committed = readState(fs, dir)

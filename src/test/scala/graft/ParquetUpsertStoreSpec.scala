@@ -229,12 +229,14 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     val pruned = store.lookup(spark, "dbo.t", snap0Keys)
     assert(pruned.inputFiles.forall(!_.contains("snap-1")),
       "lookup listed a snapshot directory none of its buckets live in")
-    // partition-level pruning: the scan carries a bucket partition
-    // filter, so within a listed directory only the hashed buckets'
-    // files are read (the executed plan records the filter)
-    val plan = got.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
-      s"lookup scan lost its bucket partition filter:\n$plan")
+    // bucket-level pruning: the scan's file listing is built from
+    // explicit `bucket=` leaf paths, so ONLY the hashed buckets'
+    // directories appear in the input files at all — stronger than the
+    // former partition filter, which listed the directory first
+    val files = got.inputFiles
+    assert(files.nonEmpty &&
+      files.forall(f => wantBuckets.exists(b => f.contains(s"bucket=$b/"))),
+      s"lookup read a bucket none of its keys hash to:\n${files.mkString("\n")}")
     assert(wantBuckets.size <= keys.size)
   }
 
@@ -275,17 +277,14 @@ class ParquetUpsertStoreSpec extends SparkSuite {
     assert(prev(OpType.Delete).contains(s"a$k2"))
     assert(prev(OpType.Insert).isEmpty)
 
-    // pruning: both sides' scans carry a partition filter pinning the
-    // bucket column to exactly the one remapped bucket
-    val planStr = d.queryExecution.executedPlan.toString
-    val pinned = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*\\]".r
-      .findAllIn(planStr).toSeq
-    assert(pinned.nonEmpty, s"diff scans lost their bucket filters:\n$planStr")
-    val literals = "= (\\d+)\\)".r
-    pinned.foreach { seg =>
-      val vals = literals.findAllMatchIn(seg).map(_.group(1).toInt).toSet
-      assert(vals == Set(b), s"diff scanned buckets $vals, expected {$b}: $seg")
-    }
+    // pruning: both sides' file listings are built from explicit
+    // `bucket=` leaf paths, so exactly the one remapped bucket's
+    // directories are read — no other bucket appears in the input files
+    val diffFiles = d.inputFiles
+    assert(diffFiles.nonEmpty &&
+      diffFiles.forall(_.contains(s"bucket=$b/")),
+      s"diff read a bucket that was not remapped (expected only $b):\n" +
+        diffFiles.mkString("\n"))
 
     // self-diff and adjacent-identical diff are empty
     assert(store.diff(spark, "dbo.t", 1L, 1L).isEmpty)

@@ -193,9 +193,10 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(byIndex(0.0, 30.0).map(_._1) == Set(// k1 changed, k4 died
       "k2", "k6"), "stale range postings must prune")
     assert(byIndex(12.0, 60.0).map(_._1) == Set("k1", "k2", "k3", "k6"))
-    // the range predicate is PUSHED to the postings scan
-    val posts = spark.read
-      .parquet(SecondaryIndex.postingsDir(spark, root, "t", "val"))
+    // the range predicate is PUSHED to the postings scan (pre-compact:
+    // the postings live in the `_appends/` flush log, where v_num rides
+    // as a sorted data column — the pushdown must reach that scan too)
+    val posts = SecondaryIndex.readPostings(spark, root, "t", "val")
       .filter(col("v_num") >= 0.0 && col("v_num") <= 30.0)
     val plan = posts.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
@@ -646,8 +647,7 @@ class SecondaryIndexSpec extends SparkSuite {
     store.vacuum(spark, "t", keepFromBatchId = 3L)
     check("after vacuum")
     // artifacts still physically present
-    assert(spark.read
-      .parquet(SecondaryIndex.postingsDir(spark, root, "t", "val"))
+    assert(SecondaryIndex.readPostings(spark, root, "t", "val")
       .count() > 0, "vacuum deleted the index postings")
   }
 
