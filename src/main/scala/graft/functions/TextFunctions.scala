@@ -50,8 +50,30 @@ object TextFunctions {
         i => concat_ws("_", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct shingle hash set for a text column — the MinHash input. */
+  /** Position-ordered shingle hash SEQUENCE for a token array — the
+    * winnowing input. Backed by the native [[ShingleHashSeqExpr]]
+    * (codegen'd single pass: each token hashed once, shingles combined
+    * by modular arithmetic); [[shingleHashSeqHof]] is the pure-builtins
+    * formulation kept for the bit-parity cross-check. */
+  def shingleHashSeq(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      ShingleHashSeqExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks), n))
+
+  /** Higher-order-function formulation of [[shingleHashSeq]] —
+    * identical values (reference implementation, spec cross-check). */
+  def shingleHashSeqHof(toks: Column, n: Int): Column =
+    transform(shingles(toks, n), portableHash _)
+
+  /** Distinct shingle hash set for a text column — the MinHash input.
+    * array_distinct (codegen'd, first-occurrence order) over the native
+    * hash sequence; [[shingleHashesHof]] is the original interpreted
+    * HOF chain, retained as the cross-check. */
   def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(shingleHashSeq(tokens(text), n))
+
+  /** Higher-order-function formulation of [[shingleHashes]]. */
+  def shingleHashesHof(text: Column, n: Int): Column =
     array_distinct(transform(shingles(tokens(text), n), portableHash _))
 
   /** Winnowed fingerprint set (Schleimer/Wilkerson/Aiken 2003, the MOSS
@@ -66,21 +88,28 @@ object TextFunctions {
     * an empty set; with fewer than w k-grams, the single window covers
     * the whole sequence (global min).
     *
-    * Pure codegen'd higher-order builtins, same shape as [[shingles]] —
-    * no UDF, exact DuckDB twin via list comprehension + list_min. */
+    * Native single-pass expressions (no UDF, no interpreted lambdas);
+    * exact DuckDB twin via list comprehension + list_min, and the HOF
+    * formulations below are the in-engine cross-checks. */
   def winnowedFingerprints(text: Column, k: Int, w: Int): Column =
-    winnowSelect(transform(shingles(tokens(text), k), portableHash _), w)
+    winnowSelect(shingleHashSeq(tokens(text), k), w)
 
   /** The window-min selection step of [[winnowedFingerprints]], over a
-    * position-ordered k-gram hash sequence column. Interpreted
+    * position-ordered k-gram hash sequence column. Backed by the native
+    * [[WinnowSelectExpr]] (one allocation-free pass over the primitive
+    * array); [[winnowSelectHof]] is the builtins cross-check. */
+  def winnowSelect(hs: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      WinnowSelectExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hs), w))
+
+  /** Higher-order-function formulation of [[winnowSelect]] — identical
+    * values (reference implementation, spec cross-check). Interpreted
     * higher-order expressions get no common-subexpression elimination,
     * so if `hs` is itself an expression it is re-evaluated inside EVERY
     * window lambda — O(len²·|shingle|) per document instead of
-    * O(len·w). Callers on the hot path must materialize the hash
-    * sequence first (projection + repartition barrier, the
-    * [[graft.operators.Dedup.minhashNearDups]] pattern) and pass the
-    * materialized column here. */
-  def winnowSelect(hs: Column, w: Int): Column =
+    * O(len·w); pass a materialized column. */
+  def winnowSelectHof(hs: Column, w: Int): Column =
     when(size(hs) >= 1,
       array_distinct(
         transform(sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),

@@ -268,8 +268,7 @@ object Dedup {
     val hp = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(Compute.parallelism(df), col("id"))
       .select(col("id"),
-        transform(shingles(tokens(col("__text")), shingleN),
-          portableHash _).as("hs"))
+        shingleHashSeq(tokens(col("__text")), shingleN).as("hs"))
       .localCheckpoint(false)
     val pos = hp.select(col("id"),
       posexplode(col("hs")).as(Seq("i0", "h")))
@@ -664,8 +663,7 @@ object Dedup {
     val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
       .repartition(Compute.parallelism(df), col("id"))
       .select(col("id"),
-        transform(shingles(tokens(col("__text")), shingleN),
-          portableHash _).as("hs"))
+        shingleHashSeq(tokens(col("__text")), shingleN).as("hs"))
       .localCheckpoint(false)
     // The fingerprint set feeds three consumers (df agg + both sides of
     // the pair join); materialize it once, durably (GraphOps posture).
@@ -720,8 +718,7 @@ object Dedup {
     val tf = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(Compute.parallelism(df), col("id"))
       .select(col("id"),
-        explode(transform(shingles(tokens(col("__t")), shingleN),
-          portableHash _)).as("h"))
+        explode(shingleHashSeq(tokens(col("__t")), shingleN)).as("h"))
       .groupBy(col("id"), col("h"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)

@@ -62,6 +62,46 @@ class TextFunctionsSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("native shingle hash seq/set and winnow == HOF chains, bit-equal") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // fixture texts: sequence, distinct set, and window-min selection
+    val diff = docs.select(
+      TextFunctions.shingleHashSeq(TextFunctions.tokens($"text"), 3).as("ns"),
+      TextFunctions.shingleHashSeqHof(TextFunctions.tokens($"text"), 3).as("hs"),
+      TextFunctions.shingleHashes($"text", 3).as("nd"),
+      TextFunctions.shingleHashesHof($"text", 3).as("hd"),
+      TextFunctions.winnowSelect(
+        TextFunctions.shingleHashSeqHof(TextFunctions.tokens($"text"), 3), 4).as("nw"),
+      TextFunctions.winnowSelectHof(
+        TextFunctions.shingleHashSeqHof(TextFunctions.tokens($"text"), 3), 4).as("hw"))
+      .filter($"ns" =!= $"hs" || $"nd" =!= $"hd" || $"nw" =!= $"hw")
+      .count()
+    assert(diff == 0)
+    // edge cases the scaladoc contracts name: NULL text (→ empty array,
+    // never null), short/empty docs, repeated separators (empty tokens
+    // keep their '_'), tokens containing '_', non-ASCII codepoints, and
+    // docs shorter than the winnow window
+    val edge = Seq("", "a", "a b", "a b c d e a b c d",
+      "x  y", "a_b c _ d", "café né 你好 a café né", null)
+      .toDF("t")
+    val rows = edge.select(
+      TextFunctions.shingleHashSeq(TextFunctions.tokens($"t"), 2).as("ns"),
+      TextFunctions.shingleHashSeqHof(TextFunctions.tokens($"t"), 2).as("hs"),
+      TextFunctions.shingleHashes($"t", 2).as("nd"),
+      TextFunctions.shingleHashesHof($"t", 2).as("hd"),
+      TextFunctions.winnowSelect(
+        TextFunctions.shingleHashSeqHof(TextFunctions.tokens($"t"), 2), 3).as("nw"),
+      TextFunctions.winnowSelectHof(
+        TextFunctions.shingleHashSeqHof(TextFunctions.tokens($"t"), 2), 3).as("hw"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"seq diverges: $r")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"set diverges: $r")
+      assert(r.getSeq[Long](4) == r.getSeq[Long](5), s"winnow diverges: $r")
+      assert(!r.isNullAt(0) && !r.isNullAt(4), s"native must never be null: $r")
+    }
+  }
+
   test("native minhash signature == HOF signature on fixture shingle sets") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val hs = docs.select($"doc_id",
