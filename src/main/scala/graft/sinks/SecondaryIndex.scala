@@ -902,19 +902,51 @@ object SecondaryIndex {
     lookupOne(spark, store, root, table, PrefixPred(column, prefix),
       atOrBefore, maxKeys)
 
+  /** Candidate keys for a conjunction, INTERSECTED across its sound
+    * conjuncts (the bitmap-AND face): enumerate cheapest-first, each
+    * further fitting conjunct's candidates intersect the running set,
+    * and stop early once the set is at or under [[IntersectStop]] keys —
+    * past that point another postings read costs more than it could
+    * save at the point lookup (a few-thousand-key lookup opens at most
+    * that many bucket reads with a small pushed IN filter at ANY table
+    * size). Soundness: each conjunct's candidates are a superset of its
+    * true matches, so the intersection is still a superset of the
+    * conjunction's matches — and a subset of any single conjunct's set,
+    * so the store lookup reads fewer buckets and verifies fewer rows.
+    * Over-`maxKeys` conjuncts contribute nothing (skipped); None when
+    * NO conjunct fits. */
+  private val IntersectStop = 4096
+
+  private def intersectCandidates(spark: SparkSession, fs: FileSystem,
+                                  root: String, table: String,
+                                  ordered: Seq[Pred], atOrBefore: Option[Long],
+                                  maxKeys: Int): Option[Seq[String]] = {
+    var acc: Option[Set[String]] = None
+    val it = ordered.iterator
+    while (it.hasNext && acc.forall(_.size > IntersectStop)) {
+      val p = it.next()
+      val dir = indexDir(root, table, p.column)
+      val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
+      enumerate(spark, fs, dir, nb, p, atOrBefore, maxKeys).foreach { ks =>
+        acc = Some(acc.fold(ks.toSet)(_.intersect(ks.toSet)))
+      }
+    }
+    acc.map(_.toSeq.sorted)
+  }
+
   /** Live rows satisfying EVERY given predicate, index-first. Planning
-    * is CHEAPEST-FIRST: each conjunct's postings are probed for a
-    * bounded row count, conjuncts are tried in ascending order, and the
-    * FIRST one whose distinct keys fit under `maxKeys` supplies the
-    * candidate set — every other conjunct is verified against live
-    * values at the store lookup (which the superset model requires
-    * anyway), so a popular conjunct can never fail a query a selective
-    * one answers. The guard only fires when NO conjunct fits — every
-    * index is too unselective for a point lookup, and the error says to
-    * filter the snapshot instead. Conjuncts whose coverage is unsound
-    * are skipped for candidate duty (their verification still runs); if
-    * no sound conjunct exists the whole lookup degrades loudly to the
-    * unpruned snapshot filter. */
+    * is CHEAPEST-FIRST: conjunct postings costs come from compaction
+    * metadata (or a bounded probe), and the fitting conjuncts' candidate
+    * sets are INTERSECTED via [[intersectCandidates]] — every conjunct
+    * is still verified against live values at the store lookup (the
+    * superset model requires it anyway), so a popular conjunct can
+    * never fail a query a selective one answers. The guard only fires
+    * when NO conjunct fits under `maxKeys` — every index is too
+    * unselective for a point lookup, and the error says to filter the
+    * snapshot instead. Conjuncts whose coverage is unsound are skipped
+    * for candidate duty (their verification still runs); if no sound
+    * conjunct exists the whole lookup degrades loudly to the unpruned
+    * snapshot filter. */
   def lookupByAll(spark: SparkSession, store: ParquetUpsertStore,
                   root: String, table: String,
                   equalTo: Map[String, String],
@@ -958,11 +990,8 @@ object SecondaryIndex {
         val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
         p -> orderCost(spark, fs, dir, nb, p, atOrBefore, maxKeys + 1)
       }.sortBy(_._2).map(_._1)
-    val candidates = ordered.iterator.flatMap { p =>
-      val dir = indexDir(root, table, p.column)
-      val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
-      enumerate(spark, fs, dir, nb, p, atOrBefore, maxKeys)
-    }.nextOption().getOrElse(throw new IllegalArgumentException(
+    val candidates = intersectCandidates(spark, fs, root, table, ordered,
+      atOrBefore, maxKeys).getOrElse(throw new IllegalArgumentException(
       s"SecondaryIndex: every conjunct of " +
         preds.map(_.describe).mkString("(", " AND ", ")") +
         s" on '$table' matches more than $maxKeys candidate keys — too " +
@@ -980,8 +1009,8 @@ object SecondaryIndex {
     * can't help" reasons: returns None (full-scan fallback) when no
     * named column has an index, coverage is unsound, or every indexed
     * conjunct is over `maxKeys`. The returned keys are a SUPERSET of
-    * the matching live keys (sound coverage + cheapest fitting
-    * conjunct); the relation's scan re-applies every filter above, so
+    * the matching live keys (sound coverage + intersection of fitting
+    * conjuncts); the relation's scan re-applies every filter above, so
     * pruning here is purely an optimization. */
   private[graft] def candidatesForScan(spark: SparkSession, root: String,
                                        table: String, preds: Seq[Pred],
@@ -1007,10 +1036,6 @@ object SecondaryIndex {
         val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
         p -> orderCost(spark, fs, dir, nb, p, atOrBefore, maxKeys + 1)
       }.sortBy(_._2).map(_._1)
-    ordered.iterator.flatMap { p =>
-      val dir = indexDir(root, table, p.column)
-      val nb = readLayout(fs, dir).getOrElse(DefaultValueBuckets)
-      enumerate(spark, fs, dir, nb, p, atOrBefore, maxKeys)
-    }.nextOption()
+    intersectCandidates(spark, fs, root, table, ordered, atOrBefore, maxKeys)
   }
 }
