@@ -21,4 +21,25 @@ private[graft] object Compute {
       s.conf.get("spark.sql.shuffle.partitions", "200").trim.toInt).getOrElse(0)
     math.max(1, math.max(s.sparkContext.defaultParallelism, shuffle))
   }
+
+  /** Materialization barrier for a compute-once table feeding multiple
+    * downstream consumers (the dedup/LSH hashed-table shape).
+    *
+    * LOCAL MODE: a lazy `localCheckpoint` — every block is in the one
+    * process anyway, so durability adds nothing and the first consumer
+    * pays the single materialization.
+    *
+    * CLUSTER: a durable parquet checkpoint ([[Checkpoints.reliable]]).
+    * `localCheckpoint` truncates lineage into NON-REPLICATED
+    * executor-local blocks: on a preemptible/dynamic-allocation cluster
+    * one lost executor mid-query fails every downstream job
+    * unrecoverably (there is nothing left to recompute from), and the
+    * blocks pin executor storage until the caller's handle is GC'd.
+    * Writing the barrier to shared storage costs one extra parquet
+    * write per operator call and removes both failure modes — the
+    * 100 TB posture. Requires the session checkpoint dir on shared
+    * storage (Checkpoints.checkpointRoot enforces exactly that). */
+  def barrier(df: DataFrame, tag: String): DataFrame =
+    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint(false)
+    else Checkpoints.reliable(df, tag)
 }

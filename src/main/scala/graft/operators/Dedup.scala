@@ -55,14 +55,15 @@ object Dedup {
   private def lshIndex(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
     val r = k / bands
-    val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(Compute.parallelism(df), col("id"))
-      .select(col("id"),
-        sort_array(shingleHashes(col("__text"), shingleN)).as("hashes"))
-      .localCheckpoint(false)
-    val sh = hashed
-      .withColumn("sig", minhashSignature(col("hashes"), k))
-      .localCheckpoint(false)
+    val hashed = Compute.barrier(
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .repartition(Compute.parallelism(df), col("id"))
+        .select(col("id"),
+          sort_array(shingleHashes(col("__text"), shingleN)).as("hashes")),
+      "lsh-hashed")
+    val sh = Compute.barrier(
+      hashed.withColumn("sig", minhashSignature(col("hashes"), k)),
+      "lsh-sig")
     val banded = sh.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"), bandHash(col("sig"), b, r).as("bucket")))).as("bb"))
@@ -206,13 +207,14 @@ object Dedup {
                            lenCol: String, shingleN: Int, bucketWidth: Int,
                            blockSpan: Int, measure: (Column, Column) => Column,
                            outCol: String, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        (col(lenCol) / bucketWidth).cast("long").as("bucket"),
-        col(textCol).as("__text"))
-      .repartition(Compute.parallelism(df), col("id"))
-      .select(col("id"), col("bucket"),
-        sort_array(shingleHashes(col("__text"), shingleN)).as("hashes"))
-      .localCheckpoint(false)
+    val sh = Compute.barrier(
+      df.select(col(idCol).as("id"),
+          (col(lenCol) / bucketWidth).cast("long").as("bucket"),
+          col(textCol).as("__text"))
+        .repartition(Compute.parallelism(df), col("id"))
+        .select(col("id"), col("bucket"),
+          sort_array(shingleHashes(col("__text"), shingleN)).as("hashes")),
+      "blocked-hashed")
     val left = sh.select(col("id").as("id_a"), col("hashes").as("h_a"),
       explode(array((-blockSpan to blockSpan).map(col("bucket") + _): _*)).as("jb"))
     val right = sh.select(col("id").as("id_b"), col("hashes").as("h_b"),
@@ -265,11 +267,12 @@ object Dedup {
     // pattern), feeding both the frequency agg and the starts collect;
     // hashed above a cluster-sized exchange (single-split corpus would
     // otherwise hash on one core).
-    val hp = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(Compute.parallelism(df), col("id"))
-      .select(col("id"),
-        shingleHashSeq(tokens(col("__text")), shingleN).as("hs"))
-      .localCheckpoint(false)
+    val hp = Compute.barrier(
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .repartition(Compute.parallelism(df), col("id"))
+        .select(col("id"),
+          shingleHashSeq(tokens(col("__text")), shingleN).as("hs")),
+      "dupspan-hashed")
     val pos = hp.select(col("id"),
       posexplode(col("hs")).as(Seq("i0", "h")))
     val freq = pos.groupBy(col("h")).agg(count(lit(1)).as("c"))
@@ -356,11 +359,12 @@ object Dedup {
     // scan side of the exchange — re-running the whole shingle hash on
     // the (single-split) scan task. Above the checkpoint it evaluates
     // `size` on the materialized arrays instead.
-    val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(Compute.parallelism(df), col("id"))
-      .select(col("id"),
-        sort_array(shingleHashes(col("__text"), shingleN)).as("hashes"))
-      .localCheckpoint(false)
+    val hashed = Compute.barrier(
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .repartition(Compute.parallelism(df), col("id"))
+        .select(col("id"),
+          sort_array(shingleHashes(col("__text"), shingleN)).as("hashes")),
+      "prefix-hashed")
     val sh = hashed
       .filter(size(col("hashes")) >= 1)
       .select(col("id"), col("hashes"), size(col("hashes")).as("sz"))
@@ -619,10 +623,11 @@ object Dedup {
     // array form is hashed once IN PARALLEL (heavy projection above a
     // cluster-sized exchange — a single-split corpus otherwise hashes
     // on one core) and each consumer only re-explodes it.
-    val hs = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(Compute.parallelism(df), col("id"))
-      .select(col("id"), shingleHashes(col("__text"), shingleN).as("hs"))
-      .localCheckpoint(false)
+    val hs = Compute.barrier(
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .repartition(Compute.parallelism(df), col("id"))
+        .select(col("id"), shingleHashes(col("__text"), shingleN).as("hs")),
+      "crosssource-hashed")
     val ex = hs.select(col("id"), explode(col("hs")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     ex.join(dfreq, Seq("h"))
@@ -660,11 +665,12 @@ object Dedup {
     // winnowing O(len·w) exactly once per document, and the hashing runs
     // above a cluster-sized exchange (a single-split corpus otherwise
     // hashes on one core).
-    val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(Compute.parallelism(df), col("id"))
-      .select(col("id"),
-        shingleHashSeq(tokens(col("__text")), shingleN).as("hs"))
-      .localCheckpoint(false)
+    val hashed = Compute.barrier(
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .repartition(Compute.parallelism(df), col("id"))
+        .select(col("id"),
+          shingleHashSeq(tokens(col("__text")), shingleN).as("hs")),
+      "winnow-hashed")
     // The fingerprint set feeds three consumers (df agg + both sides of
     // the pair join); materialize it once, durably (GraphOps posture).
     val fp = Checkpoints.reliable(
@@ -715,13 +721,14 @@ object Dedup {
     // (id, h, tf) table is checkpointed once for its three consumers
     // (df agg, norms, postings) instead of re-running the explode per
     // consumer from the scan.
-    val tf = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .repartition(Compute.parallelism(df), col("id"))
-      .select(col("id"),
-        explode(shingleHashSeq(tokens(col("__t")), shingleN)).as("h"))
-      .groupBy(col("id"), col("h"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    val tf = Compute.barrier(
+      df.select(col(idCol).as("id"), col(textCol).as("__t"))
+        .repartition(Compute.parallelism(df), col("id"))
+        .select(col("id"),
+          explode(shingleHashSeq(tokens(col("__t")), shingleN)).as("h"))
+        .groupBy(col("id"), col("h"))
+        .agg(count(lit(1)).as("tf")),
+      "tfcos-tf")
     val dfreq = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val keptTf = tf.join(dfreq.filter(col("df") <= dfCap), Seq("h"))
     val norms = keptTf.groupBy(col("id"))
