@@ -26,6 +26,10 @@ object GraftSession {
       // unbounded schema state, 100 TB dedup state).
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: per-batch commits upload the write-ahead
+      // changelog instead of a full RocksDB snapshot zip per partition
+      // per batch; snapshots move to the background maintenance interval.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       // Scan efficiency: vectorized parquet + pushdown everywhere.
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
