@@ -47,6 +47,21 @@ case class DotProductAnyExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   import org.apache.spark.sql.types.{ArrayType, FloatType}
   override def dataType: DataType = DoubleType
+  // Analysis-time rejection (Spark expression convention): a non-
+  // float/double array child fails the query at analysis with a typed
+  // message instead of surfacing as a runtime IllegalArgumentException
+  // from isFloat inside eval/codegen.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "dot_product_any requires ARRAY<FLOAT> or ARRAY<DOUBLE> on both " +
+        s"sides, got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false

@@ -110,6 +110,7 @@ class DedupSpec extends SparkSuite {
   }
 
   test("componentLabels leaves no persisted RDDs behind and returns a usable plan") {
+    val base = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.8)
     // Materialize the INPUT first: lshIndex's lazy localCheckpoint
     // barriers cache on first use and legitimately stay cached while
@@ -119,6 +120,14 @@ class DedupSpec extends SparkSuite {
     // per round — which must all be unpersisted by return.
     pairs.count()
     val before = spark.sparkContext.getPersistentRDDs.keySet
+    // Pre-capture delta guard (the `before` capture would otherwise
+    // exempt ANY persist minhashNearDups makes): the pipeline is allowed
+    // exactly lshIndex's two intended lazy-localCheckpoint barriers
+    // (hashed table + banded index) — an unexpected extra persist inside
+    // the operators must fail here, not hide behind the capture.
+    assert((before -- base).size == 2,
+      s"minhashNearDups must persist exactly its two checkpoint " +
+        s"barriers, got ${(before -- base).size}: ${before -- base}")
     val labels = Dedup.componentLabels(pairs, docs, "doc_id")
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"componentLabels stranded cached RDDs: $leaked")
