@@ -213,16 +213,30 @@ object TextQueries {
     * broadcast; nothing but candidates reaches the downstream top-k. */
   private def bm25Scores(docs: DataFrame, qterms: DataFrame,
       excludeSelf: Boolean): DataFrame = {
-    val stats = docs.agg(
+    import graft.operators.Compute
+    // Tokenize ONCE above a cluster-sized exchange (guide §2.6): the
+    // corpus is a single-split scan, so the former form ran the full
+    // tokenize+explode serially on one core — and TWICE more via the
+    // tf subplan's two join branches (no CSE across branches). The
+    // materialized token table feeds the stats head and the tf agg;
+    // the tf barrier feeds the df table and the candidate join.
+    val toks = Compute.barrier(
+      docs.select(col("doc_id"), col("text"))
+        .repartition(Compute.parallelism(docs), col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks")),
+      "bm25-toks")
+    val stats = toks.agg(
       count(lit(1)).as("n"),
-      sum(size(tokens(col("text"))).cast("long")).as("total")).head()
+      sum(size(col("toks")).cast("long")).as("total")).head()
     val n = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / n.toDouble
-    val tf = docs
-      .select(col("doc_id"), size(tokens(col("text"))).as("dl"),
-        explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val tf = Compute.barrier(
+      toks
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
+      "bm25-tf")
     val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val tfD = col("tf").cast("double")
     val idf = (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
