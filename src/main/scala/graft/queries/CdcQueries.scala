@@ -29,6 +29,20 @@ object CdcQueries {
       .when(col("event_type") === "error", "DELETE")
       .otherwise("UPDATE")
 
+  /** Quarter-width fan for the store-lifecycle queries' per-batch
+    * envelope builds (guide §2.6): the events fixture is a single-split
+    * scan, so the wrapDml stringify map-build — the dominant per-batch
+    * cost left after the r18 store work (~0.7 s serialized, twice per
+    * query) — otherwise runs on one core. A QUARTER of the cluster
+    * parallelism spreads the build while keeping the persisted batch's
+    * partition count low enough that the lifecycle's ~15 downstream
+    * metadata jobs don't degrade into task storms — r17 measured the
+    * FULL-width fan 3-8× worse in CPU for exactly that reason and
+    * reverted it; the ratio scales with the session the same way
+    * Compute.parallelism does. */
+  private def fanned(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(math.max(2, graft.operators.Compute.parallelism(df) / 4))
+
   val queries: Map[String, QueryFn] = Map(
     // E1 + T1: wrap rows into the changeRecord envelope (values as
     // map<string,string> + in-band schema JSON), then flatten back to
@@ -880,7 +894,7 @@ object CdcQueries {
       import graft.functions.KmvSketchAgg
       val k = 64
       val M = 2147483647.0
-      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+      val env = ChangeFeed.wrapDml(fanned(Tables.events(s, d)), "public.events",
         Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
       val ver = col("dml.changeTrackingVersion").cast("long")
       val h = graft.functions.TextFunctions.portableHash(
@@ -923,7 +937,7 @@ object CdcQueries {
     // against the raw-events oracle.
     "cdc33_indexed_lookup" -> ((s, d) => {
       import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
-      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+      val env = ChangeFeed.wrapDml(fanned(Tables.events(s, d)), "public.events",
         Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
       val ver = col("dml.changeTrackingVersion").cast("long")
       val root = freshDir("cdc33")
@@ -959,7 +973,7 @@ object CdcQueries {
     // prefix (here).
     "cdc39_prefix_lookup" -> ((s, d) => {
       import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
-      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+      val env = ChangeFeed.wrapDml(fanned(Tables.events(s, d)), "public.events",
         Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
       val ver = col("dml.changeTrackingVersion").cast("long")
       val root = freshDir("cdc39")
@@ -991,7 +1005,7 @@ object CdcQueries {
     // the end-to-end answer against the raw-events oracle.
     "cdc34_bloom_lookup" -> ((s, d) => {
       import graft.sinks.{KeyBloom, ParquetUpsertStore}
-      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+      val env = ChangeFeed.wrapDml(fanned(Tables.events(s, d)), "public.events",
         Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
       val ver = col("dml.changeTrackingVersion").cast("long")
       val root = freshDir("cdc34")
@@ -1024,7 +1038,7 @@ object CdcQueries {
     // pins the swap/crash/in-flight faces).
     "cdc35_range_lookup" -> ((s, d) => {
       import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
-      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+      val env = ChangeFeed.wrapDml(fanned(Tables.events(s, d)), "public.events",
         Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
       val ver = col("dml.changeTrackingVersion").cast("long")
       val root = freshDir("cdc35")
@@ -1057,7 +1071,7 @@ object CdcQueries {
     // per index.
     "cdc36_index_intersection" -> ((s, d) => {
       import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
-      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+      val env = ChangeFeed.wrapDml(fanned(Tables.events(s, d)), "public.events",
         Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
       val ver = col("dml.changeTrackingVersion").cast("long")
       val root = freshDir("cdc36")
@@ -1095,7 +1109,7 @@ object CdcQueries {
     "cdc37_sql_index_scan" -> ((s, d) => {
       import graft.sinks.{ParquetUpsertStore, SecondaryIndex}
       import org.apache.spark.sql.types._
-      val env = ChangeFeed.wrapDml(Tables.events(s, d), "public.events",
+      val env = ChangeFeed.wrapDml(fanned(Tables.events(s, d)), "public.events",
         Seq("user_id"), opFromEvent, col("event_id"), lit(0L))
       val ver = col("dml.changeTrackingVersion").cast("long")
       val root = freshDir("cdc37")
@@ -1237,7 +1251,7 @@ object CdcQueries {
       val root = freshDir("cdc41")
       val store = new ParquetUpsertStore(root, numBuckets = 8)
       val env = ChangeFeed.wrapDml(
-        Tables.events(s, d).withColumn("vband",
+        fanned(Tables.events(s, d)).withColumn("vband",
           floor(col("value") / 10).cast("long").cast("string")),
         "public.events_log", Seq("event_id"), lit("INSERT"),
         col("event_id"), lit(0L))
