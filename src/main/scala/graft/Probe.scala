@@ -19,6 +19,11 @@ object Probe {
         val df = SparkEntry.queries(q)(spark, dir)
         df.collect()
         println(df.queryExecution.executedPlan.toString)
+        // the formatted form too (operator list + per-node details) —
+        // plans/rNN evidence carries both views of the same final plan
+        println("===== formatted =====")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       } else {
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, args(0)).count()
