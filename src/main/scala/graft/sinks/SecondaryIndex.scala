@@ -618,7 +618,13 @@ object SecondaryIndex {
     rows
       .withColumn("v_num", col("v").try_cast("double")) // non-numeric → NULL
       .withColumn("vb", pmod(hash(col("v")), lit(nb)))
-      .repartition(col("vb"))
+      // EXPLICIT partition count: a bare repartition(col) is AQE-
+      // coalescible, and a byte-small rebuild collapses to 1-2 tasks
+      // that then create all `nb` bucket files SERIALLY (~1 s of the
+      // compaction at sf0.1). min(nb, parallelism) spreads the file
+      // creation while keeping one file per bucket directory.
+      .repartition(
+        math.min(nb, graft.operators.Compute.parallelism(rows)), col("vb"))
       .sortWithinPartitions(col("vb"), col("v_num"), col("v"))
 
   /** Per-batch APPEND shape — the LSM memtable-flush posture: the same
